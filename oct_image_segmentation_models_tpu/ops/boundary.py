@@ -1,0 +1,165 @@
+"""Boundary-map ops, fused on device.
+
+Reimplements (bit-exactly, in jnp) the reference's NumPy post-processing:
+
+- ``perform_argmax``  — reference `common/utils.py:80-112`
+- ``convert_predictions_to_maps_semantic`` (class probabilities -> per-
+  boundary "boundary probability maps")  — reference `common/utils.py:115-168`
+- ``create_area_mask`` (boundary rows -> dense region mask, incl. the
+  NaN/0 repair semantics)  — reference `common/dataset_construction.py:654-708`
+
+The reference runs these per-sample in Python loops on the host; here they
+are batched jnp ops that XLA fuses into the inference pipeline, so class
+probabilities never leave HBM between the model softmax and the min-path
+kernel.
+
+Conventions (identical to the reference):
+- label/probability tensors are channels-last ``(B, H, W, C)``;
+- "categorical" tensors are class-first ``(B, C, H, W)``;
+- a boundary belongs to the first pixel (row) of its *next* region, i.e.
+  boundary ``i`` is the first row where ``label == i+1``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def to_categorical(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """One-hot encode integer labels (float32), like keras ``to_categorical``."""
+    return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+
+
+def perform_argmax(predictions: jnp.ndarray, bin: bool = True):
+    """Argmax class map + class-first categorical tensor.
+
+    Args:
+      predictions: ``(B, H, W, C)`` class probabilities (channels last).
+      bin: if True the categorical output is the one-hot of the argmax;
+        otherwise it is the raw probabilities, transposed class-first.
+
+    Returns:
+      ``(argmax_pred, categorical_pred)`` with shapes ``(B, H, W)`` and
+      ``(B, C, H, W)``. Matches reference `common/utils.py:80-112`.
+    """
+    num_classes = predictions.shape[3]
+    argmax_pred = jnp.argmax(predictions, axis=3)
+    if bin:
+        categorical = to_categorical(argmax_pred, num_classes)
+        categorical = jnp.transpose(categorical, (0, 3, 1, 2))
+    else:
+        categorical = jnp.transpose(predictions, (0, 3, 1, 2))
+    return argmax_pred, categorical
+
+
+def _vertical_gradient(x: jnp.ndarray) -> jnp.ndarray:
+    """``np.gradient(x, axis=-2)``: central differences inside, one-sided
+    differences at the first/last row. ``x``: (..., H, W)."""
+    interior = (x[..., 2:, :] - x[..., :-2, :]) * 0.5
+    first = x[..., 1:2, :] - x[..., 0:1, :]
+    last = x[..., -1:, :] - x[..., -2:-1, :]
+    return jnp.concatenate([first, interior, last], axis=-2)
+
+
+def _ridge_from_gradient(grad: jnp.ndarray) -> jnp.ndarray:
+    """Shared tail of the reference conversion: clip negatives, scale x2,
+    subtract the one-row-up roll, clip again (`common/utils.py:140-147`)."""
+    grad = jnp.maximum(grad, 0.0) * 2.0
+    rolled = jnp.roll(grad, -1, axis=-2)
+    return jnp.maximum(grad - rolled, 0.0)
+
+
+def _to_uint8_wrap(x: jnp.ndarray) -> jnp.ndarray:
+    """``(x * 255).astype(uint8)`` with NumPy C-cast wraparound semantics
+    (a ridge value of 2.0 wraps to 254, reference `common/utils.py:73-77`)."""
+    return (x * 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def boundary_prob_maps(
+    categorical_pred: jnp.ndarray,
+    bg_ilm: bool = True,
+    bg_csi: bool = False,
+) -> jnp.ndarray:
+    """Per-boundary probability maps from class-first one-hot predictions.
+
+    For boundary ``i`` (between region ``i`` and region ``i+1``) the map is
+    the positive part of the vertical gradient of region ``i+1``'s mask,
+    thinned to a single row; when ``bg_ilm`` (first boundary) or ``bg_csi``
+    (last boundary) is set, the *preceding* region's mask is used with a
+    negated gradient instead — reference `common/utils.py:115-168`.
+
+    Args:
+      categorical_pred: ``(B, C, H, W)`` float one-hot (or probabilities).
+
+    Returns:
+      ``(B, C-1, H, W)`` uint8 maps, 255 on the boundary ridge.
+    """
+    num_maps = categorical_pred.shape[1]
+    maps = []
+    for map_ind in range(1, num_maps):
+        use_bg = (map_ind == 1 and bg_ilm) or (map_ind == num_maps - 1 and bg_csi)
+        if use_bg:
+            grad = -_vertical_gradient(categorical_pred[:, map_ind - 1])
+        else:
+            grad = _vertical_gradient(categorical_pred[:, map_ind])
+        maps.append(_to_uint8_wrap(_ridge_from_gradient(grad)))
+    return jnp.stack(maps, axis=1)
+
+
+def repair_segs(segs: jnp.ndarray, image_height: int) -> jnp.ndarray:
+    """Replace invalid boundary rows (NaN or 0) with the first *originally*
+    valid boundary below, or ``image_height`` if none — the repair loop of
+    reference `common/dataset_construction.py:677-692`.
+
+    Args:
+      segs: ``(..., num_boundaries, W)`` boundary rows (float or int).
+
+    Returns:
+      int32 segs of the same shape with invalid entries repaired.
+    """
+    segs_f = segs.astype(jnp.float32)
+    invalid = jnp.isnan(segs_f) | (segs_f == 0)
+    num_boundaries = segs.shape[-2]
+    fill = jnp.full(segs_f.shape[:-2] + segs_f.shape[-1:], float(image_height))
+    repaired = [None] * num_boundaries
+    below = fill
+    # Unrolled bottom-up: each invalid entry takes the nearest valid
+    # *original* value below it (already-repaired values below resolve to
+    # exactly that, since repairs only ever propagate original values).
+    for i in range(num_boundaries - 1, -1, -1):
+        repaired[i] = jnp.where(invalid[..., i, :], below, segs_f[..., i, :])
+        below = repaired[i]
+    return jnp.stack(repaired, axis=-2).astype(jnp.int32)
+
+
+def create_area_mask(segs: jnp.ndarray, image_height: int) -> jnp.ndarray:
+    """Dense region mask from (possibly invalid) boundary rows.
+
+    Exactly replicates the sequential write semantics of reference
+    `common/dataset_construction.py:694-706`: region ``i`` is written over
+    rows ``[seg_{i-1}, seg_i)`` in boundary order (later writes win when
+    repaired boundaries are out of order), then rows ``>= seg_{n-1}`` get
+    region ``n``.
+
+    Args:
+      segs: ``(..., num_boundaries, W)`` boundary rows; NaN/0 invalid.
+      image_height: H of the output mask.
+
+    Returns:
+      uint8 mask ``(..., H, W)`` in image (row, col) orientation. (The
+      reference produces the transposed ``(W, H)`` mask and transposes it
+      back downstream — `evaluation/evaluation.py:377`.)
+    """
+    segs = repair_segs(segs, image_height)
+    num_boundaries = segs.shape[-2]
+    rows = jnp.arange(image_height, dtype=jnp.int32)[:, None]  # (H, 1)
+    mask = jnp.zeros(segs.shape[:-2] + (image_height, segs.shape[-1]), jnp.uint8)
+    prev = jnp.zeros_like(segs[..., 0, :])
+    for i in range(num_boundaries):
+        cur = segs[..., i, :]
+        write = (rows >= prev[..., None, :]) & (rows < cur[..., None, :])
+        mask = jnp.where(write, jnp.uint8(i), mask)
+        prev = cur
+    mask = jnp.where(rows >= prev[..., None, :], jnp.uint8(num_boundaries), mask)
+    return mask

@@ -1,0 +1,134 @@
+"""TPU min-path DP vs the faithful heapq Dijkstra oracle."""
+
+import numpy as np
+import pytest
+
+from oct_image_segmentation_models_tpu.ops import minpath
+
+from oracle_minpath import dijkstra_delineate, oracle_segment_maps
+
+
+def _ridge_map(w, h, rows, value=255):
+    m = np.zeros((w, h), dtype=np.uint8)
+    m[np.arange(w), rows] = value
+    return m
+
+
+def _smooth_rows(rng, w, h, max_step=1, margin=2):
+    rows = [rng.integers(margin, h - margin)]
+    for _ in range(w - 1):
+        step = rng.integers(-max_step, max_step + 1)
+        rows.append(int(np.clip(rows[-1] + step, margin, h - margin)))
+    return np.array(rows)
+
+
+def test_all_zero_map_hugs_row_zero():
+    # Reference Dijkstra enters at row 0, goes straight across, and does
+    # all its descent in the free virtual column -> delineation row 0.
+    m = np.zeros((12, 9), dtype=np.uint8)
+    got = np.asarray(minpath.delineate(m))
+    assert np.array_equal(got, dijkstra_delineate(m))
+    assert np.array_equal(got, np.zeros(12, dtype=np.int64))
+
+
+def test_clean_ridge_exact():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        w, h = 32, 24
+        rows = _smooth_rows(rng, w, h)
+        m = _ridge_map(w, h, rows)
+        got = np.asarray(minpath.delineate(m))
+        assert np.array_equal(got, rows), "DP must follow the 255 ridge"
+        assert np.array_equal(got, dijkstra_delineate(m))
+
+
+def test_ridge_with_jumps_matches_oracle():
+    # Boundary jumps larger than max_grad force detours; tie-breaking
+    # against the oracle matters here.
+    rng = np.random.default_rng(1)
+    for trial in range(10):
+        w, h = 24, 20
+        rows = _smooth_rows(rng, w, h, max_step=4)
+        m = _ridge_map(w, h, rows)
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_partial_ridge_with_gaps_matches_oracle():
+    # Columns where the class is absent have all-zero probability.
+    rng = np.random.default_rng(2)
+    for trial in range(10):
+        w, h = 24, 20
+        rows = _smooth_rows(rng, w, h)
+        m = _ridge_map(w, h, rows)
+        gap_cols = rng.choice(w, size=6, replace=False)
+        m[gap_cols, :] = 0
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_sparse_random_maps_match_oracle():
+    # 0/255-valued random maps: exact float64 arithmetic in the oracle,
+    # so tie-breaking must match exactly.
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        w, h = 16, 12
+        m = (rng.random((w, h)) < 0.15).astype(np.uint8) * 255
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_dense_random_uint8_maps_match_oracle():
+    # Arbitrary uint8 values: reference float64 sums are no longer exact,
+    # so allow (rare) tie flips but require identical path cost.
+    rng = np.random.default_rng(4)
+    mismatch_cols = 0
+    total_cols = 0
+    for trial in range(8):
+        w, h = 16, 12
+        m = rng.integers(0, 256, size=(w, h), dtype=np.uint8)
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        total_cols += w
+        if not np.array_equal(got, want):
+            mismatch_cols += int(np.sum(got != want))
+            # Same optimal cost: sum of probabilities along path equal.
+            p = m.astype(np.int64)
+            assert p[np.arange(w), got].sum() == p[np.arange(w), want].sum()
+    assert mismatch_cols <= 0.02 * total_cols
+
+
+def test_max_grad_2_matches_oracle():
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        w, h = 20, 16
+        rows = _smooth_rows(rng, w, h, max_step=3)
+        m = _ridge_map(w, h, rows)
+        got = np.asarray(minpath.delineate(m, max_grad=2))
+        want = dijkstra_delineate(m, max_grad=2)
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_batched_delineate_matches_per_map():
+    rng = np.random.default_rng(6)
+    maps = np.stack(
+        [
+            _ridge_map(20, 16, _smooth_rows(rng, 20, 16))
+            for _ in range(6)
+        ]
+    ).reshape(2, 3, 20, 16)
+    got = np.asarray(minpath.delineate(maps))
+    want = oracle_segment_maps(maps.reshape(-1, 20, 16)).reshape(2, 3, 20)
+    assert np.array_equal(got, want)
+
+
+def test_calc_errors_nan_semantics():
+    pred = np.array([5, 6, 7, 8], dtype=np.uint16)
+    truth = np.array([5.0, np.nan, 0.0, 10.0])
+    err = np.asarray(minpath.calc_errors(pred, truth))
+    assert err[0] == 0.0
+    assert np.isnan(err[1]) and np.isnan(err[2])
+    assert err[3] == -2.0
