@@ -22,6 +22,8 @@ Conventions (identical to the reference):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +33,7 @@ def to_categorical(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("bin",))
 def perform_argmax(predictions: jnp.ndarray, bin: bool = True):
     """Argmax class map + class-first categorical tensor.
 
@@ -76,6 +79,7 @@ def _to_uint8_wrap(x: jnp.ndarray) -> jnp.ndarray:
     return (x * 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("bg_ilm", "bg_csi"))
 def boundary_prob_maps(
     categorical_pred: jnp.ndarray,
     bg_ilm: bool = True,
@@ -107,6 +111,7 @@ def boundary_prob_maps(
     return jnp.stack(maps, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("image_height",))
 def repair_segs(segs: jnp.ndarray, image_height: int) -> jnp.ndarray:
     """Replace invalid boundary rows (NaN or 0) with the first *originally*
     valid boundary below, or ``image_height`` if none — the repair loop of
@@ -133,6 +138,7 @@ def repair_segs(segs: jnp.ndarray, image_height: int) -> jnp.ndarray:
     return jnp.stack(repaired, axis=-2).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("image_height",))
 def create_area_mask(segs: jnp.ndarray, image_height: int) -> jnp.ndarray:
     """Dense region mask from (possibly invalid) boundary rows.
 

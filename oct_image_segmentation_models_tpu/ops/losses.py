@@ -1,0 +1,174 @@
+"""Training losses in pure jnp, matching reference `common/custom_losses.py`.
+
+Every factory mirrors the reference registry entry's semantics and keyword
+surface (num_classes / is_y_true_sparse / loss-specific kwargs), returning a
+``fn(y_true, y_pred) -> scalar`` usable inside a jitted train step.
+
+Conventions:
+- ``y_pred``: ``(B, ..., C)`` softmax probabilities, channels last;
+- ``y_true``: one-hot ``(B, ..., C)`` when the loss registers
+  ``takes_sparse=False``, else integer labels ``(B, ..., 1)`` or ``(B, ...)``;
+- scalar reduction is the mean over all elements, as Keras' default
+  ``Reduction.AUTO`` produces for the reference's compiled losses.
+
+Divergence from the reference (documented): the reference's
+``bce_focal_loss`` (`custom_losses.py:94-95`) calls the focal factory with
+tensor arguments and would crash at trace time; here it is implemented as
+the evidently intended mean(BCE) + mean(focal, gamma=2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .boundary import to_categorical
+
+_EPS_KERAS = 1e-7  # keras.backend.epsilon()
+
+
+def _maybe_one_hot(y_true, num_classes, is_sparse):
+    if is_sparse:
+        y_true = jnp.squeeze(y_true)
+        return to_categorical(y_true, num_classes)
+    return y_true
+
+
+def dice_loss_micro(*, is_y_true_sparse: bool, num_classes: int, **kwargs):
+    """Global (micro) soft-Dice loss — reference `custom_losses.py:48-62`."""
+
+    def _dice_loss_micro(y_true, y_pred, smooth=1e-05):
+        y_true = _maybe_one_hot(y_true, num_classes, is_y_true_sparse)
+        t = jnp.ravel(y_true).astype(jnp.float32)
+        p = jnp.ravel(y_pred).astype(jnp.float32)
+        intersection = jnp.sum(t * p)
+        score = (2.0 * intersection + smooth) / (jnp.sum(t) + jnp.sum(p) + smooth)
+        return 1.0 - score
+
+    return _dice_loss_micro
+
+
+def dice_loss_macro(*, is_y_true_sparse: bool, num_classes: int, **kwargs):
+    """Per-class (macro) soft-Dice loss — reference `custom_losses.py:66-81`."""
+
+    def _dice_loss_macro(y_true, y_pred, smooth=1e-05):
+        y_true = _maybe_one_hot(y_true, num_classes, is_y_true_sparse)
+        reduce_axes = tuple(range(1, y_pred.ndim - 1))
+        y_true = y_true.astype(jnp.float32)
+        y_pred = y_pred.astype(jnp.float32)
+        intersection = jnp.sum(y_true * y_pred, axis=reduce_axes)
+        denom = jnp.sum(y_true, axis=reduce_axes) + jnp.sum(y_pred, axis=reduce_axes)
+        score = (2.0 * intersection + smooth) / (denom + smooth)
+        return 1.0 - jnp.mean(score)
+
+    return _dice_loss_macro
+
+
+def _binary_crossentropy(y_true, y_pred):
+    """Keras ``binary_crossentropy``: per-element BCE with probability
+    clipping, averaged over the channel axis."""
+    p = jnp.clip(y_pred.astype(jnp.float32), _EPS_KERAS, 1.0 - _EPS_KERAS)
+    t = y_true.astype(jnp.float32)
+    bce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+    return jnp.mean(bce, axis=-1)
+
+
+def bce_dice_loss(*, num_classes: int, **kwargs):
+    """Binary cross-entropy + micro Dice — reference `custom_losses.py:85-91`."""
+    dice_fn = dice_loss_micro(is_y_true_sparse=False, num_classes=num_classes)
+
+    def _bce_dice_loss(y_true, y_pred):
+        return jnp.mean(_binary_crossentropy(y_true, y_pred)) + dice_fn(
+            y_true, y_pred
+        )
+
+    return _bce_dice_loss
+
+
+def _sparse_focal_map(y_true, y_pred, gamma, class_weight):
+    """Per-pixel sparse categorical focal loss
+    ``-w[y] * (1 - p_y)^gamma * log(p_y)`` (the `focal-loss` package's
+    SparseCategoricalFocalLoss used at reference `custom_losses.py:41-44`)."""
+    labels = jnp.squeeze(y_true).astype(jnp.int32)
+    p = jnp.clip(y_pred.astype(jnp.float32), _EPS_KERAS, 1.0)
+    p_y = jnp.take_along_axis(p, labels[..., None], axis=-1)[..., 0]
+    focal = -((1.0 - p_y) ** gamma) * jnp.log(p_y)
+    if class_weight is not None:
+        w = jnp.asarray(np.asarray(class_weight), jnp.float32)
+        focal = focal * w[labels]
+    return focal
+
+
+def focal_loss(
+    gamma: float = 2,
+    class_weight: Optional[np.ndarray] = None,
+    **kwargs,
+):
+    """Sparse categorical focal loss — reference `custom_losses.py:40-44`."""
+
+    def _focal_loss(y_true, y_pred):
+        return jnp.mean(_sparse_focal_map(y_true, y_pred, gamma, class_weight))
+
+    return _focal_loss
+
+
+def focal_dice_loss(
+    *,
+    num_classes: int,
+    gamma: float = 2,
+    class_weight: Optional[np.ndarray] = None,
+    focal_loss_weight: float = 0.5,
+    dice_macro: bool = True,
+    **kwargs,
+):
+    """Weighted focal + Dice combination — reference
+    `custom_losses.py:100-178` (SparseCategoricalFocalDiceLoss): the focal
+    term is averaged over the local batch (`:149-159`) and combined as
+    ``w * focal + (1 - w) * dice``; Dice consumes the sparse labels."""
+    dice_factory = dice_loss_macro if dice_macro else dice_loss_micro
+    dice_fn = dice_factory(is_y_true_sparse=True, num_classes=num_classes)
+
+    def _focal_dice_loss(y_true, y_pred):
+        focal = jnp.mean(_sparse_focal_map(y_true, y_pred, gamma, class_weight))
+        dice = dice_fn(y_true, y_pred)
+        return focal_loss_weight * focal + (1.0 - focal_loss_weight) * dice
+
+    return _focal_dice_loss
+
+
+def bce_focal_loss(*, num_classes: int, gamma: float = 2, **kwargs):
+    """BCE + focal. The reference registers this (`custom_losses.py:247-250`)
+    but its implementation (`:94-95`) is broken; this is the intended
+    behaviour, with the focal term computed from the one-hot argmax labels."""
+
+    def _bce_focal_loss(y_true, y_pred):
+        sparse = jnp.argmax(y_true, axis=-1)
+        bce = jnp.mean(_binary_crossentropy(y_true, y_pred))
+        focal = jnp.mean(_sparse_focal_map(sparse, y_pred, gamma, None))
+        return bce + focal
+
+    return _bce_focal_loss
+
+
+def compute_balanced_class_weight(labels: np.ndarray) -> np.ndarray:
+    """``sklearn class_weight='balanced'``: n / (num_classes * bincount) —
+    used at reference `training/training.py:200-206`."""
+    labels = np.asarray(labels).ravel().astype(np.int64)
+    classes, counts = np.unique(labels, return_counts=True)
+    weights = labels.size / (len(classes) * counts.astype(np.float64))
+    out = np.zeros(int(classes.max()) + 1, dtype=np.float64)
+    out[classes] = weights
+    return out
+
+
+# Registry mirroring reference `custom_losses.py:230-255`.
+custom_loss_objects = {
+    "bce_dice_loss": {"function": bce_dice_loss, "takes_sparse": False},
+    "dice_loss_micro": {"function": dice_loss_micro, "takes_sparse": False},
+    "dice_loss_macro": {"function": dice_loss_macro, "takes_sparse": False},
+    "focal_loss": {"function": focal_loss, "takes_sparse": True},
+    "bce_focal_loss": {"function": bce_focal_loss, "takes_sparse": False},
+    "focal_dice_loss": {"function": focal_dice_loss, "takes_sparse": True},
+}

@@ -1,0 +1,140 @@
+"""Losses/metrics vs hand-computed NumPy values (reference formulas)."""
+
+import jax
+import numpy as np
+
+from oct_image_segmentation_models_tpu.ops import losses, metrics
+
+
+def _data(seed=0, b=2, h=6, w=5, c=3):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, c, size=(b, h, w, 1)).astype(np.uint8)
+    logits = rng.normal(size=(b, h, w, c))
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    onehot = np.eye(c, dtype=np.float32)[labels[..., 0]]
+    return labels, onehot, probs.astype(np.float32)
+
+
+def test_dice_loss_micro_matches_numpy():
+    labels, onehot, probs = _data()
+    fn = losses.dice_loss_micro(is_y_true_sparse=False, num_classes=3)
+    got = float(jax.jit(fn)(onehot, probs))
+    t, p = onehot.ravel(), probs.ravel()
+    want = 1.0 - (2 * (t * p).sum() + 1e-5) / (t.sum() + p.sum() + 1e-5)
+    assert abs(got - want) < 1e-6
+    # Sparse input path gives the same value.
+    fn_sparse = losses.dice_loss_micro(is_y_true_sparse=True, num_classes=3)
+    assert abs(float(jax.jit(fn_sparse)(labels, probs)) - want) < 1e-6
+
+
+def test_dice_loss_macro_matches_numpy():
+    labels, onehot, probs = _data(1)
+    fn = losses.dice_loss_macro(is_y_true_sparse=False, num_classes=3)
+    got = float(jax.jit(fn)(onehot, probs))
+    inter = (onehot * probs).sum(axis=(1, 2))
+    denom = onehot.sum(axis=(1, 2)) + probs.sum(axis=(1, 2))
+    want = 1.0 - ((2 * inter + 1e-5) / (denom + 1e-5)).mean()
+    assert abs(got - want) < 1e-6
+
+
+def test_bce_dice_loss_matches_numpy():
+    labels, onehot, probs = _data(2)
+    fn = losses.bce_dice_loss(num_classes=3)
+    got = float(jax.jit(fn)(onehot, probs))
+    eps = 1e-7
+    p = np.clip(probs, eps, 1 - eps)
+    bce = -(onehot * np.log(p) + (1 - onehot) * np.log(1 - p)).mean(-1)
+    t, pr = onehot.ravel(), probs.ravel()
+    dice = 1.0 - (2 * (t * pr).sum() + 1e-5) / (t.sum() + pr.sum() + 1e-5)
+    assert abs(got - (bce.mean() + dice)) < 1e-5
+
+
+def test_focal_loss_matches_numpy():
+    labels, _, probs = _data(3)
+    cw = np.array([1.0, 2.0, 0.5])
+    fn = losses.focal_loss(gamma=2.0, class_weight=cw)
+    got = float(jax.jit(fn)(labels, probs))
+    lab = labels[..., 0]
+    p_y = np.take_along_axis(probs, lab[..., None], axis=-1)[..., 0]
+    want = (-((1 - p_y) ** 2) * np.log(p_y) * cw[lab]).mean()
+    assert abs(got - want) < 1e-5
+
+
+def test_focal_dice_combination():
+    labels, _, probs = _data(4)
+    fd = losses.focal_dice_loss(num_classes=3, focal_loss_weight=0.3)
+    focal = losses.focal_loss(gamma=2.0)
+    dice = losses.dice_loss_macro(is_y_true_sparse=True, num_classes=3)
+    got = float(jax.jit(fd)(labels, probs))
+    want = 0.3 * float(focal(labels, probs)) + 0.7 * float(dice(labels, probs))
+    assert abs(got - want) < 1e-6
+
+
+def test_registry_flags_match_reference():
+    flags = {k: v["takes_sparse"] for k, v in losses.custom_loss_objects.items()}
+    assert flags == {
+        "bce_dice_loss": False,
+        "dice_loss_micro": False,
+        "dice_loss_macro": False,
+        "focal_loss": True,
+        "bce_focal_loss": False,
+        "focal_dice_loss": True,
+    }
+
+
+def test_balanced_class_weight_matches_sklearn_formula():
+    labels = np.array([0, 0, 0, 1, 2, 2])
+    w = losses.compute_balanced_class_weight(labels)
+    assert np.allclose(w, [6 / (3 * 3), 6 / (3 * 1), 6 / (3 * 2)])
+
+
+def test_dice_coef_micro_threshold_semantics():
+    labels, onehot, probs = _data(5)
+    m = metrics.dice_coef_micro(is_y_true_sparse=False, num_classes=3)
+    got = float(jax.jit(m)(onehot, probs))
+    t = onehot.ravel()
+    p = (probs.ravel() > 0.5).astype(np.float32)
+    want = 2 * (t * p).sum() / (t.sum() + p.sum())
+    assert abs(got - want) < 1e-6
+    assert m.__name__ == "dice_coef_micro"
+
+
+def test_dice_coef_macro_matches_numpy():
+    labels, onehot, probs = _data(6)
+    m = metrics.dice_coef_macro(is_y_true_sparse=True, num_classes=3)
+    got = float(jax.jit(m)(labels, probs))
+    p = (probs > 0.5).astype(np.float32)
+    inter = (onehot * p).sum(axis=(1, 2))
+    denom = onehot.sum(axis=(1, 2)) + p.sum(axis=(1, 2))
+    want = ((2 * inter + 1e-5) / (denom + 1e-5)).mean()
+    assert abs(got - want) < 1e-6
+
+
+def test_soft_dice_class_shape_and_value():
+    labels, onehot, probs = _data(7)
+    cat_t = np.transpose(onehot, (0, 3, 1, 2))
+    cat_p = np.transpose(probs, (0, 3, 1, 2))
+    got = np.asarray(metrics.soft_dice_class(cat_t, cat_p))
+    assert got.shape == (2, 3)
+    inter = (cat_t * cat_p).sum(axis=(2, 3))
+    denom = (cat_t + cat_p).sum(axis=(2, 3))
+    assert np.allclose(got, (2 * inter + 1e-5) / (denom + 1e-5), atol=1e-6)
+
+
+def test_surface_distance_basic():
+    from oct_image_segmentation_models_tpu.common import surface_distance as sd
+
+    a = np.zeros((20, 20), bool)
+    a[5:15, 5:15] = True
+    b = np.zeros((20, 20), bool)
+    b[6:16, 5:15] = True  # shifted down by 1
+    d_gt, d_pred = sd.average_surface_distance(a, b, spacing=(1.0, 1.0))
+    assert 0 < d_gt < 1.0 and 0 < d_pred < 1.0
+    h = sd.hausdorff_distance(a, b, spacing=(1.0, 1.0), percent=100)
+    assert abs(h - 1.0) < 1e-6
+    # identical masks -> zero distances
+    d0 = sd.average_surface_distance(a, a, spacing=(1.0, 1.0))
+    assert d0 == (0.0, 0.0)
+    # empty mask -> inf
+    dinf, _ = sd.average_surface_distance(a, np.zeros_like(a), (1.0, 1.0))
+    assert np.isinf(dinf)

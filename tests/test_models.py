@@ -1,0 +1,104 @@
+"""Model construction, shapes, and registry parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oct_image_segmentation_models_tpu.models import (
+    get_model_class,
+    model_name_map,
+)
+
+
+def test_registry_names():
+    assert set(model_name_map) == {"unet", "deeplabv3plus"}
+    with pytest.raises(ValueError):
+        get_model_class("nope")
+
+
+def test_unet_forward_shapes_and_softmax():
+    container = get_model_class("unet")(
+        input_channels=1,
+        num_classes=4,
+        image_height=32,
+        image_width=64,
+        start_neurons=4,
+        pool_layers=3,
+    )
+    module = container.build_model()
+    x = jnp.zeros((2, 32, 64, 1), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x, training=False)
+    out = jax.jit(lambda v, x: module.apply(v, x, training=False))(variables, x)
+    assert out.shape == (2, 32, 64, 4)
+    assert np.allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
+    # BatchNorm stats collection exists
+    assert "batch_stats" in variables
+    # config round-trip matches the reference's keys
+    cfg = container.get_config()
+    for key in (
+        "input_channels",
+        "num_classes",
+        "image_height",
+        "image_width",
+        "start_neurons",
+        "pool_layers",
+        "conv_layers",
+        "enc_kernel",
+        "dec_kernel",
+    ):
+        assert key in cfg
+    # preprocess is x/255 (XLA may lower as multiply-by-reciprocal)
+    assert abs(float(container.get_preprocess_input_fn()(jnp.array(255.0))) - 1.0) < 1e-6
+
+
+def test_unet_train_mode_runs_with_dropout_rng():
+    container = get_model_class("unet")(
+        input_channels=1,
+        num_classes=2,
+        image_height=16,
+        image_width=16,
+        start_neurons=2,
+        pool_layers=2,
+    )
+    module = container.build_model()
+    x = jnp.zeros((1, 16, 16, 1))
+    variables = module.init(jax.random.PRNGKey(0), x, training=False)
+    out, mutated = module.apply(
+        variables,
+        x,
+        training=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (1, 16, 16, 2)
+    assert "batch_stats" in mutated
+
+
+def test_deeplab_forward_shape():
+    container = get_model_class("deeplabv3plus")(
+        input_channels=3,
+        num_classes=3,
+        image_height=64,
+        image_width=64,
+    )
+    module = container.build_model()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = module.init(jax.random.PRNGKey(0), x, training=False)
+    out = module.apply(variables, x, training=False)
+    assert out.shape == (1, 64, 64, 3)
+    # caffe-style preprocessing: BGR flip + mean subtraction
+    pre = container.get_preprocess_input_fn()
+    v = np.asarray(pre(jnp.zeros((1, 2, 2, 3))))
+    assert np.allclose(v[0, 0, 0], [-103.939, -116.779, -123.68])
+
+
+def test_resnet50_keras_layer_names_present():
+    from oct_image_segmentation_models_tpu.models.resnet import ResNet50Backbone
+
+    m = ResNet50Backbone()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = variables["params"]
+    for name in ("conv1_conv", "conv2_block1_1_conv", "conv4_block6_3_bn",
+                 "conv5_block3_3_conv"):
+        assert name in params, sorted(params)[:5]
