@@ -1,0 +1,219 @@
+"""Host-side batch generation — reference `common/data_generator.py`.
+
+Semantics preserved from the reference ``BatchGenerator``:
+- images are normalised to [0, 1] at construction (`data_generator.py:76`)
+  so noise augmentations see a consistent range, then de-normalised (*255)
+  and passed through the model's ``preprocess_input`` per sample
+  (`:239,282`);
+- augmentation modes ``none`` / ``one`` (probabilistic choice) / ``all``
+  (every augmentation per image) (`:106-123`), on-the-fly or pre-computed
+  (`:131-133`);
+- the epoch order is a shuffled permutation, re-shuffled at every epoch
+  end (`:348-368`); batches drop the remainder
+  (``num_batches = floor(total/batch)``, `:137`).
+
+Documented divergences:
+- pre-computed augmentations are stored as float32; the reference stores
+  them in uint8 arrays (`data_generator.py:161-171`), silently quantising
+  the [0, 1]-normalised images to {0, 1};
+- a ``seed`` argument gives reproducible shuffles/augmentations (the
+  reference reseeds from OS entropy each epoch, `:364`);
+- the ``shuffle`` flag is honoured (the reference accepts it in
+  TrainingParams but never forwards it).
+"""
+
+from __future__ import annotations
+
+from math import floor
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from . import AUG_MODES
+
+
+class BatchGenerator:
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        batch_size: int,
+        aug_fn_args: List[Tuple],
+        aug_mode: str,
+        aug_probs: Tuple,
+        aug_fly: bool,
+        preprocess_input_fn: Callable,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+    ):
+        if aug_mode not in AUG_MODES:
+            raise ValueError(
+                f"Unrecognized augmentation mode: {aug_mode}. "
+                f"Allowed values: {AUG_MODES}"
+            )
+        self.images = np.asarray(images, np.float32) / 255.0
+        self.labels = np.asarray(labels)
+        self.batch_size = batch_size
+        self.aug_fn_args = aug_fn_args
+        self.aug_mode = aug_mode
+        self.aug_probs = aug_probs
+        self.aug_fly = aug_fly
+        self.preprocess_input_fn = preprocess_input_fn
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+        self.batch_counter = 0
+        self.full_counter = 0
+        self.aug_counter = 0
+
+        self.total_full_images = self.images.shape[0]
+        self.total_raw_samples = self.total_full_images
+        self.image_height = self.images.shape[1]
+        self.image_width = self.images.shape[2]
+        self.num_channels = self.images.shape[3]
+        self.labels_shape = self.labels.shape
+
+        if aug_mode == "none":
+            self.total_augs = 0
+            self.total_samples = self.total_raw_samples
+        elif aug_mode == "all":
+            self.total_augs = len(aug_fn_args)
+            self.total_samples = self.total_raw_samples * self.total_augs
+        else:  # "one"
+            self.total_augs = len(aug_fn_args)
+            self.total_samples = self.total_raw_samples
+
+        self.batch_labels_shape = (batch_size,) + self.labels_shape[1:]
+
+        if not aug_fly and aug_mode != "none":
+            self.aug_images, self.aug_labels = self._setup_augnofly_data()
+
+        self.sample_shuffle = np.arange(self.total_full_images)
+        self.num_batches = int(floor(1.0 * self.total_samples / self.batch_size))
+        self.handle_epoch_end()
+
+    def _setup_augnofly_data(self):
+        aug_images = np.zeros(
+            (self.total_full_images, self.total_augs)
+            + self.images.shape[1:],
+            dtype=np.float32,
+        )
+        aug_labels = np.zeros(
+            (self.total_full_images, self.total_augs) + self.labels_shape[1:],
+            dtype=self.labels.dtype,
+        )
+        for i in range(self.total_full_images):
+            for j in range(self.total_augs):
+                aug_fn, aug_arg = self.aug_fn_args[j]
+                aug_images[i, j], aug_labels[i, j] = aug_fn(
+                    self.images[i], self.labels[i], aug_arg
+                )
+        return aug_images, aug_labels
+
+    def _finalize(self, image):
+        return self.preprocess_input_fn(np.asarray(image) * 255.0)
+
+    def _next_sample(self, sample_ind):
+        raw_image = self.images[sample_ind]
+        raw_label = self.labels[sample_ind]
+
+        if self.aug_mode == "all":
+            if self.aug_fly:
+                aug_fn, aug_arg = self.aug_fn_args[self.aug_counter]
+                image, label = aug_fn(raw_image, raw_label, aug_arg)
+            else:
+                image = self.aug_images[sample_ind, self.aug_counter]
+                label = self.aug_labels[sample_ind, self.aug_counter]
+            self.aug_counter += 1
+            if self.aug_counter == self.total_augs:
+                self.aug_counter = 0
+                self.full_counter += 1
+        elif self.aug_mode == "one":
+            choice = self._rng.choice(
+                np.arange(self.total_augs), p=self.aug_probs or None
+            )
+            if self.aug_fly:
+                aug_fn, aug_arg = self.aug_fn_args[choice]
+                image, label = aug_fn(raw_image, raw_label, aug_arg)
+            else:
+                image = self.aug_images[sample_ind, choice]
+                label = self.aug_labels[sample_ind, choice]
+            self.full_counter += 1
+        else:
+            image, label = raw_image, raw_label
+            self.full_counter += 1
+
+        return self._finalize(image), label
+
+    def get_batch_list(self):
+        batch_images = np.zeros(
+            (self.batch_size, self.image_height, self.image_width, self.num_channels),
+            dtype=np.float32,
+        )
+        batch_labels = np.zeros(self.batch_labels_shape)
+
+        for cur in range(self.batch_size):
+            sample_ind = self.sample_shuffle[self.full_counter]
+            batch_images[cur], batch_labels[cur] = self._next_sample(sample_ind)
+            if self.full_counter == self.total_full_images:
+                self.full_counter = 0
+
+        self.batch_counter += 1
+        if self.batch_counter == self.num_batches:
+            self.batch_counter = 0
+        return [batch_images, batch_labels]
+
+    def handle_epoch_end(self):
+        self.batch_counter = 0
+        self.full_counter = 0
+        self.aug_counter = 0
+        if self.shuffle:
+            perm = self._rng.permutation(self.total_raw_samples)
+            self.sample_shuffle = self.sample_shuffle[perm]
+
+
+class DataGenerator:
+    """Epoch-iterable wrapper (the reference subclasses
+    ``keras.utils.Sequence``, `data_generator.py:372-416`)."""
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        batch_size: int,
+        aug_fn_args: List[Tuple],
+        aug_mode: str,
+        aug_probs: Tuple,
+        aug_fly: bool,
+        preprocess_input_fn: Callable,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+    ):
+        self.batch_gen = BatchGenerator(
+            images=images,
+            labels=labels,
+            batch_size=batch_size,
+            aug_fn_args=aug_fn_args,
+            aug_mode=aug_mode,
+            aug_probs=aug_probs,
+            aug_fly=aug_fly,
+            preprocess_input_fn=preprocess_input_fn,
+            shuffle=shuffle,
+            seed=seed,
+        )
+
+    def __len__(self):
+        return self.batch_gen.num_batches
+
+    def __getitem__(self, index):
+        return self.batch_gen.get_batch_list()
+
+    def __iter__(self):
+        for _ in range(len(self)):
+            yield self.batch_gen.get_batch_list()
+
+    def on_epoch_end(self):
+        self.batch_gen.handle_epoch_end()
+
+    def get_total_samples(self) -> int:
+        return self.batch_gen.total_samples

@@ -1,0 +1,63 @@
+"""HDF5 dataset loaders — reference `common/dataset_loader.py:9-33`.
+
+The code schema uses dense per-pixel label maps under
+``{train,val,test}_labels``; the reference README documents an alternative
+``*_segs`` boundary-array schema (`README.md:38-49`). Both are accepted:
+when only ``*_segs`` (shape ``(N, num_boundaries, W)``) is present, dense
+labels are synthesised with the area-mask convention (boundaries belong to
+the first pixel of the next region, reference
+`common/dataset_construction.py:652-708`).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+from ..ops.boundary import create_area_mask
+
+
+def _labels_from_segs(segs: np.ndarray, image_height: int) -> np.ndarray:
+    masks = np.asarray(create_area_mask(np.asarray(segs, np.float32), image_height))
+    return masks[..., None].astype(np.uint8)  # (N, H, W, 1)
+
+
+def _load_split(hdf5_data_file, split: str):
+    images = hdf5_data_file[f"{split}_images"][:]
+    if images.ndim == 3:
+        images = images[..., None]
+    labels_key = f"{split}_labels"
+    segs_key = f"{split}_segs"
+    if labels_key in hdf5_data_file:
+        labels = hdf5_data_file[labels_key][:]
+        if labels.ndim == 3:
+            labels = labels[..., None]
+    elif segs_key in hdf5_data_file:
+        labels = _labels_from_segs(hdf5_data_file[segs_key][:], images.shape[1])
+    else:
+        raise KeyError(
+            f"Dataset must contain '{labels_key}' or '{segs_key}'"
+        )
+    return images, labels
+
+
+def load_training_data(hdf5_data_file) -> Tuple[np.ndarray, np.ndarray]:
+    return _load_split(hdf5_data_file, "train")
+
+
+def load_validation_data(hdf5_data_file) -> Tuple[np.ndarray, np.ndarray]:
+    return _load_split(hdf5_data_file, "val")
+
+
+def load_testing_data(
+    hdf5_data_file,
+) -> Tuple[np.ndarray, np.ndarray, List[Path]]:
+    test_images, test_labels = _load_split(hdf5_data_file, "test")
+    source = hdf5_data_file.get("test_images_source")
+    if source is not None:
+        test_image_paths = [Path(str(x, "ascii")) for x in source]
+    else:
+        test_image_paths = [Path(f"image_{i}") for i in range(len(test_images))]
+    return test_images, test_labels, test_image_paths

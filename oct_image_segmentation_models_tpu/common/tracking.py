@@ -1,0 +1,125 @@
+"""Experiment tracking: MLflow when available, a local JSON tracker otherwise.
+
+The reference hard-depends on MLflow (`training/training.py:140-162`,
+autolog + params/dict logging). Here tracking is pluggable: if ``mlflow``
+is importable and an ``MLflowParameters`` is passed, the real client is
+used with the same retry-on-401 ergonomics; otherwise a ``LocalTracker``
+writes ``mlflow_params.json`` / ``mlflow_metrics.jsonl`` into the run
+folder so runs stay self-describing in hermetic environments.
+"""
+
+from __future__ import annotations
+
+import json
+import logging as log
+import os
+from pathlib import Path
+from typing import Optional
+
+from .mlflow_parameters import MLflowParameters
+
+
+class NullTracker:
+    run_id = ""
+
+    def start_run(self, save_folder: Path):
+        pass
+
+    def log_params(self, params: dict):
+        pass
+
+    def log_dict(self, d: dict, artifact_path: str):
+        pass
+
+    def log_metrics(self, metrics: dict, step: int):
+        pass
+
+    def log_artifact(self, path):
+        pass
+
+    def end_run(self):
+        pass
+
+
+class LocalTracker(NullTracker):
+    """File-based stand-in keeping the reference's logged surface."""
+
+    def __init__(self):
+        self._folder: Optional[Path] = None
+        self._params: dict = {}
+
+    def start_run(self, save_folder: Path):
+        self._folder = Path(save_folder)
+
+    def _write_params(self):
+        if self._folder is not None:
+            with open(self._folder / "mlflow_params.json", "w") as fh:
+                json.dump(self._params, fh, indent=2, default=str)
+
+    def log_params(self, params: dict):
+        self._params.update(params)
+        self._write_params()
+
+    def log_dict(self, d: dict, artifact_path: str):
+        if self._folder is None:
+            return
+        out = self._folder / Path(artifact_path).name
+        with open(out, "w") as fh:
+            json.dump(d, fh, indent=2, default=str)
+
+    def log_metrics(self, metrics: dict, step: int):
+        if self._folder is None:
+            return
+        with open(self._folder / "mlflow_metrics.jsonl", "a") as fh:
+            fh.write(json.dumps({"step": step, **metrics}, default=str) + "\n")
+
+
+class MlflowTracker(NullTracker):
+    def __init__(self, params: MLflowParameters):
+        import mlflow
+
+        self._mlflow = mlflow
+        if params.username:
+            os.environ["MLFLOW_TRACKING_USERNAME"] = params.username
+        if params.password:
+            os.environ["MLFLOW_TRACKING_PASSWORD"] = params.password
+        mlflow.set_tracking_uri(params.tracking_uri)
+        mlflow.set_experiment(params.experiment)
+        self._run = None
+
+    @property
+    def run_id(self):
+        return self._run.info.run_id if self._run else ""
+
+    def start_run(self, save_folder: Path):
+        self._run = self._mlflow.start_run()
+        log.info(f"MLFlow Run ID: {self._run.info.run_id}")
+
+    def log_params(self, params: dict):
+        self._mlflow.log_params(params)
+
+    def log_dict(self, d: dict, artifact_path: str):
+        self._mlflow.log_dict(d, artifact_path)
+
+    def log_metrics(self, metrics: dict, step: int):
+        self._mlflow.log_metrics(metrics, step=step)
+
+    def log_artifact(self, path):
+        self._mlflow.log_artifact(str(path))
+
+    def end_run(self):
+        self._mlflow.end_run()
+
+
+def get_tracker(mlflow_params: Optional[MLflowParameters]):
+    """Tracker factory: MLflow if requested & importable, else local files."""
+    if mlflow_params is None:
+        return LocalTracker()
+    try:
+        return MlflowTracker(mlflow_params)
+    except ImportError:
+        log.warning(
+            "MLflowParameters provided but mlflow is not installed; "
+            "falling back to local JSON tracking"
+        )
+        return LocalTracker()

@@ -29,10 +29,17 @@ from .boundary import to_categorical
 _EPS_KERAS = 1e-7  # keras.backend.epsilon()
 
 
+def _squeeze_labels(y_true):
+    """Drop a trailing singleton channel axis (robust to batch-1 shards,
+    unlike the reference's full ``tf.squeeze``)."""
+    if y_true.ndim and y_true.shape[-1] == 1:
+        return y_true[..., 0]
+    return y_true
+
+
 def _maybe_one_hot(y_true, num_classes, is_sparse):
     if is_sparse:
-        y_true = jnp.squeeze(y_true)
-        return to_categorical(y_true, num_classes)
+        return to_categorical(_squeeze_labels(y_true), num_classes)
     return y_true
 
 
@@ -91,7 +98,7 @@ def _sparse_focal_map(y_true, y_pred, gamma, class_weight):
     """Per-pixel sparse categorical focal loss
     ``-w[y] * (1 - p_y)^gamma * log(p_y)`` (the `focal-loss` package's
     SparseCategoricalFocalLoss used at reference `custom_losses.py:41-44`)."""
-    labels = jnp.squeeze(y_true).astype(jnp.int32)
+    labels = _squeeze_labels(y_true).astype(jnp.int32)
     p = jnp.clip(y_pred.astype(jnp.float32), _EPS_KERAS, 1.0)
     p_y = jnp.take_along_axis(p, labels[..., None], axis=-1)[..., 0]
     focal = -((1.0 - p_y) ** gamma) * jnp.log(p_y)

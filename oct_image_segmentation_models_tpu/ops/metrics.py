@@ -26,7 +26,9 @@ def dice_coef_micro(is_y_true_sparse: bool, num_classes: int):
 
     def _dice_coef_micro(y_true, y_pred):
         if is_y_true_sparse:
-            y_true = to_categorical(jnp.squeeze(y_true), num_classes)
+            if y_true.shape[-1] == 1:
+                y_true = y_true[..., 0]
+            y_true = to_categorical(y_true, num_classes)
         t = jnp.ravel(y_true).astype(jnp.float32)
         p = (jnp.ravel(y_pred).astype(jnp.float32) > 0.5).astype(jnp.float32)
         return 2.0 * jnp.sum(t * p) / (jnp.sum(t) + jnp.sum(p))
@@ -41,7 +43,9 @@ def dice_coef_macro(is_y_true_sparse: bool, num_classes: int):
 
     def _dice_coef_macro(y_true, y_pred, eps=1e-05):
         if is_y_true_sparse:
-            y_true = to_categorical(jnp.squeeze(y_true), num_classes)
+            if y_true.shape[-1] == 1:
+                y_true = y_true[..., 0]
+            y_true = to_categorical(y_true, num_classes)
         p = (y_pred.astype(jnp.float32) > 0.5).astype(jnp.float32)
         t = y_true.astype(jnp.float32)
         reduce_axes = tuple(range(1, p.ndim - 1))

@@ -1,0 +1,48 @@
+"""Device mesh helpers.
+
+The reference's only distribution mechanism is single-host synchronous
+data parallelism via ``tf.distribute.MirroredStrategy``
+(`training/training.py:185-188`). TPU-native equivalent: a 1-D
+``jax.sharding.Mesh`` over all chips with the global batch sharded on the
+``data`` axis; gradients are combined with ``psum`` inside ``shard_map``
+(see :mod:`.train_step`), riding the ICI instead of NCCL.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(
+    devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS
+) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Device_put pytree leaves with the leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def pad_to_multiple(batch_size: int, num_devices: int) -> int:
+    """Smallest multiple of ``num_devices`` >= batch_size."""
+    return ((batch_size + num_devices - 1) // num_devices) * num_devices

@@ -1,0 +1,145 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+Data parallelism via ``shard_map`` over the ``data`` mesh axis: each device
+computes the forward/backward on its batch shard, gradients (and the
+scalar loss/metric) are combined with mean-``psum`` over ICI, and the
+optimizer update runs redundantly-replicated (identical on every device) —
+the functional equivalent of the reference's MirroredStrategy step
+(`training/training.py:185-188,243-266`). BatchNorm statistics are
+computed per replica and mean-reduced, matching Keras mirrored-variable
+``aggregation=MEAN`` semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable,
+    metric_fn: Callable,
+    mesh: Mesh,
+) -> Callable:
+    """Returns ``train_step(state, images, labels, rng) ->
+    (state, loss, metric)`` jitted over the mesh."""
+
+    def local_step(state: TrainState, images, labels, rng):
+        # Per-device batch shard; fold the data-axis index into the dropout
+        # key so replicas draw independent masks.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def compute_loss(params):
+            out, mutated = module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                training=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return loss_fn(labels, out), (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        metric = jax.lax.pmean(metric_fn(labels, out), DATA_AXIS)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_stats, new_opt_state, state.step + 1),
+            loss,
+            metric,
+        )
+
+    sharded = _shard_map(
+        local_step,
+        mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(module, loss_fn: Callable, metric_fn: Callable, mesh: Mesh):
+    """Returns ``eval_step(state, images, labels) -> (loss, metric)``."""
+
+    def local_step(state: TrainState, images, labels):
+        out = module.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            training=False,
+        )
+        return (
+            jax.lax.pmean(loss_fn(labels, out), DATA_AXIS),
+            jax.lax.pmean(metric_fn(labels, out), DATA_AXIS),
+        )
+
+    sharded = _shard_map(
+        local_step,
+        mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+def build_optimizer(opt_con, opt_params: dict) -> optax.GradientTransformation:
+    """Optimizer factory accepting a name ('Adam', 'sgd', ...) with
+    Keras-style kwargs, an optax factory, or a ready transformation —
+    covering the reference's ``opt_con``/``opt_params`` surface
+    (`training/training.py:190-193`)."""
+    if isinstance(opt_con, optax.GradientTransformation):
+        return opt_con
+    params = dict(opt_params)
+    rename = {"beta_1": "b1", "beta_2": "b2", "epsilon": "eps"}
+    params = {rename.get(k, k): v for k, v in params.items()}
+    if callable(opt_con):
+        return opt_con(**params)
+    name = str(opt_con).lower()
+    factories = {
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        "sgd": optax.sgd,
+        "rmsprop": optax.rmsprop,
+        "adagrad": optax.adagrad,
+        "nadam": optax.nadam,
+        "adamax": optax.adamax,
+    }
+    if name not in factories:
+        raise ValueError(f"Unknown optimizer: {opt_con}")
+    params.setdefault("learning_rate", 1e-3)
+    return factories[name](**params)

@@ -1,0 +1,435 @@
+"""Training driver — reference `training/training.py:135-408`, TPU-native.
+
+Differences in the compute path (everything else — config surface, run
+artifacts, checkpoint naming, epoch stats, early stopping — mirrors the
+reference):
+
+- the model is a Flax module; the train step is jitted once per input
+  shape and sharded over a 1-D device mesh with ``shard_map`` + ``pmean``
+  gradients (replacing ``tf.distribute.MirroredStrategy``,
+  reference `:185-188`);
+- checkpoints are self-contained HDF5 files (``model_epoch{NN}.hdf5``,
+  same naming as reference `:319-326`) written by
+  :mod:`..common.model_io`;
+- ``initial_model`` resume works (the reference's resume calls a
+  nonexistent ``utils.load_model``, `:239`);
+- the computed class weights are actually passed to weighted losses
+  (the reference computes them but never forwards them to the loss
+  factory, `:200-216`);
+- MLflow is optional: without it, params/metrics land in local JSON files
+  (see :mod:`..common.tracking`).
+"""
+
+from __future__ import annotations
+
+import json
+import logging as log
+import math
+import os
+from pathlib import Path
+from typing import Optional
+
+import h5py
+import jax
+import numpy as np
+
+from ..common import custom_losses, custom_metrics
+from ..common import data_generator as data_gen
+from ..common import dataset_loader, utils
+from ..common.mlflow_parameters import MLflowParameters
+from ..common.model_io import load_model, save_model
+from ..common.tracking import get_tracker
+from ..models import get_model_class
+from ..parallel.mesh import create_mesh, shard_batch
+from ..parallel.train_step import (
+    build_optimizer,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from . import training_callbacks
+from .training_parameters import TrainingParams
+
+
+def save_training_params_file(
+    save_foldername: Path,
+    model_summary: str,
+    model_config: dict,
+    training_dataset_md5: str,
+    class_weight,
+    timestamp,
+    train_params: TrainingParams,
+    opt_config: dict,
+):
+    """Self-describing run snapshot — reference `training/training.py:40-132`
+    (same filenames and attribute keys)."""
+    with open(save_foldername / "model_config.json", "w") as config_file:
+        json.dump(model_config, config_file)
+
+    with h5py.File(save_foldername / "training_params.hdf5", "w") as f:
+        f.attrs["timestamp"] = np.array(timestamp, dtype="S100")
+        f.attrs["model_summary"] = np.array(model_summary, dtype="S1000")
+        f.attrs["train_dataset_md5"] = np.array(training_dataset_md5, dtype="S1000")
+        f.attrs["epochs"] = train_params.epochs
+        f.attrs["loss_name"] = np.array(train_params.loss, dtype="S1000")
+        f.attrs["metric_name"] = np.array(train_params.metric, dtype="S1000")
+        if class_weight is None:
+            f.attrs["class_weight"] = np.array("None", dtype="S1000")
+        else:
+            f.attrs["class_weight"] = np.array("array", dtype="S1000")
+            f["class_weight"] = np.asarray(class_weight)
+        f.attrs["metric"] = np.array(train_params.metric, dtype="S100")
+        f.attrs["loss"] = np.array(train_params.loss, dtype="S100")
+        f.attrs["batch_size"] = train_params.batch_size
+        f.attrs["shuffle"] = train_params.shuffle
+        f.attrs["aug_mode"] = np.array(train_params.aug_mode, dtype="S100")
+
+        if train_params.aug_mode != "none":
+            for aug_ind, (aug_fn, aug_arg) in enumerate(train_params.aug_fn_args):
+                desc = aug_fn(None, None, aug_arg, True)
+                if not isinstance(aug_arg, dict):
+                    f.attrs[f"aug_{aug_ind + 1}"] = np.array(desc, dtype="S1000")
+                else:
+                    f.attrs[f"aug_{aug_ind + 1}"] = np.array(
+                        aug_fn.__name__, dtype="S100"
+                    )
+                    for key, val in aug_arg.items():
+                        attr = f"aug_{aug_ind + 1}_param: {key}"
+                        if isinstance(val, (int, float)):
+                            f.attrs[attr] = np.array(val)
+                        elif isinstance(val, str):
+                            f.attrs[attr] = np.array(val, dtype="S100")
+                        elif isinstance(val, list):
+                            f.attrs[attr] = np.array(str(val), dtype="S100")
+                if train_params.aug_mode == "one":
+                    f.attrs["aug_probs"] = np.array(train_params.aug_probs)
+            f.attrs["aug_fly"] = train_params.aug_fly
+            f.attrs["aug_val"] = train_params.aug_val
+
+        f.attrs["optimizer"] = np.array(
+            getattr(train_params.opt_con, "__name__", str(train_params.opt_con)),
+            dtype="S100",
+        )
+        for key, val in opt_config.items():
+            if isinstance(val, dict):
+                f.attrs[f"opt_param: {key}"] = np.bytes_(str(val))
+            else:
+                f.attrs[f"opt_param: {key}"] = val
+
+
+def _monitor_improved(current, best, mode):
+    if best is None:
+        return True
+    return current > best if mode == "max" else current < best
+
+
+def train_model(
+    training_params: TrainingParams,
+    mlflow_params: Optional[MLflowParameters] = None,
+) -> Path:
+    """Train a model; returns the run's save folder.
+
+    Call stack parity with reference `training/training.py:135-408`.
+    """
+    tracker = get_tracker(mlflow_params)
+
+    training_dataset_path = training_params.training_dataset_path
+    with h5py.File(training_dataset_path, "r") as hdf5_file:
+        train_images, train_labels = dataset_loader.load_training_data(hdf5_file)
+        val_images, val_labels = dataset_loader.load_validation_data(hdf5_file)
+
+    num_classes = int(len(np.unique(train_labels)))
+    log.info(f"Detected {num_classes} classes")
+
+    _, image_height, image_width, input_channels = train_images.shape
+    log.info(
+        f"Detected input image dimensions (h x w): {image_height} x {image_width}."
+    )
+    log.info(f"Detected {input_channels} input channels.")
+
+    # Device mesh: all chips whose count divides the batch evenly.
+    devices = jax.devices()
+    usable = math.gcd(training_params.batch_size, len(devices))
+    mesh = create_mesh(devices[:usable])
+    log.info(f"Number of devices: {usable}")
+
+    tx = build_optimizer(training_params.opt_con, training_params.opt_params)
+
+    loss = custom_losses.custom_loss_objects.get(training_params.loss)
+    if loss is None:
+        raise ValueError(f"Loss '{training_params.loss}' not found.")
+
+    if training_params.class_weight == "balanced":
+        dataset_labels = np.concatenate((train_labels, val_labels))
+        c_weight = custom_losses.compute_balanced_class_weight(dataset_labels)
+    elif isinstance(training_params.class_weight, list):
+        c_weight = np.array(training_params.class_weight)
+    else:
+        c_weight = None
+
+    sparse_labels = loss["takes_sparse"]
+    loss_kwargs = dict(training_params.loss_fn_kwargs)
+    if c_weight is not None and "class_weight" not in loss_kwargs:
+        loss_kwargs["class_weight"] = c_weight
+    loss_fn = loss["function"](
+        num_classes=num_classes,
+        is_y_true_sparse=sparse_labels,
+        **loss_kwargs,
+    )
+
+    metric = custom_metrics.training_monitor_metric_objects.get(
+        training_params.metric
+    )
+    if metric is None:
+        raise ValueError(f"Metric '{training_params.metric}' not found.")
+    metric_fn = metric(sparse_labels, num_classes)
+
+    if not sparse_labels:
+        train_labels_model = np.asarray(
+            jax.nn.one_hot(train_labels[..., 0], num_classes), np.float32
+        )
+        val_labels_model = np.asarray(
+            jax.nn.one_hot(val_labels[..., 0], num_classes), np.float32
+        )
+    else:
+        train_labels_model = train_labels
+        val_labels_model = val_labels
+
+    training_dataset_md5 = utils.md5(training_dataset_path)
+    rng = jax.random.PRNGKey(training_params.seed or 0)
+
+    if training_params.initial_model:
+        log.info(f"Resuming training from model: {training_params.initial_model}")
+        model_name, model_config, variables, _ = load_model(
+            training_params.initial_model
+        )
+        model_class = get_model_class(model_name)
+        model_container = model_class(**model_config)
+        module = model_container.build_model()
+        model_architecture = model_name
+    else:
+        model_architecture = training_params.model_architecture
+        log.info(f"Starting training from scratch {model_architecture} model")
+        model_class = get_model_class(model_architecture)
+        model_container = model_class(
+            input_channels=int(input_channels),
+            num_classes=num_classes,
+            image_height=int(image_height),
+            image_width=int(image_width),
+            **training_params.model_hyperparameters,
+        )
+        module = model_container.build_model()
+        rng, init_rng = jax.random.split(rng)
+        variables = module.init(
+            init_rng,
+            np.zeros((1, image_height, image_width, input_channels), np.float32),
+            training=False,
+        )
+        model_name = model_architecture
+
+    state = create_train_state(dict(variables), tx)
+    train_step = make_train_step(module, tx, loss_fn, metric_fn, mesh)
+    eval_step = make_eval_step(module, loss_fn, metric_fn, mesh)
+
+    monitor_name, monitor_mode = training_params.model_save_monitor
+    timestamp = utils.get_timestamp()
+    save_foldername = (
+        training_params.results_location
+        / Path(tracker.run_id)
+        / Path(f"{timestamp}_{model_architecture}")
+    )
+    os.makedirs(save_foldername)
+    tracker.start_run(save_foldername)
+
+    tracker.log_params(
+        {
+            "model_architecture": model_architecture,
+            "training_dataset_path": str(training_dataset_path),
+            "training_dataset_md5": training_dataset_md5,
+            "augmentation_mode": training_params.aug_mode,
+            "augmentations": training_params.augmentations,
+            "loss_name": training_params.loss,
+            "loss_fn_kwargs": training_params.loss_fn_kwargs,
+            "metric_name": training_params.metric,
+            "loss_fn_class_weight": training_params.class_weight,
+            "class_weight_array": c_weight,
+        }
+    )
+    tracker.log_dict(model_container.get_config(), "model/data/model_config.json")
+
+    if training_params.aug_val:
+        aug_val_mode = training_params.aug_mode
+        aug_val_fn_args = training_params.aug_fn_args
+        aug_val_probs = training_params.aug_probs
+        aug_val_fly = training_params.aug_fly
+    else:
+        aug_val_mode, aug_val_fn_args, aug_val_probs, aug_val_fly = (
+            "none",
+            [],
+            (),
+            False,
+        )
+
+    history = training_callbacks.SaveEpochInfo(
+        save_folder=save_foldername, train_params=training_params
+    )
+
+    param_count = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    model_summary = (
+        f"{model_architecture}: {param_count} parameters, input "
+        f"({image_height}x{image_width}x{input_channels}), {num_classes} classes"
+    )
+    opt_config = {"learning_rate": training_params.opt_params.get("learning_rate")}
+    save_training_params_file(
+        save_foldername,
+        model_summary,
+        model_container.get_config(),
+        training_dataset_md5,
+        c_weight,
+        timestamp,
+        training_params,
+        opt_config,
+    )
+
+    preprocess_fn = model_container.get_preprocess_input_fn()
+    train_gen = data_gen.DataGenerator(
+        train_images,
+        train_labels_model,
+        training_params.batch_size,
+        training_params.aug_fn_args,
+        training_params.aug_mode,
+        training_params.aug_probs,
+        training_params.aug_fly,
+        preprocess_fn,
+        shuffle=training_params.shuffle,
+        seed=training_params.seed,
+    )
+    val_gen = data_gen.DataGenerator(
+        val_images,
+        val_labels_model,
+        training_params.batch_size,
+        aug_val_fn_args,
+        aug_val_mode,
+        aug_val_probs,
+        aug_val_fly,
+        preprocess_fn,
+        shuffle=training_params.shuffle,
+        seed=training_params.seed,
+    )
+
+    for name, gen in (("training", train_gen), ("validation", val_gen)):
+        total = gen.get_total_samples()
+        if training_params.batch_size > total:
+            raise ValueError(
+                f"The batch size ({training_params.batch_size}) cannot be "
+                f"larger than the number of {name} samples ({total})"
+            )
+        log.info(f"{name} generator total number of samples: {total}")
+
+    best_monitor = None
+    best_es = None
+    best_variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    epochs_since_improvement = 0
+    history.on_train_begin()
+
+    for epoch in range(training_params.epochs):
+        history.on_epoch_begin(epoch)
+        train_losses, train_metrics = [], []
+        for batch_images, batch_labels in train_gen:
+            rng, step_rng = jax.random.split(rng)
+            images, labels = shard_batch(
+                (
+                    np.asarray(batch_images, np.float32),
+                    np.asarray(batch_labels),
+                ),
+                mesh,
+            )
+            state, loss_val, metric_val = train_step(state, images, labels, step_rng)
+            train_losses.append(loss_val)
+            train_metrics.append(metric_val)
+        train_gen.on_epoch_end()
+
+        val_losses, val_metrics = [], []
+        for batch_images, batch_labels in val_gen:
+            images, labels = shard_batch(
+                (
+                    np.asarray(batch_images, np.float32),
+                    np.asarray(batch_labels),
+                ),
+                mesh,
+            )
+            loss_val, metric_val = eval_step(state, images, labels)
+            val_losses.append(loss_val)
+            val_metrics.append(metric_val)
+        val_gen.on_epoch_end()
+
+        logs = {
+            "loss": float(np.mean([np.asarray(x) for x in train_losses])),
+            training_params.metric: float(
+                np.mean([np.asarray(x) for x in train_metrics])
+            ),
+            "val_loss": float(np.mean([np.asarray(x) for x in val_losses])),
+            "val_"
+            + training_params.metric: float(
+                np.mean([np.asarray(x) for x in val_metrics])
+            ),
+        }
+        log.info(f"Epoch {epoch + 1}/{training_params.epochs}: {logs}")
+        history.on_epoch_end(epoch, logs)
+        tracker.log_metrics(logs, step=epoch + 1)
+
+        monitored = logs.get(monitor_name, logs["val_loss"])
+        improved = _monitor_improved(monitored, best_monitor, monitor_mode)
+        # Snapshot to host: the train step donates the state buffers, so a
+        # device-side alias would be invalidated next epoch.
+        state_host = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        if improved:
+            best_monitor = monitored
+            best_variables = state_host
+        if improved or not training_params.model_save_best:
+            save_model(
+                save_foldername / f"model_epoch{epoch + 1:02d}.hdf5",
+                model_name,
+                model_container.get_config(),
+                state_host,
+            )
+
+        # Early stopping on val_<metric>, mode max, like the reference
+        # (`training/training.py:335-342`).
+        if training_params.early_stopping:
+            es_value = logs["val_" + training_params.metric]
+            if best_es is None or es_value > best_es:
+                best_es = es_value
+                epochs_since_improvement = 0
+            else:
+                epochs_since_improvement += 1
+            if epochs_since_improvement >= training_params.patience:
+                log.info(
+                    f"Early stopping at epoch {epoch + 1} "
+                    f"(patience {training_params.patience})"
+                )
+                break
+
+    history.on_train_end()
+
+    if training_params.restore_best_weights:
+        final_variables = best_variables
+    else:
+        final_variables = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+    save_model(
+        save_foldername / "model_final.hdf5",
+        model_name,
+        model_container.get_config(),
+        final_variables,
+    )
+    tracker.end_run()
+    return save_foldername

@@ -1,0 +1,102 @@
+"""Training configuration — reference `training/training_parameters.py:11-136`.
+
+Same parameter surface and validation behaviour, with two ergonomic
+differences: invalid configuration raises ``ValueError`` instead of
+``sys.exit(1)``, and ``opt_con`` accepts an optimizer *name* ("Adam",
+"sgd", ...) or an optax factory instead of a Keras class. The reference's
+``initial_model`` resume path is implemented (it is broken upstream,
+`training/training.py:239`).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Tuple, Union
+
+from ..common import AUG_MODES
+from ..common import augmentation as aug
+
+
+class TrainingParams:
+    def __init__(
+        self,
+        model_architecture: Union[str, None],
+        training_dataset_path: Path,
+        initial_model: Union[Path, None],
+        results_location: Path,
+        opt_con,
+        loss: str,
+        metric: str,
+        epochs: int,
+        batch_size: int,
+        model_hyperparameters: dict = None,
+        opt_params: dict = None,
+        loss_fn_kwargs: dict = None,
+        augmentations: List[dict] = None,
+        aug_mode: str = "none",
+        aug_probs: Tuple = (),
+        aug_fly: bool = False,
+        aug_val: bool = True,
+        shuffle: bool = True,
+        model_save_best: bool = True,
+        model_save_monitor=("val_acc", "max"),
+        class_weight: Union[list, str, None] = None,
+        channels_last: bool = True,
+        early_stopping: bool = True,
+        restore_best_weights: bool = True,
+        patience: int = 50,
+        seed: Optional[int] = None,
+    ):
+        if (model_architecture is None) == (initial_model is None):
+            raise ValueError(
+                "Either 'model_architecture' or 'initial_model' needs to be "
+                "provided (exactly one of them)."
+            )
+
+        self.model_architecture = model_architecture
+        self.model_hyperparameters = model_hyperparameters or {}
+        self.training_dataset_path = Path(training_dataset_path)
+        self.initial_model = Path(initial_model) if initial_model else None
+        self.results_location = Path(results_location)
+        self.opt_con = opt_con
+        self.opt_params = opt_params or {}
+        self.loss = loss
+        self.loss_fn_kwargs = loss_fn_kwargs or {}
+        self.metric = metric
+        self.epochs = epochs
+        self.batch_size = batch_size
+
+        if aug_mode not in AUG_MODES:
+            raise ValueError(f"Augmentation mode: '{aug_mode}' is not supported.")
+        self.aug_mode = aug_mode
+
+        self.aug_fn_args = []
+        for augmentation in augmentations or []:
+            aug_fn = aug.augmentation_map.get(augmentation["name"])
+            if aug_fn is None:
+                raise ValueError(
+                    f"Augmentation: '{augmentation['name']}' is not supported."
+                )
+            self.aug_fn_args.append((aug_fn, augmentation.get("arguments", {})))
+        self.augmentations = augmentations or []
+
+        self.aug_probs = aug_probs
+        self.aug_fly = aug_fly
+        self.aug_val = aug_val
+        self.shuffle = shuffle
+        self.model_save_best = model_save_best
+        self.model_save_monitor = model_save_monitor
+        self.class_weight = class_weight
+        self.channels_last = channels_last
+        self.early_stopping = early_stopping
+        self.restore_best_weights = restore_best_weights
+        self.patience = patience
+        self.seed = seed
+
+        # "val_acc" default is rewritten to the configured metric
+        # (reference `training_parameters.py:131-136`).
+        if self.model_save_monitor[0] == "val_acc":
+            self.model_save_monitor = [
+                "val_" + self.metric,
+                model_save_monitor[1],
+            ]

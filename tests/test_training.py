@@ -1,0 +1,99 @@
+"""End-to-end training smoke tests on synthetic data (8 virtual devices)."""
+
+import json
+
+import h5py
+import numpy as np
+import pytest
+
+from oct_image_segmentation_models_tpu.training import TrainingParams, train_model
+
+from synth import make_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    return make_dataset(tmp_path_factory.mktemp("data") / "ds.hdf5")
+
+
+def _params(dataset, tmp_path, **kw):
+    defaults = dict(
+        model_architecture="unet",
+        training_dataset_path=dataset,
+        initial_model=None,
+        results_location=tmp_path,
+        opt_con="adam",
+        opt_params={"learning_rate": 1e-3},
+        loss="dice_loss_macro",
+        metric="dice_coef_macro",
+        epochs=2,
+        batch_size=2,
+        model_hyperparameters={"start_neurons": 2, "pool_layers": 2},
+        seed=0,
+    )
+    defaults.update(kw)
+    return TrainingParams(**defaults)
+
+
+def test_train_model_end_to_end(dataset, tmp_path):
+    folder = train_model(_params(dataset, tmp_path), None)
+    assert (folder / "model_config.json").exists()
+    assert (folder / "training_params.hdf5").exists()
+    assert (folder / "model_final.hdf5").exists()
+    assert (folder / "performance_plot.png").exists()
+    assert (folder / "mlflow_params.json").exists()
+    epochs = sorted(folder.glob("model_epoch*.hdf5"))
+    assert epochs, "at least one best checkpoint"
+    stats = sorted(folder.glob("stats_epoch*.hdf5"))
+    assert len(stats) == 1, "rolling stats keeps only the last epoch"
+    with h5py.File(stats[0], "r") as f:
+        assert len(f["train_loss"]) == 2
+        assert np.isfinite(f["train_loss"][:]).all()
+        assert len(f["epoch_time"]) == 2
+    cfg = json.loads((folder / "model_config.json").read_text())
+    assert cfg["num_classes"] == 3
+    assert cfg["start_neurons"] == 2
+
+
+def test_train_with_augmentations_and_focal(dataset, tmp_path):
+    params = _params(
+        dataset,
+        tmp_path,
+        loss="focal_dice_loss",
+        metric="dice_coef_micro",
+        augmentations=[
+            {"name": "flip", "arguments": {"flip_type": "left-right"}},
+            {"name": "add_noise",
+             "arguments": {"mode": "gaussian", "mean": 0, "variance": 0.01}},
+        ],
+        aug_mode="all",
+        aug_fly=True,
+        class_weight="balanced",
+        epochs=1,
+    )
+    folder = train_model(params, None)
+    assert (folder / "model_final.hdf5").exists()
+    with h5py.File(folder / "training_params.hdf5", "r") as f:
+        assert f.attrs["aug_mode"] == b"all"
+        assert "aug_1" in f.attrs
+
+
+def test_resume_from_checkpoint(dataset, tmp_path):
+    folder = train_model(_params(dataset, tmp_path, epochs=1), None)
+    resume = _params(
+        dataset,
+        tmp_path / "resume",
+        model_architecture=None,
+        initial_model=folder / "model_final.hdf5",
+        epochs=1,
+    )
+    folder2 = train_model(resume, None)
+    assert (folder2 / "model_final.hdf5").exists()
+
+
+def test_training_loss_decreases(dataset, tmp_path):
+    folder = train_model(_params(dataset, tmp_path, epochs=8), None)
+    stats = sorted(folder.glob("stats_epoch*.hdf5"))
+    with h5py.File(stats[-1], "r") as f:
+        losses = f["train_loss"][:]
+    assert losses[-1] < losses[0], losses
