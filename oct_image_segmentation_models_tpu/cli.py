@@ -1,0 +1,165 @@
+"""Command-line interface.
+
+The reference documents a CLI of shape
+``evaluate_model.py <model> <test-hdf5> <output-dir>``
+(`evaluation-scripts/evaluate_model.py:25-27`, `README.md:61-73`) but the
+shipped script imports modules that no longer exist and would crash. This
+CLI provides working ``train`` / ``predict`` / ``evaluate`` subcommands
+plus a JSON ``config`` surface matching the parameter objects (the
+reference's consumer repos pass an external ``config.json``,
+`training/training_parameters.py:83-84`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _load_config(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def cmd_train(args):
+    from .common.mlflow_parameters import MLflowParameters
+    from .training import TrainingParams, train_model
+
+    config = _load_config(args.config)
+    mlflow_cfg = config.pop("mlflow", None)
+    mlflow_params = MLflowParameters(**mlflow_cfg) if mlflow_cfg else None
+    config.setdefault("results_location", args.output_dir or ".")
+    params = TrainingParams(
+        model_architecture=config.get("model_architecture"),
+        training_dataset_path=Path(config["training_dataset_path"]),
+        initial_model=(
+            Path(config["initial_model"]) if config.get("initial_model") else None
+        ),
+        results_location=Path(config["results_location"]),
+        opt_con=config.get("optimizer", "adam"),
+        opt_params=config.get("opt_params", {}),
+        loss=config.get("loss", "dice_loss_macro"),
+        metric=config.get("metric", "dice_coef_macro"),
+        epochs=config.get("epochs", 50),
+        batch_size=config.get("batch_size", 8),
+        model_hyperparameters=config.get("model_hyperparameters", {}),
+        loss_fn_kwargs=config.get("loss_fn_kwargs", {}),
+        augmentations=config.get("augmentations", []),
+        aug_mode=config.get("aug_mode", "none"),
+        aug_probs=tuple(config.get("aug_probs", ())),
+        aug_fly=config.get("aug_fly", False),
+        aug_val=config.get("aug_val", True),
+        shuffle=config.get("shuffle", True),
+        model_save_best=config.get("model_save_best", True),
+        class_weight=config.get("class_weight"),
+        early_stopping=config.get("early_stopping", True),
+        restore_best_weights=config.get("restore_best_weights", True),
+        patience=config.get("patience", 50),
+        seed=config.get("seed"),
+    )
+    folder = train_model(params, mlflow_params)
+    print(f"Training complete. Artifacts: {folder}")
+
+
+def cmd_predict(args):
+    import h5py
+    import numpy as np
+
+    from .common.dataset import Dataset
+    from .prediction import PredictionParams, PredictionSaveParams, predict
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    with h5py.File(args.dataset, "r") as f:
+        key = "test_images" if "test_images" in f else "images"
+        images = f[key][:]
+        if images.ndim == 3:
+            images = images[..., None]
+        if "test_images_source" in f:
+            names = [Path(str(x, "ascii")) for x in f["test_images_source"]]
+        else:
+            names = [Path(f"image_{i}") for i in range(len(images))]
+    out_dirs = [output_dir / f"image_{i}" for i in range(len(images))]
+    params = PredictionParams(
+        model_path=Path(args.model),
+        mlflow_tracking_uri=args.mlflow_tracking_uri,
+        mlflow_run_uuid=args.mlflow_run_uuid,
+        dataset=Dataset(np.asarray(images), None, names, out_dirs),
+        config_output_dir=output_dir,
+        save_params=PredictionSaveParams(),
+        graph_search=args.graph_search,
+        batch_size=args.batch_size,
+    )
+    predict(params)
+    print(f"Prediction complete. Artifacts: {output_dir}")
+
+
+def cmd_evaluate(args):
+    from .evaluation import (
+        EvaluationParameters,
+        EvaluationSaveParams,
+        evaluate_model,
+    )
+
+    params = EvaluationParameters(
+        model_path=Path(args.model),
+        mlflow_tracking_uri=args.mlflow_tracking_uri,
+        mlflow_run_uuid=args.mlflow_run_uuid,
+        test_dataset_path=Path(args.dataset),
+        save_foldername=Path(args.output_dir),
+        save_params=EvaluationSaveParams(),
+        graph_search=not args.no_graph_search,
+        metrics=args.metrics.split(","),
+        gsgrad=args.gsgrad,
+        batch_size=args.batch_size,
+    )
+    evaluate_model(params)
+    print(f"Evaluation complete. Artifacts: {args.output_dir}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="octseg", description="TPU-native OCT image segmentation"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a model from a config.json")
+    p_train.add_argument("config")
+    p_train.add_argument("--output-dir", default=None)
+    p_train.set_defaults(func=cmd_train)
+
+    p_pred = sub.add_parser("predict", help="predict on an HDF5 image set")
+    p_pred.add_argument("model")
+    p_pred.add_argument("dataset")
+    p_pred.add_argument("output_dir")
+    p_pred.add_argument("--graph-search", action="store_true")
+    p_pred.add_argument("--batch-size", type=int, default=8)
+    p_pred.add_argument("--mlflow-tracking-uri", default=None)
+    p_pred.add_argument("--mlflow-run-uuid", default=None)
+    p_pred.set_defaults(func=cmd_predict)
+
+    p_eval = sub.add_parser(
+        "evaluate", help="evaluate a model on a test HDF5 dataset"
+    )
+    p_eval.add_argument("model")
+    p_eval.add_argument("dataset")
+    p_eval.add_argument("output_dir")
+    p_eval.add_argument("--no-graph-search", action="store_true")
+    p_eval.add_argument(
+        "--metrics",
+        default="dice_coef_classes,dice_coef_macro,dice_coef_micro",
+    )
+    p_eval.add_argument("--gsgrad", type=int, default=1)
+    p_eval.add_argument("--batch-size", type=int, default=8)
+    p_eval.add_argument("--mlflow-tracking-uri", default=None)
+    p_eval.add_argument("--mlflow-run-uuid", default=None)
+    p_eval.set_defaults(func=cmd_evaluate)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,7 +29,12 @@ import jax.numpy as jnp
 
 
 def to_categorical(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
-    """One-hot encode integer labels (float32), like keras ``to_categorical``."""
+    """One-hot encode integer labels (float32), like keras
+    ``to_categorical`` — including its quirk of dropping a trailing
+    singleton axis before encoding."""
+    labels = jnp.asarray(labels)
+    if labels.ndim > 1 and labels.shape[-1] == 1:
+        labels = labels[..., 0]
     return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
 
 

@@ -1,0 +1,340 @@
+"""Prediction workflow — reference `prediction/prediction.py:48-186`.
+
+Same outputs per image (``prediction_info.hdf5``, CSVs, PNGs,
+``graph_search_prediction_info.hdf5``), but inference + boundary-map
+conversion + min-path all run batched on device
+(:class:`..ops.inference.StagedPipeline`) instead of per-image NumPy.
+Per-image phase timers are the batch time divided by the batch size.
+
+Fixed reference bug: the per-class PNG filename used
+``"categorical_pred_" + map_ind`` with an int ``map_ind`` (crashes,
+`prediction/prediction.py:227`).
+"""
+
+from __future__ import annotations
+
+import logging as log
+import time
+from pathlib import Path
+from typing import List, Union
+
+import h5py
+import numpy as np
+from matplotlib import cm
+
+from ..common import plotting, utils
+from ..models import get_model_class
+from ..ops.inference import StagedPipeline
+from .prediction_parameters import PredictionParams
+
+
+class PredictionOutput:
+    def __init__(
+        self,
+        image: np.ndarray,
+        image_name: Path,
+        image_output_dir: Path,
+        predicted_labels: np.ndarray,
+        categorical_pred: np.ndarray,
+        boundary_maps: np.ndarray,
+        gs_pred_segs: Union[np.ndarray, None],
+    ) -> None:
+        self.image = image
+        self.image_name = image_name
+        self.image_output_dir = image_output_dir
+        self.predicted_labels = predicted_labels
+        self.categorical_pred = categorical_pred
+        self.boundary_maps = boundary_maps
+        self.gs_pred_segs = gs_pred_segs
+
+
+def _batched(n, batch_size):
+    for start in range(0, n, batch_size):
+        yield start, min(start + batch_size, n)
+
+
+def run_pipeline(
+    loaded_model,
+    model_config: dict,
+    images: np.ndarray,
+    batch_size: int,
+    graph_search: bool,
+    bg_ilm: bool = True,
+    bg_csi: bool = False,
+    max_grad: int = 1,
+):
+    """Run the staged device pipeline over all images; returns per-image
+    stacked outputs + per-image phase times."""
+    model = loaded_model
+    model_class = get_model_class(model.name)
+    model_container = model_class(**model_config)
+    pipeline = StagedPipeline(
+        model.module,
+        model.variables,
+        model_container.get_preprocess_input_fn(),
+        bg_ilm=bg_ilm,
+        bg_csi=bg_csi,
+        max_grad=max_grad,
+    )
+
+    n = images.shape[0]
+    batch = batch_size
+    labels_out, cat_out, maps_out, segs_out, masks_out = [], [], [], [], []
+    predict_times, convert_times, graph_times = [], [], []
+
+    for start, stop in _batched(n, batch):
+        chunk = images[start:stop]
+        pad = 0
+        if chunk.shape[0] < batch and n > batch:
+            pad = batch - chunk.shape[0]
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
+
+        t0 = time.time()
+        probs = pipeline.predict_probs(chunk)
+        probs.block_until_ready()
+        t1 = time.time()
+        argmax_pred, categorical, maps = pipeline.convert(probs)
+        maps.block_until_ready()
+        t2 = time.time()
+        if graph_search:
+            delins, masks = pipeline.graph_search(maps)
+            delins.block_until_ready()
+        else:
+            delins, masks = None, None
+        t3 = time.time()
+
+        real = stop - start
+        labels_out.append(np.asarray(argmax_pred)[:real])
+        cat_out.append(np.asarray(categorical)[:real])
+        maps_out.append(np.asarray(maps)[:real])
+        if delins is not None:
+            segs_out.append(np.asarray(delins)[:real])
+            masks_out.append(np.asarray(masks)[:real])
+        predict_times += [(t1 - t0) / real] * real
+        convert_times += [(t2 - t1) / real] * real
+        graph_times += [(t3 - t2) / real] * real
+
+    return {
+        "predicted_labels": np.concatenate(labels_out),
+        "categorical_pred": np.concatenate(cat_out),
+        "boundary_maps": np.concatenate(maps_out),
+        "gs_pred_segs": np.concatenate(segs_out) if segs_out else None,
+        "gs_masks": np.concatenate(masks_out) if masks_out else None,
+        "predict_times": predict_times,
+        "convert_times": convert_times,
+        "graph_times": graph_times,
+    }
+
+
+def predict(predict_params: PredictionParams) -> List[PredictionOutput]:
+    dataset = predict_params.dataset
+    predict_images = np.asarray(dataset.images)
+    predict_image_names = dataset.image_names
+    predict_image_output_dirs = dataset.image_output_dirs
+
+    save_predict_config_file(predict_params)
+
+    results = run_pipeline(
+        predict_params.loaded_model,
+        predict_params.model_config,
+        predict_images,
+        predict_params.batch_size,
+        predict_params.graph_search,
+    )
+
+    prediction_outputs = []
+    for i, (image_name, image_output_dir) in enumerate(
+        zip(predict_image_names, predict_image_output_dirs)
+    ):
+        log.info(f"Inferring image {i}: {image_name}")
+        image_output_dir = Path(image_output_dir)
+        image_output_dir.mkdir(parents=True, exist_ok=True)
+
+        predicted_labels = results["predicted_labels"][i]  # (H, W)
+        categorical_pred = results["categorical_pred"][i]  # (C, H, W)
+        boundary_maps = results["boundary_maps"][i]  # (C-1, H, W)
+
+        save_image_prediction_results(
+            predict_params,
+            predict_images[i],
+            image_name,
+            predicted_labels,
+            categorical_pred,
+            boundary_maps,
+            results["predict_times"][i],
+            results["convert_times"][i],
+            image_output_dir,
+        )
+
+        if predict_params.graph_search:
+            gs_pred_segs = results["gs_pred_segs"][i]  # (C-1, W)
+            gs_prediction_label = results["gs_masks"][i]  # (H, W)
+            save_graph_based_prediction_results(
+                predict_params,
+                predict_images[i],
+                image_name,
+                gs_prediction_label,
+                gs_pred_segs,
+                results["graph_times"][i],
+                image_output_dir,
+            )
+        else:
+            gs_pred_segs = None
+
+        prediction_outputs.append(
+            PredictionOutput(
+                image=predict_images[i],
+                image_name=image_name,
+                image_output_dir=image_output_dir,
+                predicted_labels=predicted_labels,
+                categorical_pred=categorical_pred,
+                boundary_maps=boundary_maps,
+                gs_pred_segs=gs_pred_segs,
+            )
+        )
+        log.info(f"DONE processing image number {i}: {image_name}")
+
+    return prediction_outputs
+
+
+def save_predict_config_file(predict_params: PredictionParams):
+    """Reference `prediction/prediction.py:190-201`."""
+    with h5py.File(
+        predict_params.config_output_dir / Path("prediction_params.hdf5"), "w"
+    ) as config_file:
+        config_file.attrs["model_filename"] = np.array(
+            str(predict_params.model_path), dtype="S1000"
+        )
+        config_file.attrs["error_col_inc_range"] = np.array(
+            (
+                predict_params.col_error_range[0],
+                predict_params.col_error_range[-1],
+            )
+        )
+
+
+def save_image_prediction_results(
+    pred_params: PredictionParams,
+    predict_image: np.ndarray,
+    image_name: Path,
+    predicted_labels: np.ndarray,
+    categorical_pred: np.ndarray,
+    boundary_maps: np.ndarray,
+    predict_time: float,
+    convert_time: float,
+    output_dir: Path,
+):
+    """Reference `prediction/prediction.py:205-270` (same files/keys)."""
+    hdf5_file = h5py.File(output_dir / Path("prediction_info.hdf5"), "w")
+
+    if pred_params.save_params.categorical_pred:
+        hdf5_file.create_dataset(
+            "categorical_pred", data=categorical_pred, dtype="uint8"
+        )
+        if pred_params.save_params.png_images:
+            for map_ind in range(len(categorical_pred)):
+                plotting.save_image_plot(
+                    categorical_pred[map_ind],
+                    output_dir / Path(f"categorical_pred_{map_ind}.png"),
+                    cmap=cm.Blues,
+                )
+
+    np.savetxt(
+        output_dir / Path("segmentation_map.csv"),
+        predicted_labels,
+        fmt="%d",
+        delimiter=",",
+    )
+
+    if pred_params.save_params.predicted_labels:
+        hdf5_file.create_dataset(
+            "predicted_labels", data=predicted_labels, dtype="uint8"
+        )
+        if pred_params.save_params.png_images:
+            plotting.save_image_plot(
+                predicted_labels,
+                output_dir / Path("segmentation_map.png"),
+                cmap=plotting.colors.ListedColormap(
+                    plotting.region_colours, N=len(categorical_pred)
+                ),
+            )
+
+    if pred_params.save_params.boundary_maps:
+        hdf5_file.create_dataset("boundary_maps", data=boundary_maps, dtype="uint8")
+
+    hdf5_file.create_dataset("raw_image", data=predict_image, dtype="uint8")
+
+    plotting.save_image_plot(
+        predict_image,
+        output_dir / Path("raw_image.png"),
+        cmap=None if predict_image.shape[2] == 3 else cm.gray,
+        vmin=0,
+        vmax=255,
+    )
+
+    hdf5_file.attrs["model_filename"] = np.array(
+        str(pred_params.model_path), dtype="S1000"
+    )
+    hdf5_file.attrs["image_name"] = np.array(str(image_name), dtype="S1000")
+    hdf5_file.attrs["timestamp"] = np.array(utils.get_timestamp(), dtype="S1000")
+    hdf5_file.attrs["predict_time"] = np.array(predict_time)
+    hdf5_file.attrs["convert_time"] = convert_time
+    hdf5_file.close()
+
+
+def save_graph_based_prediction_results(
+    predict_params: PredictionParams,
+    predict_image: np.ndarray,
+    image_name: Path,
+    gs_prediction_label: np.ndarray,
+    gs_pred_segs: np.ndarray,
+    graph_time: float,
+    output_dir: Path,
+):
+    """Reference `prediction/prediction.py:274-329` (same files/keys)."""
+    num_classes = gs_pred_segs.shape[0] + 1
+    hdf5_file = h5py.File(
+        output_dir / Path("graph_search_prediction_info.hdf5"), "w"
+    )
+
+    np.savetxt(
+        output_dir / Path("gs_boundaries.csv"),
+        gs_pred_segs,
+        delimiter=",",
+        fmt="%d",
+    )
+    np.savetxt(
+        output_dir / Path("gs_segmentation_map.csv"),
+        gs_prediction_label,
+        fmt="%d",
+        delimiter=",",
+    )
+
+    hdf5_file.create_dataset("gs_pred_segs", data=gs_pred_segs, dtype="uint16")
+    hdf5_file.create_dataset(
+        "gs_predicted_labels", data=gs_prediction_label, dtype="uint8"
+    )
+
+    plotting.save_image_plot(
+        gs_prediction_label,
+        output_dir / Path("gs_predicted_segmentation_map.png"),
+        cmap=plotting.colors.ListedColormap(
+            plotting.region_colours, N=num_classes
+        ),
+    )
+    plotting.save_segmentation_plot(
+        predict_image,
+        cm.gray,
+        output_dir / Path("gs_predicted_boundaries_ovelay_plot.png"),
+        gs_pred_segs,
+        predictions=None,
+        column_range=predict_params.col_error_range,
+    )
+
+    hdf5_file.attrs["model_filename"] = np.array(
+        str(predict_params.model_path), dtype="S1000"
+    )
+    hdf5_file.attrs["image_name"] = np.array(str(image_name), dtype="S1000")
+    hdf5_file.attrs["timestamp"] = np.array(utils.get_timestamp(), dtype="S1000")
+    hdf5_file.attrs["graph_time"] = np.array(graph_time)
+    hdf5_file.close()

@@ -1,0 +1,146 @@
+"""End-to-end: train -> predict -> evaluate on synthetic data, artifact and
+semantic checks against the reference's output contract."""
+
+import h5py
+import numpy as np
+import pytest
+
+from oct_image_segmentation_models_tpu.common.dataset import Dataset
+from oct_image_segmentation_models_tpu.evaluation import (
+    EvaluationParameters,
+    EvaluationSaveParams,
+    evaluate_model,
+)
+from oct_image_segmentation_models_tpu.prediction import (
+    PredictionParams,
+    PredictionSaveParams,
+    predict,
+)
+from oct_image_segmentation_models_tpu.training import TrainingParams, train_model
+
+from synth import make_dataset
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    ds = make_dataset(root / "ds.hdf5", n_train=8, n_val=2, n_test=3, h=32,
+                      w=48, num_classes=3, seed=1)
+    folder = train_model(
+        TrainingParams(
+            model_architecture="unet",
+            training_dataset_path=ds,
+            initial_model=None,
+            results_location=root,
+            opt_con="adam",
+            opt_params={"learning_rate": 2e-3},
+            loss="dice_loss_macro",
+            metric="dice_coef_macro",
+            epochs=20,
+            batch_size=2,
+            model_hyperparameters={"start_neurons": 4, "pool_layers": 2},
+            seed=0,
+        ),
+        None,
+    )
+    return root, ds, folder / "model_final.hdf5"
+
+
+def test_predict_outputs(trained, tmp_path):
+    root, ds, model_path = trained
+    with h5py.File(ds, "r") as f:
+        images = f["test_images"][:]
+    out_dirs = [tmp_path / f"img_{i}" for i in range(len(images))]
+    dataset = Dataset(
+        images=images,
+        image_masks=None,
+        image_names=[p / "x.png" for p in out_dirs],
+        image_output_dirs=out_dirs,
+    )
+    params = PredictionParams(
+        model_path=model_path,
+        mlflow_tracking_uri=None,
+        mlflow_run_uuid=None,
+        dataset=dataset,
+        config_output_dir=tmp_path,
+        save_params=PredictionSaveParams(categorical_pred=True),
+        graph_search=True,
+        batch_size=2,
+    )
+    outputs = predict(params)
+    assert len(outputs) == len(images)
+    assert (tmp_path / "prediction_params.hdf5").exists()
+    for i, out in enumerate(outputs):
+        d = out_dirs[i]
+        assert (d / "prediction_info.hdf5").exists()
+        assert (d / "segmentation_map.csv").exists()
+        assert (d / "graph_search_prediction_info.hdf5").exists()
+        assert (d / "gs_boundaries.csv").exists()
+        assert out.predicted_labels.shape == images[i].shape[:2]
+        assert out.categorical_pred.shape == (3,) + images[i].shape[:2]
+        assert out.boundary_maps.shape == (2,) + images[i].shape[:2]
+        assert out.gs_pred_segs.shape == (2, images[i].shape[1])
+        with h5py.File(d / "prediction_info.hdf5", "r") as f:
+            assert "predicted_labels" in f and "boundary_maps" in f
+            assert "categorical_pred" in f
+            assert f.attrs["predict_time"] >= 0
+        # The min-path delineation should sit on the boundary-map ridges.
+        for m in range(2):
+            ridge_rows = np.argmax(out.boundary_maps[m], axis=0)
+            cols = ridge_rows > 0
+            if cols.sum():
+                diff = np.abs(
+                    out.gs_pred_segs[m][cols].astype(int) - ridge_rows[cols]
+                )
+                assert np.median(diff) <= 1.0
+
+
+def test_evaluate_outputs(trained, tmp_path):
+    root, ds, model_path = trained
+    save_folder = tmp_path / "eval"
+    params = EvaluationParameters(
+        model_path=model_path,
+        mlflow_tracking_uri=None,
+        mlflow_run_uuid=None,
+        test_dataset_path=ds,
+        save_foldername=save_folder,
+        save_params=EvaluationSaveParams(categorical_pred=True),
+        graph_search=True,
+        metrics=[
+            "dice_coef_classes",
+            "dice_coef_macro",
+            "dice_coef_micro",
+            "average_surface_distance",
+            "hausdorff_distance",
+        ],
+        batch_size=2,
+    )
+    outputs = evaluate_model(params)
+    assert len(outputs) == 3
+    assert (save_folder / "eval_params.hdf5").exists()
+    assert (save_folder / "overall_evaluation_results.hdf5").exists()
+    assert (save_folder / "overall_evaluation_results.csv").exists()
+    for i in range(3):
+        d = save_folder / f"image_{i}"
+        assert (d / "evaluation_results.hdf5").exists()
+        assert (d / "gs_evaluation_results.hdf5").exists()
+        with h5py.File(d / "evaluation_results.hdf5", "r") as f:
+            assert f["dice_coef_classes"].shape == (3,)
+            assert f["average_surface_distances"].shape == (2,)
+            assert f["hausdorff_distances"].shape == (2,)
+        with h5py.File(d / "gs_evaluation_results.hdf5", "r") as f:
+            assert f["gs_pred_segs"].shape == (2, 48)
+            assert f["errors"].shape == (2, 48)
+    with h5py.File(save_folder / "overall_evaluation_results.hdf5", "r") as f:
+        assert f["mean_abs_errors"].shape == (2,)
+        assert f["mean_abs_errors_cols"].shape == (2, 48)
+        assert f["errors"].shape == (3, 2, 48)
+        assert f["gs_dice_coef_macro"].shape[0] == 3
+        # trained model should delineate boundaries within a couple px
+        assert np.all(f["mean_abs_errors"][:] < 4.0), f["mean_abs_errors"][:]
+    csv = (save_folder / "overall_evaluation_results.csv").read_text()
+    assert "Mean abs errors," in csv
+    assert "Median absolute errors," in csv
+    # Dice of a trained model should be decent on this easy synthetic set
+    with h5py.File(save_folder / "overall_evaluation_results.hdf5", "r") as f:
+        assert np.nanmean(f["mean_dice_coef_macro"][:]) > 0.55
