@@ -90,6 +90,7 @@ def make_fused_pipeline(
     max_grad: int = 1,
     with_graph_search: bool = True,
     donate_images: bool = False,
+    minpath_backend: str = "auto",
 ) -> Callable:
     """One-jit end-to-end pipeline:
     ``fn(variables, images_u8) -> (labels u8, boundary maps u8,
@@ -104,7 +105,9 @@ def make_fused_pipeline(
         )
         if not with_graph_search:
             return argmax_pred.astype(jnp.uint8), maps, None
-        delins = minpath_ops.delineate_image_maps(maps, max_grad=max_grad)
+        delins = minpath_ops.delineate_image_maps(
+            maps, max_grad=max_grad, backend=minpath_backend
+        )
         return argmax_pred.astype(jnp.uint8), maps, delins.astype(jnp.uint16)
 
     return jax.jit(pipeline, donate_argnums=(1,) if donate_images else ())

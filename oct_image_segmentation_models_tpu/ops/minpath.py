@@ -66,8 +66,38 @@ def _shift_down(x: jnp.ndarray, k: int) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_grad",))
-def delineate(maps_u8: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
+def delineate(
+    maps_u8: jnp.ndarray,
+    max_grad: int = 1,
+    tie_parity: str = "exact",
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch to the Pallas TPU kernel when available, else the XLA scan.
+
+    See :func:`_delineate_xla` for the algorithm/params; ``backend`` is
+    "auto" (Pallas on TPU, XLA elsewhere), "pallas", or "xla".
+    """
+    if backend == "auto":
+        use_pallas = (
+            tie_parity == "exact" and jax.default_backend() == "tpu"
+        )
+    elif backend == "pallas":
+        use_pallas = True
+    elif backend == "xla":
+        use_pallas = False
+    else:
+        raise ValueError(f"unknown backend: {backend}")
+    if use_pallas:
+        from .minpath_pallas import delineate_pallas
+
+        return delineate_pallas(maps_u8, max_grad=max_grad)
+    return _delineate_xla(maps_u8, max_grad=max_grad, tie_parity=tie_parity)
+
+
+@functools.partial(jax.jit, static_argnames=("max_grad", "tie_parity"))
+def _delineate_xla(
+    maps_u8: jnp.ndarray, max_grad: int = 1, tie_parity: str = "exact"
+) -> jnp.ndarray:
     """Delineate one row per column for each boundary probability map.
 
     Args:
@@ -75,11 +105,26 @@ def delineate(maps_u8: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
         transposed (column, row) orientation (`graph_search.py:519-572`).
         Any number of leading batch/boundary dims.
       max_grad: maximum row step per column (`graph_search.py:108`).
+      tie_parity: how exactly to reproduce the reference heap's tie-breaks
+        among equal-cost paths. Both modes always return a *cost-optimal*
+        (Dijkstra-equivalent) delineation:
+        - "exact": propagate exact per-column settle ranks (a bitonic rank
+          network per column) — matches the heap bit-for-bit on realistic
+          (single-ridge) boundary maps and >97% of adversarial random
+          maps; the residual divergences are equal-cost global ties whose
+          resolution depends on cross-column heap-counter races;
+        - "fast": fixed-depth settle signatures (own/pred/grand-pred
+          (distance, priority) pairs, top-row fallback) — same cost
+          guarantee, slightly weaker tie parity, cheaper per column.
 
     Returns:
       int32 rows ``(..., W)`` — the delineated boundary row per column,
-      identical to reference ``delineate_boundary`` output.
+      identical to reference ``delineate_boundary`` output (modulo
+      ``tie_parity``).
     """
+    if tie_parity not in ("exact", "fast"):
+        raise ValueError(f"unknown tie_parity: {tie_parity}")
+    exact = tie_parity == "exact"
     if maps_u8.ndim < 2:
         raise ValueError("maps must have shape (..., W, H)")
     lead = maps_u8.shape[:-2]
@@ -92,24 +137,83 @@ def delineate(maps_u8: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
     offsets = [0] + list(range(1, max_grad + 1)) + [-k for k in range(1, max_grad + 1)]
     offsets_arr = jnp.asarray(np.array(offsets, dtype=np.int32))
 
-    iota = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
-    batch_idx = jnp.arange(n, dtype=jnp.int32)
+    # Settle-order ranks. The heap settles nodes in (distance, entry
+    # priority, insertion counter) order; the counter is ordered by the
+    # predecessor's settle time, so the per-column settle rank satisfies
+    #   rank_j = dense_rank(D_j, pri_j, rank_{j-1}(pred)).
+    # That recursion is propagated exactly through the scan. The dense rank
+    # is computed with a hand-rolled bitonic network of elementwise
+    # reshape/select ops (``lax.sort`` inside a scan is two orders of
+    # magnitude slower on TPU). Keys are provably unique per column (a
+    # predecessor's rank is unique; the same predecessor reaches two rows
+    # only via different-priority edges), so stability is not needed.
+    pad = 1
+    while pad < h:
+        pad *= 2
+    iota_pad = jnp.broadcast_to(jnp.arange(pad, dtype=jnp.int32), (n, pad))
 
-    def rank_of(*keys):
-        """Settle-order rank within a column: position of each row in the
-        lexicographic sort of ``keys`` (ties -> topmost row first)."""
-        sorted_ops = jax.lax.sort(
-            tuple(keys) + (iota,), dimension=-1, num_keys=len(keys) + 1
+    # Per-stage ascending-direction masks, shaped for the (pairs, 2, j)
+    # butterfly layout; static constants.
+    stages = []
+    flat = np.arange(pad)
+    k_ = 2
+    while k_ <= pad:
+        j_ = k_ // 2
+        while j_ >= 1:
+            asc = ((flat & k_) == 0).reshape(pad // (2 * j_), 2, j_)[:, 0, :]
+            stages.append((j_, jnp.asarray(asc[None, :, :])))
+            j_ //= 2
+        k_ *= 2
+
+    def bitonic_rank(d_key, sub_key):
+        """Dense rank of lexicographic (d_key, sub_key) per row, ties
+        impossible by construction. (N, H) int32 -> (N, H) int32."""
+        if pad != h:
+            fill = jnp.full((n, pad - h), _BIG, jnp.int32)
+            d_key = jnp.concatenate([d_key, fill], axis=-1)
+            sub_key = jnp.concatenate([sub_key, fill], axis=-1)
+        dk, sk, ik = d_key, sub_key, iota_pad
+        for j_, asc in stages:
+            shape = (n, pad // (2 * j_), 2, j_)
+            dp, sp, ip = dk.reshape(shape), sk.reshape(shape), ik.reshape(shape)
+            da, db = dp[:, :, 0, :], dp[:, :, 1, :]
+            sa, sb = sp[:, :, 0, :], sp[:, :, 1, :]
+            ia, ib = ip[:, :, 0, :], ip[:, :, 1, :]
+            eq = da == db
+            gt = (da > db) | (eq & (sa > sb))
+            lt = (da < db) | (eq & (sa < sb))
+            swap = jnp.where(asc, gt, lt)
+            def cx(a, b):
+                return (
+                    jnp.where(swap, b, a),
+                    jnp.where(swap, a, b),
+                )
+            da, db = cx(da, db)
+            sa, sb = cx(sa, sb)
+            ia, ib = cx(ia, ib)
+            dk = jnp.stack([da, db], axis=2).reshape(n, pad)
+            sk = jnp.stack([sa, sb], axis=2).reshape(n, pad)
+            ik = jnp.stack([ia, ib], axis=2).reshape(n, pad)
+        rank = jnp.zeros((n, pad), jnp.int32)
+        rank = rank.at[jnp.arange(n, dtype=jnp.int32)[:, None], ik].set(iota_pad)
+        return rank[:, :h]
+
+    # Column 0: nodes settle in (distance, row) order — their best heap
+    # entries all arrive via 'right' edges pushed in top-down
+    # virtual-column order.
+    d0 = 255 - m[:, 0, :]  # (N, H): entry edge from the all-ones column
+    if exact:
+        rank0 = bitonic_rank(
+            d0, jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
         )
-        perm = sorted_ops[-1]
-        return jnp.zeros((n, h), jnp.int32).at[batch_idx[:, None], perm].set(iota)
-
-    # Entry edge from the all-ones virtual column: 255*(1 - p). Column-0
-    # nodes settle in (distance, row) order (their best heap entries all
-    # arrive via 'right' edges pushed in top-down virtual-column order).
-    d0 = 255 - m[:, 0, :]  # (N, H)
-    rank0 = rank_of(d0)
+    else:
+        # Fast mode: the rank slot carries the grand-pred (distance,
+        # priority) signature pair instead (packed small ints).
+        rank0 = jnp.zeros((n, h), jnp.int32)
     pri0 = jnp.ones((n, h), jnp.int32)
+    # Predecessor settle keys (virtual column: distance 0, priority 0).
+    d_pred0 = jnp.zeros((n, h), jnp.int32)
+    pri_pred0 = jnp.zeros((n, h), jnp.int32)
 
     xs = jnp.moveaxis(m[:, 1:, :], 1, 0)  # (W-1, N, H), column-major scan
 
@@ -129,6 +233,10 @@ def delineate(maps_u8: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
         pred_row = rows_1h - k
         pris.append(1 + jnp.minimum(max_grad, pred_row) + k)
     stacked_pri = jnp.stack(pris, axis=0)  # (2g+1, 1, H)
+    # Candidate (predecessor) row index, for the fast-mode top-row fallback.
+    cand_rows = jnp.stack(
+        [jnp.broadcast_to(rows_1h + off, (1, h)) for off in offsets], axis=0
+    )  # (2g+1, 1, H)
 
     def shifts(x):
         out = [x]
@@ -138,48 +246,108 @@ def delineate(maps_u8: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
             out.append(_shift_down(x, k))
         return jnp.stack(out, axis=0)  # (2g+1, N, H)
 
+    def refine(valid, key):
+        masked = jnp.where(valid, key, _BIG)
+        return valid & (masked == jnp.min(masked, axis=0, keepdims=True))
+
     def step(carry, m_cur):
-        d, m_prev, rank_prev, pri_prev = carry
+        d, m_prev, pri_prev, rank_prev, d_pred, pri_pred = carry
         q = d - m_prev  # (N, H); +510 - m_cur added after the min
         stacked = shifts(q)
-        stacked_rank = shifts(rank_prev)  # insertion counter ~ pred settle rank
         best = jnp.min(stacked, axis=0)
         tied = stacked == best[None]
         d_new = best + 510 - m_cur
 
+        sh_d = shifts(d)
+        sh_pp = shifts(pri_prev)
+        stacked_rank = shifts(rank_prev)
+
         # Heap-entry validity: a zero-weight edge (both endpoints 255,
-        # `graph_search.py:79`) comes from a predecessor with *equal*
-        # distance, whose entry only exists if that predecessor settles
-        # before this node pops via its strict (positive-weight) entries.
-        # The predecessor settles at heap key (d, its own entry priority);
-        # this node's strict pop is at (d, best strict priority).
+        # `graph_search.py:79`) comes from a predecessor u with *equal*
+        # distance, whose entry only exists if u settles before this node
+        # pops via its best strict (positive-weight) entry from s. The race
+        # compares u's settle key (d, pri_u) against the strict pop key
+        # (d, pri_s, ctr_s): priorities first; on a priority tie the
+        # insertion counters, i.e. the settle order of u's predecessor
+        # vs s — compared by (distance, pop priority), deeper cross-column
+        # ties defaulting to valid (the plateau support chain was pushed
+        # earlier).
         zero_edge = (shifts(m_prev) == 255) & (m_cur == 255)[None]
         strict = tied & ~zero_edge
         pri_strict = jnp.where(strict, stacked_pri, _BIG)
         best_strict_pri = jnp.min(pri_strict, axis=0)
-        # On equal priority the insertion-counter race usually favours the
-        # zero-edge predecessor (its support chain was pushed earlier along
-        # the plateau), so ties count as valid.
+        strict_rank_m = jnp.where(
+            pri_strict == best_strict_pri[None], stacked_rank, _BIG
+        )
+        s_choice = jnp.argmin(strict_rank_m, axis=0)
+
+        def sgather(x):
+            return jnp.take_along_axis(x, s_choice[None], axis=0)[0]
+
+        d_s = sgather(sh_d)[None]
+        pri_pop_s = sgather(sh_pp)[None]
+        pu = sh_pp
+        dpu = shifts(d_pred)
+        ppu = shifts(pri_pred)
+        ps = best_strict_pri[None]
         zero_valid = (
-            tied & zero_edge & (shifts(pri_prev) <= best_strict_pri[None])
+            tied
+            & zero_edge
+            & (
+                (pu < ps)
+                | (
+                    (pu == ps)
+                    & ((dpu < d_s) | ((dpu == d_s) & (ppu <= pri_pop_s)))
+                )
+            )
         )
         valid = strict | zero_valid
         valid = jnp.where(jnp.any(valid, axis=0, keepdims=True), valid, tied)
 
         # Pop entry = lexicographic min over valid entries of
-        # (entry priority, insertion counter).
-        pri_m = jnp.where(valid, stacked_pri, _BIG)
-        best_pri = jnp.min(pri_m, axis=0)
-        rank_m = jnp.where(pri_m == best_pri[None], stacked_rank, _BIG)
-        entry_ctr = jnp.min(rank_m, axis=0)
-        choice = jnp.argmin(rank_m, axis=0).astype(jnp.uint8)
+        # (entry priority, insertion counter ~ pred settle order).
+        best_pri = jnp.min(jnp.where(valid, stacked_pri, _BIG), axis=0)
+        valid = refine(valid, jnp.broadcast_to(stacked_pri, valid.shape))
+        if exact:
+            rank_m = jnp.where(valid, stacked_rank, _BIG)
+            entry_ctr = jnp.min(rank_m, axis=0)
+            choice = jnp.argmin(rank_m, axis=0).astype(jnp.uint8)
+        else:
+            # Pred settle order approximated by the signature chain
+            # (D, pri, grand-(D, pri) packed, row), top-row fallback.
+            for key in (
+                sh_d,
+                sh_pp,
+                dpu,
+                ppu,
+                stacked_rank,
+                jnp.broadcast_to(cand_rows, valid.shape),
+            ):
+                valid = refine(valid, key)
+            choice = jnp.argmax(valid, axis=0).astype(jnp.uint8)
 
-        rank_new = rank_of(d_new, best_pri, entry_ctr)
-        return (d_new, m_cur, rank_new, best_pri), choice
+        def cgather(x):
+            return jnp.take_along_axis(x, choice[None].astype(jnp.int32), axis=0)[0]
 
-    (d_final, m_last, rank_last, _), choices = jax.lax.scan(
-        step, (d0, m[:, 0, :], rank0, pri0), xs
-    )
+        if exact:
+            rank_new = bitonic_rank(d_new, best_pri * pad + entry_ctr)
+        else:
+            # Carry the grand-pred (D, pri) pair packed into the rank slot.
+            rank_new = cgather(dpu) * 8 + jnp.minimum(cgather(ppu), 7)
+        carry_new = (
+            d_new,
+            m_cur,
+            best_pri,
+            rank_new,
+            cgather(sh_d),
+            cgather(sh_pp),
+        )
+        return carry_new, choice
+
+    (
+        (d_final, m_last, pri_last, rank_last, d_pred_last, pri_pred_last),
+        choices,
+    ) = jax.lax.scan(step, (d0, m[:, 0, :], pri0, rank0, d_pred0, pri_pred0), xs)
     # choices: (W-1, N, H)
 
     # Exit edge back into the all-ones virtual column. The first virtual
@@ -188,10 +356,17 @@ def delineate(maps_u8: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
     # *earliest-settled* last-column node among those with minimal exit
     # distance — i.e. minimal settle rank among exit-distance ties.
     exit_dist = d_final + 255 - m_last  # (N, H)
-    tied = exit_dist == jnp.min(exit_dist, axis=-1, keepdims=True)
-    r_last = jnp.argmin(
-        jnp.where(tied, rank_last, _BIG), axis=-1
-    ).astype(jnp.int32)  # (N,)
+    tied_e = exit_dist == jnp.min(exit_dist, axis=-1, keepdims=True)
+    if exact:
+        exit_keys = (rank_last,)
+    else:
+        exit_keys = (d_final, pri_last, d_pred_last, pri_pred_last, rank_last)
+    for key in exit_keys:
+        masked = jnp.where(tied_e, key, _BIG)
+        tied_e = tied_e & (masked == jnp.min(masked, axis=-1, keepdims=True))
+    r_last = jnp.argmax(tied_e, axis=-1).astype(jnp.int32)  # (N,)
+
+    batch_idx = jnp.arange(n, dtype=jnp.int32)
 
     def back(r, choice_col):
         c = choice_col[batch_idx, r]  # (N,)
@@ -205,7 +380,10 @@ def delineate(maps_u8: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
 
 
 def delineate_image_maps(
-    boundary_maps: jnp.ndarray, max_grad: int = 1
+    boundary_maps: jnp.ndarray,
+    max_grad: int = 1,
+    tie_parity: str = "exact",
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Delineate from image-orientation maps ``(..., H, W)`` (as produced by
     :func:`ops.boundary.boundary_prob_maps`), returning rows ``(..., W)``.
@@ -213,7 +391,12 @@ def delineate_image_maps(
     Equivalent to the reference's transpose-then-``segment_maps`` sequence
     (`prediction/prediction.py:134-141`).
     """
-    return delineate(jnp.swapaxes(boundary_maps, -1, -2), max_grad=max_grad)
+    return delineate(
+        jnp.swapaxes(boundary_maps, -1, -2),
+        max_grad=max_grad,
+        tie_parity=tie_parity,
+        backend=backend,
+    )
 
 
 def calc_errors(predictions: jnp.ndarray, truths: jnp.ndarray) -> jnp.ndarray:

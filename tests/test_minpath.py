@@ -132,3 +132,67 @@ def test_calc_errors_nan_semantics():
     assert err[0] == 0.0
     assert np.isnan(err[1]) and np.isnan(err[2])
     assert err[3] == -2.0
+
+
+def test_plateau_jump_ties_match_oracle():
+    # 255-plateaus followed by jumps create the zero-edge validity races
+    # and deep settle-order ties; sweep many random plateau patterns.
+    rng = np.random.default_rng(7)
+    mismatches = 0
+    for trial in range(40):
+        w, h = 20, 14
+        rows = []
+        r = int(rng.integers(2, h - 2))
+        j = 0
+        while len(rows) < w:
+            plateau = int(rng.integers(1, 5))
+            rows.extend([r] * plateau)
+            r = int(np.clip(r + rng.integers(-4, 5), 1, h - 2))
+        rows = np.array(rows[:w])
+        m = _ridge_map(w, h, rows)
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        if not np.array_equal(got, want):
+            mismatches += 1
+    assert mismatches == 0, f"{mismatches}/40 plateau trials diverged"
+
+
+def test_multi_ridge_and_flat_tail_ties():
+    # Absent-class columns at the image edges (all-zero tails) chain ties
+    # through many columns; the fallback must match the heap's top-down
+    # settle order.
+    rng = np.random.default_rng(8)
+    for trial in range(20):
+        w, h = 24, 16
+        rows = _smooth_rows(rng, w, h, max_step=2)
+        m = _ridge_map(w, h, rows)
+        tail = int(rng.integers(3, 9))
+        side = trial % 2
+        if side:
+            m[-tail:, :] = 0
+        else:
+            m[:tail, :] = 0
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_wide_random_sweep_cost_exactness():
+    # Larger sweep: delineations must always achieve the oracle's optimal
+    # path cost even if a (rare) tie resolves differently.
+    rng = np.random.default_rng(9)
+    diverged = 0
+    total = 0
+    for trial in range(20):
+        w, h = 28, 18
+        m = (rng.random((w, h)) < rng.uniform(0.05, 0.4)).astype(np.uint8) * 255
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        total += w
+        if not np.array_equal(got, want):
+            diverged += int((got != want).sum())
+            p = m.astype(np.int64)
+            assert (
+                p[np.arange(w), got].sum() == p[np.arange(w), want].sum()
+            ), "path cost must match the optimum"
+    assert diverged <= 0.01 * total, f"{diverged}/{total} columns diverged"

@@ -1,0 +1,50 @@
+"""Pallas min-path kernel (interpret mode on CPU) vs the XLA scan and the
+heapq oracle."""
+
+import numpy as np
+
+from oct_image_segmentation_models_tpu.ops import minpath
+from oct_image_segmentation_models_tpu.ops.minpath_pallas import delineate_pallas
+
+from oracle_minpath import dijkstra_delineate
+
+
+def _ridge_map(w, h, rows, value=255):
+    m = np.zeros((w, h), dtype=np.uint8)
+    m[np.arange(w), rows] = value
+    return m
+
+
+def test_pallas_matches_xla_and_oracle_small():
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        w, h = 12, 16
+        if trial % 2:
+            m = (rng.random((w, h)) < 0.3).astype(np.uint8) * 255
+        else:
+            rows = np.clip(
+                8 + np.cumsum(rng.integers(-2, 3, size=w)), 1, h - 2
+            )
+            m = _ridge_map(w, h, rows)
+        got = np.asarray(delineate_pallas(m[None], interpret=True))[0]
+        want_xla = np.asarray(minpath.delineate(m))
+        want_oracle = dijkstra_delineate(m)
+        assert np.array_equal(got, want_xla), f"trial {trial} vs xla"
+        assert np.array_equal(got, want_oracle), f"trial {trial} vs oracle"
+
+
+def test_pallas_batched_plateaus():
+    rng = np.random.default_rng(1)
+    maps = []
+    for _ in range(4):
+        w, h = 16, 16
+        rows = []
+        r = int(rng.integers(2, h - 2))
+        while len(rows) < w:
+            rows.extend([r] * int(rng.integers(1, 4)))
+            r = int(np.clip(r + rng.integers(-3, 4), 1, h - 2))
+        maps.append(_ridge_map(w, h, np.array(rows[:w])))
+    maps = np.stack(maps).reshape(2, 2, 16, 16)
+    got = np.asarray(delineate_pallas(maps, interpret=True))
+    want = np.asarray(minpath.delineate(maps))
+    assert np.array_equal(got, want)
