@@ -1,0 +1,75 @@
+"""Streaming OCT-volume inference: fused conv -> softmax -> boundary-map ->
+min-path pipeline over a whole volume of B-scans, double-buffered.
+
+BASELINE.md config #5. The volume (e.g. 512 B-scans) is processed in
+device-sized batches through the single-jit fused pipeline
+(:func:`..ops.inference.make_fused_pipeline`); host->device uploads of the
+next batch overlap compute on the current one via JAX async dispatch
+(:func:`..parallel.input_pipeline.device_prefetch`), so HBM sees a steady
+stream and the MXU never idles on transfers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..models import get_model_class
+from ..ops.inference import make_fused_pipeline
+from ..parallel.input_pipeline import device_prefetch
+
+
+class VolumeSegmenter:
+    """Reusable fused-pipeline runner for fixed-size B-scans."""
+
+    def __init__(
+        self,
+        loaded_model,
+        model_config: dict,
+        batch_size: int = 8,
+        bg_ilm: bool = True,
+        bg_csi: bool = False,
+        max_grad: int = 1,
+        with_graph_search: bool = True,
+    ):
+        self.loaded_model = loaded_model
+        self.batch_size = batch_size
+        container = get_model_class(loaded_model.name)(**model_config)
+        self._pipeline = make_fused_pipeline(
+            loaded_model.module,
+            container.get_preprocess_input_fn(),
+            bg_ilm=bg_ilm,
+            bg_csi=bg_csi,
+            max_grad=max_grad,
+            with_graph_search=with_graph_search,
+        )
+
+    def segment_volume(self, volume: np.ndarray, prefetch: int = 2):
+        """Segment a ``(num_bscans, H, W, C)`` uint8 volume.
+
+        Returns ``(labels u8 (N, H, W), boundary rows u16 (N, M, W))``.
+        """
+        n = volume.shape[0]
+        b = self.batch_size
+        pad = (-n) % b
+        if pad:
+            volume = np.concatenate([volume, volume[-1:].repeat(pad, 0)])
+
+        batches = (volume[i : i + b] for i in range(0, len(volume), b))
+        labels_out, segs_out = [], []
+        for batch in device_prefetch(batches, size=prefetch):
+            labels, _maps, delins = self._pipeline(
+                self.loaded_model.variables, batch
+            )
+            labels_out.append(labels)
+            if delins is not None:
+                segs_out.append(delins)
+
+        labels = np.concatenate([np.asarray(x) for x in labels_out])[:n]
+        segs = (
+            np.concatenate([np.asarray(x) for x in segs_out])[:n]
+            if segs_out
+            else None
+        )
+        return labels, segs

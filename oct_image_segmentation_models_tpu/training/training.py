@@ -111,6 +111,8 @@ def save_training_params_file(
             dtype="S100",
         )
         for key, val in opt_config.items():
+            if val is None:
+                continue
             if isinstance(val, dict):
                 f.attrs[f"opt_param: {key}"] = np.bytes_(str(val))
             else:

@@ -1,0 +1,226 @@
+"""Model I/O round-trips, keras weight import, tracking, input pipeline,
+streaming inference, and the CLI."""
+
+import json
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from oct_image_segmentation_models_tpu.common import model_io
+from oct_image_segmentation_models_tpu.models import get_model_class
+
+from synth import make_dataset
+
+
+def _tiny_model():
+    container = get_model_class("unet")(
+        input_channels=1,
+        num_classes=3,
+        image_height=16,
+        image_width=16,
+        start_neurons=2,
+        pool_layers=2,
+    )
+    module = container.build_model()
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 16, 16, 1), np.float32),
+        training=False,
+    )
+    return container, module, variables
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    container, module, variables = _tiny_model()
+    path = tmp_path / "model_epoch01.hdf5"
+    model_io.save_model(
+        path,
+        "unet",
+        container.get_config(),
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+    )
+    name, config, loaded, _ = model_io.load_model(path)
+    assert name == "unet"
+    assert config["num_classes"] == 3
+    orig = jax.tree_util.tree_leaves(variables["params"])
+    new = jax.tree_util.tree_leaves(loaded["params"])
+    assert all(np.array_equal(a, b) for a, b in zip(orig, new))
+
+
+def test_load_model_and_config_predict(tmp_path):
+    container, module, variables = _tiny_model()
+    path = tmp_path / "model_final.hdf5"
+    model_io.save_model(
+        path, "unet", container.get_config(),
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+    )
+    loaded, config = model_io.load_model_and_config(path)
+    assert loaded.name == "unet"
+    assert loaded.output_classes == 3
+    probs = loaded.predict(np.zeros((2, 16, 16, 1), np.uint8))
+    assert probs.shape == (2, 16, 16, 3)
+    assert np.allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_keras_resnet50_weight_import(tmp_path):
+    from oct_image_segmentation_models_tpu.models.resnet import ResNet50Backbone
+
+    m = ResNet50Backbone()
+    variables = m.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3)))
+    params = variables["params"]
+
+    # Build a keras-style h5 with one conv + one bn layer
+    h5path = tmp_path / "resnet50_weights.h5"
+    kshape = np.asarray(params["conv1_conv"]["kernel"]).shape
+    kernel = np.random.default_rng(0).normal(size=kshape).astype(np.float32)
+    gamma = np.full(64, 2.0, np.float32)
+    with h5py.File(h5path, "w") as f:
+        g = f.create_group("conv1_conv").create_group("conv1_conv")
+        g["kernel:0"] = kernel
+        g["bias:0"] = np.zeros(64, np.float32)
+        b = f.create_group("conv1_bn").create_group("conv1_bn")
+        b["gamma:0"] = gamma
+        b["beta:0"] = np.zeros(64, np.float32)
+        b["moving_mean:0"] = np.zeros(64, np.float32)
+        b["moving_variance:0"] = np.ones(64, np.float32)
+
+    new_params, batch_stats = model_io.load_keras_resnet50_weights(params, h5path)
+    assert np.allclose(np.asarray(new_params["conv1_conv"]["kernel"]), kernel)
+    assert np.allclose(np.asarray(new_params["conv1_bn"]["scale"]), 2.0)
+    assert "conv1_bn" in batch_stats
+
+
+def test_local_tracker(tmp_path):
+    from oct_image_segmentation_models_tpu.common.tracking import get_tracker
+
+    tracker = get_tracker(None)
+    tracker.start_run(tmp_path)
+    tracker.log_params({"a": 1})
+    tracker.log_metrics({"loss": 0.5}, step=1)
+    tracker.log_dict({"k": "v"}, "model/data/model_config.json")
+    assert json.loads((tmp_path / "mlflow_params.json").read_text())["a"] == 1
+    assert (tmp_path / "mlflow_metrics.jsonl").exists()
+    assert (tmp_path / "model_config.json").exists()
+
+
+def test_sharded_reader_and_prefetch(tmp_path):
+    from oct_image_segmentation_models_tpu.parallel.input_pipeline import (
+        ShardedHDF5Reader,
+        device_prefetch,
+        prefetch_to_mesh,
+    )
+    from oct_image_segmentation_models_tpu.parallel.mesh import create_mesh
+
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=8, n_val=2, n_test=2)
+    # two-process sharding: disjoint strided shards
+    r0 = ShardedHDF5Reader(ds, "train", process_index=0, process_count=2)
+    r1 = ShardedHDF5Reader(ds, "train", process_index=1, process_count=2)
+    i0, l0 = r0.load()
+    i1, l1 = r1.load()
+    assert i0.shape[0] == i1.shape[0] == 4
+
+    batches = [
+        (np.zeros((8, 4, 4, 1), np.float32), np.zeros((8, 4, 4, 1), np.int32))
+        for _ in range(3)
+    ]
+    mesh = create_mesh()
+    out = list(prefetch_to_mesh(iter(batches), mesh))
+    assert len(out) == 3
+    out2 = list(device_prefetch(iter(batches)))
+    assert len(out2) == 3
+
+
+def test_streaming_volume(tmp_path):
+    from oct_image_segmentation_models_tpu.common.model_io import (
+        load_model_and_config,
+        save_model,
+    )
+    from oct_image_segmentation_models_tpu.prediction.streaming import (
+        VolumeSegmenter,
+    )
+
+    container, module, variables = _tiny_model()
+    path = tmp_path / "m.hdf5"
+    save_model(path, "unet", container.get_config(),
+               {"params": variables["params"],
+                "batch_stats": variables["batch_stats"]})
+    loaded, config = load_model_and_config(path)
+    seg = VolumeSegmenter(loaded, config, batch_size=4)
+    volume = np.random.default_rng(0).integers(
+        0, 255, (10, 16, 16, 1), dtype=np.uint8
+    )
+    labels, segs = seg.segment_volume(volume)
+    assert labels.shape == (10, 16, 16)
+    assert segs.shape == (10, 2, 16)
+
+
+def test_cli_evaluate(tmp_path):
+    from oct_image_segmentation_models_tpu.cli import main
+    from oct_image_segmentation_models_tpu.training import (
+        TrainingParams,
+        train_model,
+    )
+
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=4, n_val=2, n_test=2,
+                      h=16, w=16)
+    folder = train_model(
+        TrainingParams(
+            model_architecture="unet",
+            training_dataset_path=ds,
+            initial_model=None,
+            results_location=tmp_path,
+            opt_con="adam",
+            loss="dice_loss_macro",
+            metric="dice_coef_macro",
+            epochs=1,
+            batch_size=2,
+            model_hyperparameters={"start_neurons": 2, "pool_layers": 2},
+            seed=0,
+        ),
+        None,
+    )
+    out = tmp_path / "eval_out"
+    main([
+        "evaluate",
+        str(folder / "model_final.hdf5"),
+        str(ds),
+        str(out),
+        "--batch-size", "2",
+    ])
+    assert (out / "overall_evaluation_results.csv").exists()
+
+    pred_out = tmp_path / "pred_out"
+    main([
+        "predict",
+        str(folder / "model_final.hdf5"),
+        str(ds),
+        str(pred_out),
+        "--graph-search",
+        "--batch-size", "2",
+    ])
+    assert (pred_out / "image_0" / "prediction_info.hdf5").exists()
+
+
+def test_cli_train(tmp_path):
+    from oct_image_segmentation_models_tpu.cli import main
+
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=4, n_val=2, n_test=2,
+                      h=16, w=16)
+    config = {
+        "model_architecture": "unet",
+        "training_dataset_path": str(ds),
+        "results_location": str(tmp_path / "runs"),
+        "optimizer": "adam",
+        "loss": "dice_loss_macro",
+        "metric": "dice_coef_macro",
+        "epochs": 1,
+        "batch_size": 2,
+        "model_hyperparameters": {"start_neurons": 2, "pool_layers": 2},
+        "seed": 0,
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+    main(["train", str(cfg_path)])
+    runs = list((tmp_path / "runs").glob("*/model_final.hdf5"))
+    assert runs
