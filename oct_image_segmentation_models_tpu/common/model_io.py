@@ -129,13 +129,19 @@ def _rebuild_container(model_name: str, model_config: dict):
     return model_class(**model_config)
 
 
+def _is_native_checkpoint(path: Path) -> bool:
+    with h5py.File(path, "r") as f:
+        return f.attrs.get("format", b"") == b"octseg-tpu-v1"
+
+
 def load_model_and_config(
     model_path,
     mlflow_tracking_uri=None,
     mlflow_run_uuid=None,
     **_kwargs,
 ) -> Tuple[LoadedModel, dict]:
-    """Restore a model from a local checkpoint or an MLflow artifact —
+    """Restore a model from a local checkpoint, a *reference Keras U-Net
+    checkpoint* (imported weight-for-weight), or an MLflow artifact —
     reference `common/utils.py:26-70`."""
     model_path = Path(model_path)
     if mlflow_tracking_uri:
@@ -150,6 +156,9 @@ def load_model_and_config(
         mlflow.set_tracking_uri(mlflow_tracking_uri)
         local = mlflow.artifacts.download_artifacts(str(model_path))
         model_path = Path(local)
+
+    if not _is_native_checkpoint(model_path):
+        return load_keras_unet_model(model_path)
 
     model_name, model_config, variables, _ = load_model(model_path)
 
@@ -202,3 +211,124 @@ def load_keras_resnet50_weights(params: dict, h5_path: Path) -> dict:
                     "var": jnp.asarray(src["moving_variance:0"][()]),
                 }
     return params, batch_stats
+
+
+def _keras_layer_index(name: str, prefix: str) -> int:
+    """conv2d -> 0, conv2d_3 -> 3 (Keras default layer naming)."""
+    rest = name[len(prefix):]
+    return int(rest[1:]) if rest else 0
+
+
+def load_keras_unet_model(model_path: Path) -> Tuple[LoadedModel, dict]:
+    """Import a *reference* Keras U-Net checkpoint (the
+    ``model_epoch{NN}.hdf5`` files Keras ModelCheckpoint writes, reference
+    `training/training.py:319-326`) into the Flax U-Net.
+
+    Keras assigns ``conv2d[_k]`` / ``batch_normalization[_k]`` names in
+    layer-creation order, which matches the reference build order
+    (`models/unet.py:106-147`) and this framework's ``ConvBlock_k``
+    call order exactly, so weights map one-to-one by index. The
+    architecture hyper-parameters come from the sidecar
+    ``model_config.json`` the reference always writes next to the
+    checkpoint (`training/training.py:50`).
+    """
+    import flax
+    import jax as _jax
+
+    model_path = Path(model_path)
+    sidecar = model_path.parent / "model_config.json"
+    if not sidecar.exists():
+        raise FileNotFoundError(
+            f"Keras checkpoint import needs {sidecar} (written by the "
+            "reference trainer) to rebuild the architecture"
+        )
+    with open(sidecar) as fh:
+        model_config = json.load(fh)
+
+    with h5py.File(model_path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        # Model name from the serialized Keras config when present.
+        model_name = "unet"
+        raw_cfg = f.attrs.get("model_config")
+        if raw_cfg is not None:
+            try:
+                cfg = json.loads(
+                    raw_cfg.decode() if isinstance(raw_cfg, bytes) else raw_cfg
+                )
+                model_name = cfg.get("config", {}).get("name", model_name)
+            except (ValueError, AttributeError):
+                pass
+
+        def weights_of(layer):
+            grp = root[layer]
+            while layer in grp:
+                grp = grp[layer]
+            return {k.split(":")[0]: np.asarray(v) for k, v in grp.items()}
+
+        convs = sorted(
+            (n for n in root if n == "conv2d" or n.startswith("conv2d_")),
+            key=lambda n: _keras_layer_index(n, "conv2d"),
+        )
+        bns = sorted(
+            (
+                n
+                for n in root
+                if n == "batch_normalization"
+                or n.startswith("batch_normalization_")
+            ),
+            key=lambda n: _keras_layer_index(n, "batch_normalization"),
+        )
+        conv_w = [weights_of(n) for n in convs]
+        bn_w = [weights_of(n) for n in bns]
+
+    container = _rebuild_container(model_name, model_config)
+    module = container.build_model()
+    variables = module.init(
+        _jax.random.PRNGKey(0),
+        np.zeros(
+            (
+                1,
+                model_config["image_height"],
+                model_config["image_width"],
+                model_config["input_channels"],
+            ),
+            np.float32,
+        ),
+        training=False,
+    )
+    params = flax.core.unfreeze(variables["params"])
+    batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+
+    blocks = sorted(
+        (k for k in params if k.startswith("ConvBlock_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    if len(blocks) != len(bn_w) or len(convs) != len(blocks) + 1:
+        raise ValueError(
+            f"Keras checkpoint layout mismatch: {len(convs)} convs / "
+            f"{len(bn_w)} batch-norms vs {len(blocks)} ConvBlocks"
+        )
+
+    for i, block in enumerate(blocks):
+        kw, bw = conv_w[i], bn_w[i]
+        tgt = params[block]["Conv_0"]
+        if tuple(np.shape(tgt["kernel"])) != kw["kernel"].shape:
+            raise ValueError(
+                f"{block}: kernel shape {kw['kernel'].shape} != "
+                f"{np.shape(tgt['kernel'])}"
+            )
+        tgt["kernel"] = jnp.asarray(kw["kernel"])
+        tgt["bias"] = jnp.asarray(kw["bias"])
+        bn_tgt = params[block]["BatchNorm_0"]
+        bn_tgt["scale"] = jnp.asarray(bw["gamma"])
+        bn_tgt["bias"] = jnp.asarray(bw["beta"])
+        bs = batch_stats[block]["BatchNorm_0"]
+        bs["mean"] = jnp.asarray(bw["moving_mean"])
+        bs["var"] = jnp.asarray(bw["moving_variance"])
+
+    head = params["Conv_0"]
+    head["kernel"] = jnp.asarray(conv_w[-1]["kernel"])
+    head["bias"] = jnp.asarray(conv_w[-1]["bias"])
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    return LoadedModel(model_name, module, variables, model_config), model_config

@@ -110,13 +110,15 @@ def _build_kernel(n, w, h, max_grad, pad):
 
     def make_pri():
         # Heap-entry priority per candidate (see minpath.py), from iota.
-        rows = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
-        pri_list = [jnp.full((1, h), 1, jnp.int32)]
+        # Materialised at full (C, N, H) shape: Mosaic mis-compiles the
+        # implicit (C, 1, H) broadcast for multi-tile sublane extents.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
+        pri_list = [jnp.full((n, h), 1, jnp.int32)]
         for k in range(1, max_grad + 1):
-            pri_list.append(jnp.full((1, h), 1 + k, jnp.int32))
+            pri_list.append(jnp.full((n, h), 1 + k, jnp.int32))
         for k in range(1, max_grad + 1):
             pri_list.append(1 + jnp.minimum(max_grad, rows - k) + k)
-        return jnp.stack(pri_list, axis=0)  # (C, 1, H)
+        return jnp.stack(pri_list, axis=0)  # (C, N, H)
 
     def shifts(x):
         out = [x]
@@ -136,117 +138,124 @@ def _build_kernel(n, w, h, max_grad, pad):
         return rank[:, :h]
 
     def kernel(
-        m_ref,  # in: (1, NB, H) int32 — column j of one 8-map block
-        choice_ref,  # out: (1, N, H) int32
-        dfin_ref,  # out: (N, H) int32 (final column distance)
-        rankfin_ref,  # out: (N, H) int32 (final column settle rank)
-        d_s,  # scratch (N, H) int32: distances
+        m_ref,  # in: (CW, NB, H) int32 — a chunk of columns, one map block
+        choice_ref,  # out: (CW, NB, H) int32
+        dfin_ref,  # out: (NB, H) int32 (final column distance)
+        rankfin_ref,  # out: (NB, H) int32 (final column settle rank)
+        d_s,  # scratch (NB, H) int32: distances
         pri_s,  # scratch: pop priorities
         rank_s,  # scratch: settle ranks
         dpred_s,  # scratch: pred distances
         ppred_s,  # scratch: pred pop priorities
         mprev_s,  # scratch: previous column map values
     ):
-        j = pl.program_id(1)
-        m_cur = m_ref[0]
+        chunk = pl.program_id(1)
+        cw = m_ref.shape[0]
         stacked_pri = make_pri()
 
-        @pl.when(j == 0)
-        def _init():
-            d0 = 255 - m_cur
-            d_s[:] = d0
-            pri_s[:] = jnp.ones((n, h), jnp.int32)
-            rank_s[:] = rank_of(
-                d0, jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
-            )
-            dpred_s[:] = jnp.zeros((n, h), jnp.int32)
-            ppred_s[:] = jnp.zeros((n, h), jnp.int32)
-            choice_ref[0] = jnp.zeros((n, h), jnp.int32)
+        def column(ji, _):
+            j = chunk * cw + ji
+            m_cur = m_ref[ji]
 
-        @pl.when(j > 0)
-        def _step():
-            d = d_s[:]
-            m_prev = mprev_s[:]
-            pri_prev = pri_s[:]
-            rank_prev = rank_s[:]
-            d_pred = dpred_s[:]
-            pri_pred = ppred_s[:]
+            @pl.when(j == 0)
+            def _init():
+                d0 = 255 - m_cur
+                d_s[:] = d0
+                pri_s[:] = jnp.ones((n, h), jnp.int32)
+                rank_s[:] = rank_of(
+                    d0, jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
+                )
+                dpred_s[:] = jnp.zeros((n, h), jnp.int32)
+                ppred_s[:] = jnp.zeros((n, h), jnp.int32)
+                choice_ref[ji] = jnp.zeros((n, h), jnp.int32)
 
-            q = d - m_prev
-            stacked = shifts(q)
-            best = jnp.min(stacked, axis=0)
-            tied = stacked == best[None]
-            d_new = best + 510 - m_cur
+            @pl.when(j > 0)
+            def _step():
+                d = d_s[:]
+                m_prev = mprev_s[:]
+                pri_prev = pri_s[:]
+                rank_prev = rank_s[:]
+                d_pred = dpred_s[:]
+                pri_pred = ppred_s[:]
 
-            sh_d = shifts(d)
-            sh_pp = shifts(pri_prev)
-            stacked_rank = shifts(rank_prev)
+                q = d - m_prev
+                stacked = shifts(q)
+                best = jnp.min(stacked, axis=0)
+                tied = stacked == best[None]
+                d_new = best + 510 - m_cur
 
-            zero_edge = (shifts(m_prev) == 255) & (m_cur == 255)[None]
-            strict = tied & ~zero_edge
-            pri_strict = jnp.where(strict, stacked_pri, _BIG)
-            best_strict_pri = jnp.min(pri_strict, axis=0)
-            # Strict pop entry (s): min (pri, rank) among strict-tied.
-            strict_rank_m = jnp.where(
-                pri_strict == best_strict_pri[None], stacked_rank, _BIG
-            )
-            s_min = jnp.min(strict_rank_m, axis=0)
-            s_sel = strict_rank_m == s_min[None]
-            d_sv = jnp.min(jnp.where(s_sel, sh_d, _BIG), axis=0)
-            pri_pop_s = jnp.min(jnp.where(s_sel, sh_pp, _BIG), axis=0)
+                sh_d = shifts(d)
+                sh_pp = shifts(pri_prev)
+                stacked_rank = shifts(rank_prev)
 
-            pu = sh_pp
-            dpu = shifts(d_pred)
-            ppu = shifts(pri_pred)
-            ps = best_strict_pri[None]
-            zero_valid = (
-                tied
-                & zero_edge
-                & (
-                    (pu < ps)
-                    | (
-                        (pu == ps)
-                        & (
-                            (dpu < d_sv[None])
-                            | ((dpu == d_sv[None]) & (ppu <= pri_pop_s[None]))
+                zero_edge = (shifts(m_prev) == 255) & (m_cur == 255)[None]
+                strict = tied & ~zero_edge
+                pri_strict = jnp.where(strict, stacked_pri, _BIG)
+                best_strict_pri = jnp.min(pri_strict, axis=0)
+                # Strict pop entry (s): min (pri, rank) among strict-tied.
+                strict_rank_m = jnp.where(
+                    pri_strict == best_strict_pri[None], stacked_rank, _BIG
+                )
+                s_min = jnp.min(strict_rank_m, axis=0)
+                s_sel = strict_rank_m == s_min[None]
+                d_sv = jnp.min(jnp.where(s_sel, sh_d, _BIG), axis=0)
+                pri_pop_s = jnp.min(jnp.where(s_sel, sh_pp, _BIG), axis=0)
+
+                pu = sh_pp
+                dpu = shifts(d_pred)
+                ppu = shifts(pri_pred)
+                ps = best_strict_pri[None]
+                zero_valid = (
+                    tied
+                    & zero_edge
+                    & (
+                        (pu < ps)
+                        | (
+                            (pu == ps)
+                            & (
+                                (dpu < d_sv[None])
+                                | ((dpu == d_sv[None]) & (ppu <= pri_pop_s[None]))
+                            )
                         )
                     )
                 )
-            )
-            valid = strict | zero_valid
-            # (logical blend, not jnp.where: Mosaic rejects selects on
-            # boolean vectors)
-            has_valid = jnp.any(valid, axis=0, keepdims=True)
-            valid = (valid & has_valid) | (tied & ~has_valid)
+                valid = strict | zero_valid
+                # (logical blend, not jnp.where: Mosaic rejects selects on
+                # boolean vectors)
+                has_valid = jnp.any(valid, axis=0, keepdims=True)
+                valid = (valid & has_valid) | (tied & ~has_valid)
 
-            best_pri = jnp.min(jnp.where(valid, stacked_pri, _BIG), axis=0)
-            pri_m = jnp.where(valid, stacked_pri, _BIG)
-            valid = valid & (pri_m == best_pri[None])
-            rank_m = jnp.where(valid, stacked_rank, _BIG)
-            entry_ctr = jnp.min(rank_m, axis=0)
-            chosen = rank_m == entry_ctr[None]
+                best_pri = jnp.min(jnp.where(valid, stacked_pri, _BIG), axis=0)
+                pri_m = jnp.where(valid, stacked_pri, _BIG)
+                valid = valid & (pri_m == best_pri[None])
+                rank_m = jnp.where(valid, stacked_rank, _BIG)
+                entry_ctr = jnp.min(rank_m, axis=0)
+                chosen = rank_m == entry_ctr[None]
 
-            def select(stacked_x):
-                return jnp.min(jnp.where(chosen, stacked_x, _BIG), axis=0)
+                def select(stacked_x):
+                    return jnp.min(jnp.where(chosen, stacked_x, _BIG), axis=0)
 
-            # Candidate index (in preference order) for the backtrack.
-            cand_idx = jax.lax.broadcasted_iota(jnp.int32, stacked.shape, 0)
-            choice = select(cand_idx)
+                # Candidate index (in preference order) for the backtrack.
+                cand_idx = jax.lax.broadcasted_iota(jnp.int32, stacked.shape, 0)
+                choice = select(cand_idx)
 
-            choice_ref[0] = choice
-            d_s[:] = d_new
-            pri_s[:] = best_pri
-            rank_s[:] = rank_of(d_new, best_pri * pad + entry_ctr)
-            dpred_s[:] = select(sh_d)
-            ppred_s[:] = select(sh_pp)
+                choice_ref[ji] = choice
+                d_s[:] = d_new
+                pri_s[:] = best_pri
+                rank_s[:] = rank_of(d_new, best_pri * pad + entry_ctr)
+                dpred_s[:] = select(sh_d)
+                ppred_s[:] = select(sh_pp)
 
-        mprev_s[:] = m_cur
+            mprev_s[:] = m_cur
 
-        @pl.when(j == w - 1)
-        def _finish():
-            dfin_ref[:] = d_s[:]
-            rankfin_ref[:] = rank_s[:]
+            @pl.when(j == w - 1)
+            def _finish():
+                dfin_ref[:] = d_s[:]
+                rankfin_ref[:] = rank_s[:]
 
+            return 0
+
+        jax.lax.fori_loop(0, cw, column, 0)
 
     return kernel, offsets
 
@@ -280,19 +289,24 @@ def delineate_pallas(
 
     kernel, offsets = _build_kernel(nb, w, h, max_grad, pad)
 
+    # Chunk columns so the sequential loop runs inside the kernel
+    # (fori_loop over VMEM blocks) instead of paying per-grid-step launch
+    # overhead for every column.
+    cw = next(c for c in (128, 64, 32, 16, 8, 4, 2, 1) if w % c == 0)
+
     m_cols = jnp.moveaxis(m, 1, 0)  # (W, N_pad, H)
 
     choices, d_final, rank_final = pl.pallas_call(
         kernel,
-        grid=(n_pad // nb, w),
+        grid=(n_pad // nb, w // cw),
         in_specs=[
             pl.BlockSpec(
-                (1, nb, h), lambda b, j: (j, b, 0), memory_space=pltpu.VMEM
+                (cw, nb, h), lambda b, j: (j, b, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, nb, h), lambda b, j: (j, b, 0), memory_space=pltpu.VMEM
+                (cw, nb, h), lambda b, j: (j, b, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((nb, h), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, h), lambda b, j: (b, 0), memory_space=pltpu.VMEM),

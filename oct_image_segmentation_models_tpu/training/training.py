@@ -22,6 +22,7 @@ reference):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging as log
 import math
@@ -36,6 +37,7 @@ import numpy as np
 from ..common import custom_losses, custom_metrics
 from ..common import data_generator as data_gen
 from ..common import dataset_loader, utils
+from ..common import profiling
 from ..common.mlflow_parameters import MLflowParameters
 from ..common.model_io import load_model, save_model
 from ..common.tracking import get_tracker
@@ -339,19 +341,27 @@ def train_model(
 
     for epoch in range(training_params.epochs):
         history.on_epoch_begin(epoch)
+        profile_ctx = (
+            profiling.trace(training_params.profile_dir)
+            if epoch == 0
+            else contextlib.nullcontext()
+        )
         train_losses, train_metrics = [], []
-        for batch_images, batch_labels in train_gen:
-            rng, step_rng = jax.random.split(rng)
-            images, labels = shard_batch(
-                (
-                    np.asarray(batch_images, np.float32),
-                    np.asarray(batch_labels),
-                ),
-                mesh,
-            )
-            state, loss_val, metric_val = train_step(state, images, labels, step_rng)
-            train_losses.append(loss_val)
-            train_metrics.append(metric_val)
+        with profile_ctx:
+            for batch_images, batch_labels in train_gen:
+                rng, step_rng = jax.random.split(rng)
+                images, labels = shard_batch(
+                    (
+                        np.asarray(batch_images, np.float32),
+                        np.asarray(batch_labels),
+                    ),
+                    mesh,
+                )
+                state, loss_val, metric_val = train_step(
+                    state, images, labels, step_rng
+                )
+                train_losses.append(loss_val)
+                train_metrics.append(metric_val)
         train_gen.on_epoch_end()
 
         val_losses, val_metrics = [], []

@@ -46,6 +46,7 @@ class TrainingParams:
         restore_best_weights: bool = True,
         patience: int = 50,
         seed: Optional[int] = None,
+        profile_dir: Optional[Path] = None,
     ):
         if (model_architecture is None) == (initial_model is None):
             raise ValueError(
@@ -92,6 +93,10 @@ class TrainingParams:
         self.restore_best_weights = restore_best_weights
         self.patience = patience
         self.seed = seed
+        # Optional jax.profiler trace of the first training epoch
+        # (TPU-native replacement for the reference's wall-clock-only
+        # observability, SURVEY.md §5).
+        self.profile_dir = Path(profile_dir) if profile_dir else None
 
         # "val_acc" default is rewritten to the configured metric
         # (reference `training_parameters.py:131-136`).

@@ -1,0 +1,104 @@
+"""Importing reference-style Keras U-Net checkpoints into the Flax model."""
+
+import json
+
+import h5py
+import jax
+import numpy as np
+
+from oct_image_segmentation_models_tpu.common import model_io
+from oct_image_segmentation_models_tpu.models import get_model_class
+
+
+def _make_keras_style_checkpoint(tmp_path, container, variables):
+    """Write our init weights in the Keras h5 layout (conv2d_k /
+    batch_normalization_k layer groups in creation order)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    blocks = sorted(
+        (k for k in params if k.startswith("ConvBlock_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    path = tmp_path / "model_epoch03.hdf5"
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(
+            {"class_name": "Functional", "config": {"name": "unet"}}
+        )
+        root = f.create_group("model_weights")
+
+        def conv_name(i):
+            return "conv2d" if i == 0 else f"conv2d_{i}"
+
+        def bn_name(i):
+            return (
+                "batch_normalization" if i == 0 else f"batch_normalization_{i}"
+            )
+
+        for i, block in enumerate(blocks):
+            g = root.create_group(conv_name(i)).create_group(conv_name(i))
+            g["kernel:0"] = np.asarray(params[block]["Conv_0"]["kernel"])
+            g["bias:0"] = np.asarray(params[block]["Conv_0"]["bias"])
+            b = root.create_group(bn_name(i)).create_group(bn_name(i))
+            b["gamma:0"] = np.asarray(params[block]["BatchNorm_0"]["scale"])
+            b["beta:0"] = np.asarray(params[block]["BatchNorm_0"]["bias"])
+            b["moving_mean:0"] = np.asarray(
+                stats[block]["BatchNorm_0"]["mean"]
+            )
+            b["moving_variance:0"] = np.asarray(
+                stats[block]["BatchNorm_0"]["var"]
+            )
+        g = root.create_group(conv_name(len(blocks)))
+        g = g.create_group(conv_name(len(blocks)))
+        g["kernel:0"] = np.asarray(params["Conv_0"]["kernel"])
+        g["bias:0"] = np.asarray(params["Conv_0"]["bias"])
+
+    with open(tmp_path / "model_config.json", "w") as fh:
+        json.dump(container.get_config(), fh)
+    return path
+
+
+def test_keras_unet_checkpoint_roundtrip(tmp_path):
+    container = get_model_class("unet")(
+        input_channels=1,
+        num_classes=3,
+        image_height=16,
+        image_width=16,
+        start_neurons=2,
+        pool_layers=2,
+    )
+    module = container.build_model()
+    rng = np.random.default_rng(0)
+    variables = module.init(
+        jax.random.PRNGKey(7),
+        np.zeros((1, 16, 16, 1), np.float32),
+        training=False,
+    )
+    # perturb batch stats so the import has to carry them
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+    for block in variables["batch_stats"].values():
+        block["BatchNorm_0"]["mean"] = (
+            block["BatchNorm_0"]["mean"] + 0.25
+        )
+
+    path = _make_keras_style_checkpoint(tmp_path, container, variables)
+
+    loaded, config = model_io.load_model_and_config(path)
+    assert loaded.name == "unet"
+    assert config["start_neurons"] == 2
+
+    x = rng.integers(0, 255, (2, 16, 16, 1)).astype(np.uint8)
+    want = module.apply(variables, x / 255.0, training=False)
+    got = loaded.predict(x / 255.0)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_keras_import_requires_sidecar(tmp_path):
+    path = tmp_path / "model.hdf5"
+    with h5py.File(path, "w") as f:
+        f.create_group("model_weights")
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        model_io.load_model_and_config(path)
