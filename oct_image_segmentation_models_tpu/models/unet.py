@@ -22,6 +22,7 @@ resolution instead of building one dynamic-shape graph as Keras does
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Sequence
 
 import flax.linen as nn
@@ -35,11 +36,17 @@ _conv_init = nn.initializers.glorot_uniform()
 
 
 class ConvBlock(nn.Module):
-    """Conv -> BatchNorm -> ReLU (reference `models/unet.py:20-29`)."""
+    """Conv -> BatchNorm -> ReLU (reference `models/unet.py:20-29`).
+
+    ``use_bn=False`` builds the BN-folded inference variant (the BN affine
+    is pre-merged into the conv weights, see
+    :func:`fold_batchnorm_variables`); parameter tree structure for the
+    conv is unchanged so folded weights load directly."""
 
     features: int
     kernel: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, training: bool):
@@ -51,12 +58,13 @@ class ConvBlock(nn.Module):
             kernel_init=_conv_init,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not training,
-            momentum=0.99,
-            epsilon=1e-3,
-            dtype=self.dtype,
-        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+            )(x)
         return nn.relu(x)
 
 
@@ -68,31 +76,35 @@ class UNetModule(nn.Module):
     enc_kernel: Sequence[int] = (3, 3)
     dec_kernel: Sequence[int] = (2, 2)
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = x.astype(self.dtype)
+        block = functools.partial(
+            ConvBlock, dtype=self.dtype, use_bn=self.use_bn
+        )
         skips = []
         for level in range(self.pool_layers):
             feats = self.start_neurons * (2**level)
             for _ in range(self.conv_layers):
-                x = ConvBlock(feats, self.enc_kernel, self.dtype)(x, training)
+                x = block(feats, self.enc_kernel)(x, training)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         feats = self.start_neurons * (2**self.pool_layers)
         for _ in range(self.conv_layers):
-            x = ConvBlock(feats, self.enc_kernel, self.dtype)(x, training)
+            x = block(feats, self.enc_kernel)(x, training)
         x = nn.Dropout(0.5, deterministic=not training)(x)
 
         for level in reversed(range(self.pool_layers)):
             feats = self.start_neurons * (2**level)
             # Nearest-neighbour 2x upsample (Keras UpSampling2D default).
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            x = ConvBlock(feats, self.dec_kernel, self.dtype)(x, training)
+            x = block(feats, self.dec_kernel)(x, training)
             x = jnp.concatenate([x, skips[level]], axis=-1)
             for _ in range(self.conv_layers):
-                x = ConvBlock(feats, self.enc_kernel, self.dtype)(x, training)
+                x = block(feats, self.enc_kernel)(x, training)
 
         x = nn.Conv(
             self.num_classes,
@@ -164,3 +176,34 @@ class UNet(BaseModel):
             dec_kernel=self.dec_kernel,
             dtype=jnp.dtype(self.dtype),
         )
+
+
+def fold_batchnorm_variables(variables: dict) -> dict:
+    """Fold eval-mode BatchNorm affines into the preceding conv weights.
+
+    For ``y = relu(BN(conv(x)))`` with running stats (mean, var) and affine
+    (scale, bias): ``kernel' = kernel * scale/sqrt(var+eps)`` per output
+    channel and ``bias' = (bias - mean) * scale/sqrt(var+eps) + bn_bias``.
+    Returns a variables dict for ``UNetModule(use_bn=False)`` (same conv
+    parameter paths, no BatchNorm/batch_stats entries). Inference-only.
+    """
+    import flax
+
+    eps = 1e-3
+    params = flax.core.unfreeze(variables["params"])
+    stats = variables.get("batch_stats", {})
+    folded = {}
+    for name, layer in params.items():
+        if not name.startswith("ConvBlock_"):
+            folded[name] = layer
+            continue
+        conv = dict(layer["Conv_0"])
+        bn = layer.get("BatchNorm_0")
+        if bn is not None:
+            mean = stats[name]["BatchNorm_0"]["mean"]
+            var = stats[name]["BatchNorm_0"]["var"]
+            factor = bn["scale"] / jnp.sqrt(var + eps)
+            conv["kernel"] = conv["kernel"] * factor
+            conv["bias"] = (conv["bias"] - mean) * factor + bn["bias"]
+        folded[name] = {"Conv_0": conv}
+    return {"params": folded}

@@ -4,11 +4,22 @@ The XLA ``lax.scan`` implementation in :mod:`.minpath` is correct but
 latency-bound on TPU: the per-column settle-rank computation (gathers +
 rank network) breaks XLA's loop-body fusion into dozens of kernel
 launches (~1 ms/column). This kernel runs the whole forward DP as ONE
-Pallas program: the grid iterates over map columns (Pallas pipelines the
-column blocks HBM->VMEM automatically), all DP state lives in VMEM
-scratch, and the settle-rank bitonic network is expressed with lane
-shifts + selects only (no reshapes, no scatters), which Mosaic compiles
-to straight VPU code.
+Pallas program:
+
+- the grid iterates over column chunks (blocks pipelined HBM->VMEM), the
+  sequential column loop runs in-kernel over VMEM state;
+- the settle-rank bitonic network is expressed with lane shifts + selects
+  only (no reshapes, scatters, or sorts), which Mosaic compiles to
+  straight VPU code;
+- maps are packed along BOTH vector axes: 8 maps in the sublane dimension
+  (Mosaic rejects larger sublane extents for these op patterns) and
+  further map-groups side-by-side in the lane dimension as power-of-two
+  segments. The bitonic butterflies never cross a segment (partners
+  ``i ^ j`` stay inside a power-of-two aligned segment), the DP's banded
+  shifts are masked at segment edges, and pad rows are walled off with
+  BIG distances — so each segment solves its map independently while one
+  op chain advances all of them, amortising the VPU dependency-chain
+  latency that dominates this kernel.
 
 Semantics are identical to ``minpath.delineate(..., tie_parity="exact")``;
 see that module's docstring for the algorithm and the tie-breaking
@@ -27,28 +38,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 2**30  # python int: pallas kernels cannot capture jnp constants
+_SUBLANES = 8  # maps per sublane block (Mosaic ceiling for these patterns)
+_MAX_LANES = 2048  # cap on packed lane extent per kernel invocation
 
 
 def _shift_up(x, k):
-    """y[i] = x[i+k] (from below), +inf fill."""
+    """y[i] = x[i+k] (from below), +inf fill at the global edge."""
     return jnp.concatenate(
         [x[..., k:], jnp.full(x.shape[:-1] + (k,), _BIG, x.dtype)], axis=-1
     )
 
 
 def _shift_down(x, k):
-    """y[i] = x[i-k] (from above), +inf fill."""
+    """y[i] = x[i-k] (from above), +inf fill at the global edge."""
     return jnp.concatenate(
         [jnp.full(x.shape[:-1] + (k,), _BIG, x.dtype), x[..., :-k]], axis=-1
     )
 
 
-def _butterfly_stages(h):
-    """Bitonic network stage list [(block, stride)] for a power-of-two
-    length ``h`` along the lane axis."""
+def _butterfly_stages(p):
+    """Bitonic network stage list [(block, stride)] for power-of-two
+    segment length ``p``."""
     stages = []
     k = 2
-    while k <= h:
+    while k <= p:
         j = k // 2
         while j >= 1:
             stages.append((k, j))
@@ -57,101 +70,94 @@ def _butterfly_stages(h):
     return stages
 
 
-def _bitonic_pass(stages, arrays, less_than):
-    """Run the butterfly network over ``arrays`` (tuple of (N, H) values),
-    ordering by the caller-supplied lexicographic ``less_than(own, partner)``
-    over the same tuple. Returns sorted arrays (ascending). Direction and
-    pair-side masks are derived from iota in-kernel (Pallas kernels cannot
-    capture array constants)."""
-    n, hp = arrays[0].shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1)
-    for k, j in stages:
-        asc = (lane & k) == 0
-        lower = (lane & j) == 0  # element is the 'a' side of its pair
-        partners = tuple(
-            jnp.where(lower, _shift_up(x, j), _shift_down(x, j)) for x in arrays
-        )
-        own_lt = less_than(arrays, partners)
-        keep = own_lt == (lower == asc)
-        arrays = tuple(
-            jnp.where(keep, x, p) for x, p in zip(arrays, partners)
-        )
-    return arrays
-
-
-def _lt2(own, partner):
-    """Lexicographic (d, sub) strict less-than."""
-    d, s = own[0], own[1]
-    pd, ps = partner[0], partner[1]
-    return (d < pd) | ((d == pd) & (s < ps))
-
-
-def _lt1(own, partner):
-    return own[0] < partner[0]
-
-
-def _settle_rank(stages, d_key, sub_key, iota_row):
-    """Dense settle rank of unique lexicographic keys (d_key, sub_key).
-
-    Two butterfly passes: sort (key -> permutation), then sort the
-    permutation (-> inverse permutation = rank)."""
-    _, _, perm = _bitonic_pass(
-        stages, (d_key, sub_key, iota_row), lambda o, p: _lt2(o, p)
-    )
-    _, rank = _bitonic_pass(stages, (perm, iota_row), _lt1)
-    return rank
-
-
-def _build_kernel(n, w, h, max_grad, pad):
-    stages = _butterfly_stages(pad)
+def _build_kernel(w, h, max_grad, p, groups):
+    """Kernel over (sublanes=8, lanes=groups*p) packed state."""
+    lanes = groups * p
+    stages = _butterfly_stages(p)
     offsets = [0] + list(range(1, max_grad + 1)) + [
         -k for k in range(1, max_grad + 1)
     ]
+    nb = _SUBLANES
 
-    def make_pri():
-        # Heap-entry priority per candidate (see minpath.py), from iota.
-        # Materialised at full (C, N, H) shape: Mosaic mis-compiles the
-        # implicit (C, 1, H) broadcast for multi-tile sublane extents.
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
-        pri_list = [jnp.full((n, h), 1, jnp.int32)]
-        for k in range(1, max_grad + 1):
-            pri_list.append(jnp.full((n, h), 1 + k, jnp.int32))
-        for k in range(1, max_grad + 1):
-            pri_list.append(1 + jnp.minimum(max_grad, rows - k) + k)
-        return jnp.stack(pri_list, axis=0)  # (C, N, H)
+    def local_iota():
+        # Row index within each p-aligned segment.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1)
+        return lane & (p - 1)
 
-    def shifts(x):
+    def seg_shift_up(x, k, li):
+        """Banded candidate from local row i+k; BIG outside the segment."""
+        y = _shift_up(x, k)
+        return jnp.where(li >= p - k, _BIG, y)
+
+    def seg_shift_down(x, k, li):
+        y = _shift_down(x, k)
+        return jnp.where(li < k, _BIG, y)
+
+    def shifts(x, li):
         out = [x]
         for k in range(1, max_grad + 1):
-            out.append(_shift_up(x, k))
+            out.append(seg_shift_up(x, k, li))
         for k in range(1, max_grad + 1):
-            out.append(_shift_down(x, k))
-        return jnp.stack(out, axis=0)  # (C, N, H)
+            out.append(seg_shift_down(x, k, li))
+        return jnp.stack(out, axis=0)  # (2g+1, NB, lanes)
 
-    def rank_of(d_key, sub_key):
-        iota_row = jax.lax.broadcasted_iota(jnp.int32, (n, pad), 1)
-        if pad != h:
-            fill = jnp.full((n, pad - h), _BIG, jnp.int32)
-            d_key = jnp.concatenate([d_key, fill], axis=-1)
-            sub_key = jnp.concatenate([sub_key, fill], axis=-1)
-        rank = _settle_rank(stages, d_key, sub_key, iota_row)
-        return rank[:, :h]
+    def bitonic_pass(arrays, less_than, li):
+        """Segmented butterfly: sorts each p-segment independently
+        (partners i^j never cross a power-of-two aligned segment)."""
+        for k, j in stages:
+            asc = (li & k) == 0
+            lower = (li & j) == 0
+            partners = tuple(
+                jnp.where(lower, _shift_up(x, j), _shift_down(x, j))
+                for x in arrays
+            )
+            own_lt = less_than(arrays, partners)
+            keep = own_lt == (lower == asc)
+            arrays = tuple(
+                jnp.where(keep, x, q) for x, q in zip(arrays, partners)
+            )
+        return arrays
+
+    def lt2(own, partner):
+        d, s = own[0], own[1]
+        pd, ps = partner[0], partner[1]
+        return (d < pd) | ((d == pd) & (s < ps))
+
+    def lt1(own, partner):
+        return own[0] < partner[0]
+
+    def rank_of(d_key, sub_key, li):
+        """Per-segment dense settle rank of unique (d_key, sub_key)."""
+        _, _, perm = bitonic_pass((d_key, sub_key, li), lt2, li)
+        _, rank = bitonic_pass((perm, li), lt1, li)
+        return rank
+
+    def make_pri(li):
+        # Heap-entry priority per candidate (see minpath.py), local rows.
+        pri_list = [jnp.full((nb, lanes), 1, jnp.int32)]
+        for k in range(1, max_grad + 1):
+            pri_list.append(jnp.full((nb, lanes), 1 + k, jnp.int32))
+        for k in range(1, max_grad + 1):
+            pri_list.append(1 + jnp.minimum(max_grad, li - k) + k)
+        return jnp.stack(pri_list, axis=0)  # (2g+1, NB, lanes)
 
     def kernel(
-        m_ref,  # in: (CW, NB, H) int32 — a chunk of columns, one map block
-        choice_ref,  # out: (CW, NB, H) int32
-        dfin_ref,  # out: (NB, H) int32 (final column distance)
-        rankfin_ref,  # out: (NB, H) int32 (final column settle rank)
-        d_s,  # scratch (NB, H) int32: distances
+        m_ref,  # in: (CW, NB, lanes) int32 — a chunk of packed columns
+        choice_ref,  # out: (CW, NB, lanes) int32
+        dfin_ref,  # out: (NB, lanes) int32 (final column distance)
+        rankfin_ref,  # out: (NB, lanes) int32 (final column settle rank)
+        d_s,  # scratch (NB, lanes) int32: distances
         pri_s,  # scratch: pop priorities
         rank_s,  # scratch: settle ranks
         dpred_s,  # scratch: pred distances
         ppred_s,  # scratch: pred pop priorities
         mprev_s,  # scratch: previous column map values
     ):
-        chunk = pl.program_id(1)
+        chunk = pl.program_id(0)
         cw = m_ref.shape[0]
-        stacked_pri = make_pri()
+        li = local_iota()
+        stacked_pri = make_pri(li)
+        is_pad = li >= h  # rows beyond the real map height: hard wall
 
         def column(ji, _):
             j = chunk * cw + ji
@@ -159,15 +165,13 @@ def _build_kernel(n, w, h, max_grad, pad):
 
             @pl.when(j == 0)
             def _init():
-                d0 = 255 - m_cur
+                d0 = jnp.where(is_pad, _BIG, 255 - m_cur)
                 d_s[:] = d0
-                pri_s[:] = jnp.ones((n, h), jnp.int32)
-                rank_s[:] = rank_of(
-                    d0, jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
-                )
-                dpred_s[:] = jnp.zeros((n, h), jnp.int32)
-                ppred_s[:] = jnp.zeros((n, h), jnp.int32)
-                choice_ref[ji] = jnp.zeros((n, h), jnp.int32)
+                pri_s[:] = jnp.ones((nb, lanes), jnp.int32)
+                rank_s[:] = rank_of(d0, li, li)
+                dpred_s[:] = jnp.zeros((nb, lanes), jnp.int32)
+                ppred_s[:] = jnp.zeros((nb, lanes), jnp.int32)
+                choice_ref[ji] = jnp.zeros((nb, lanes), jnp.int32)
 
             @pl.when(j > 0)
             def _step():
@@ -179,20 +183,23 @@ def _build_kernel(n, w, h, max_grad, pad):
                 pri_pred = ppred_s[:]
 
                 q = d - m_prev
-                stacked = shifts(q)
+                stacked = shifts(q, li)
                 best = jnp.min(stacked, axis=0)
                 tied = stacked == best[None]
-                d_new = best + 510 - m_cur
+                d_new = jnp.where(is_pad, _BIG, best + 510 - m_cur)
 
-                sh_d = shifts(d)
-                sh_pp = shifts(pri_prev)
-                stacked_rank = shifts(rank_prev)
+                sh_d = shifts(d, li)
+                sh_pp = shifts(pri_prev, li)
+                stacked_rank = shifts(rank_prev, li)
 
-                zero_edge = (shifts(m_prev) == 255) & (m_cur == 255)[None]
+                # Heap-entry validity for zero-weight edges (see
+                # minpath.py): a 255-255 predecessor with equal distance
+                # only has a live entry if it settles before this node's
+                # strict pop; compare (pri, then pred settle key).
+                zero_edge = (shifts(m_prev, li) == 255) & (m_cur == 255)[None]
                 strict = tied & ~zero_edge
                 pri_strict = jnp.where(strict, stacked_pri, _BIG)
                 best_strict_pri = jnp.min(pri_strict, axis=0)
-                # Strict pop entry (s): min (pri, rank) among strict-tied.
                 strict_rank_m = jnp.where(
                     pri_strict == best_strict_pri[None], stacked_rank, _BIG
                 )
@@ -202,8 +209,8 @@ def _build_kernel(n, w, h, max_grad, pad):
                 pri_pop_s = jnp.min(jnp.where(s_sel, sh_pp, _BIG), axis=0)
 
                 pu = sh_pp
-                dpu = shifts(d_pred)
-                ppu = shifts(pri_pred)
+                dpu = shifts(d_pred, li)
+                ppu = shifts(pri_pred, li)
                 ps = best_strict_pri[None]
                 zero_valid = (
                     tied
@@ -214,7 +221,10 @@ def _build_kernel(n, w, h, max_grad, pad):
                             (pu == ps)
                             & (
                                 (dpu < d_sv[None])
-                                | ((dpu == d_sv[None]) & (ppu <= pri_pop_s[None]))
+                                | (
+                                    (dpu == d_sv[None])
+                                    & (ppu <= pri_pop_s[None])
+                                )
                             )
                         )
                     )
@@ -235,14 +245,13 @@ def _build_kernel(n, w, h, max_grad, pad):
                 def select(stacked_x):
                     return jnp.min(jnp.where(chosen, stacked_x, _BIG), axis=0)
 
-                # Candidate index (in preference order) for the backtrack.
-                cand_idx = jax.lax.broadcasted_iota(jnp.int32, stacked.shape, 0)
-                choice = select(cand_idx)
-
-                choice_ref[ji] = choice
+                cand_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, stacked.shape, 0
+                )
+                choice_ref[ji] = select(cand_idx)
                 d_s[:] = d_new
                 pri_s[:] = best_pri
-                rank_s[:] = rank_of(d_new, best_pri * pad + entry_ctr)
+                rank_s[:] = rank_of(d_new, best_pri * p + entry_ctr, li)
                 dpred_s[:] = select(sh_d)
                 ppred_s[:] = select(sh_pp)
 
@@ -273,58 +282,96 @@ def delineate_pallas(
     w, h = maps_u8.shape[-2], maps_u8.shape[-1]
     m = maps_u8.reshape((-1, w, h)).astype(jnp.int32)
     n = m.shape[0]
-    pad = 1
-    while pad < h:
-        pad *= 2
 
-    # Mosaic rejects these op patterns with a sublane extent beyond one
-    # native tile, so maps are processed in blocks of 8 via a second grid
-    # dimension (the state scratch resets at each block's first column).
-    nb = 8
-    n_pad = ((n + nb - 1) // nb) * nb
+    p = 1
+    while p < h:
+        p *= 2
+
+    nb = _SUBLANES
+    n_blocks = -(-n // nb)
+    groups = max(1, min(n_blocks, _MAX_LANES // p))
+    n_super = -(-n_blocks // groups)
+    n_pad = n_super * groups * nb
+    lanes = groups * p
+
+    # Pack: (n_pad, W, H) -> (n_super, groups, nb, W, H)
+    #   -> per super-block (W, nb, groups*P) with per-segment H->P pad rows.
     if n_pad != n:
-        m = jnp.concatenate(
+        m_padded = jnp.concatenate(
             [m, jnp.zeros((n_pad - n, w, h), jnp.int32)], axis=0
         )
+    else:
+        m_padded = m
+    m5 = m_padded.reshape(n_super, groups, nb, w, h)
+    if p != h:
+        m5 = jnp.pad(m5, ((0, 0), (0, 0), (0, 0), (0, 0), (0, p - h)))
+    # (n_super, W, nb, groups, P) -> (n_super, W, nb, groups*P)
+    m_packed = jnp.transpose(m5, (0, 3, 2, 1, 4)).reshape(
+        n_super, w, nb, lanes
+    )
 
-    kernel, offsets = _build_kernel(nb, w, h, max_grad, pad)
+    kernel, offsets = _build_kernel(w, h, max_grad, p, groups)
+    cw = next(c for c in (32, 16, 8, 4, 2, 1) if w % c == 0)
 
-    # Chunk columns so the sequential loop runs inside the kernel
-    # (fori_loop over VMEM blocks) instead of paying per-grid-step launch
-    # overhead for every column.
-    cw = next(c for c in (128, 64, 32, 16, 8, 4, 2, 1) if w % c == 0)
+    def run_super(m_cols):
+        return pl.pallas_call(
+            kernel,
+            grid=(w // cw,),
+            in_specs=[
+                pl.BlockSpec(
+                    (cw, nb, lanes), lambda j: (j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (cw, nb, lanes), lambda j: (j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nb, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (nb, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((w, nb, lanes), jnp.int32),
+                jax.ShapeDtypeStruct((nb, lanes), jnp.int32),
+                jax.ShapeDtypeStruct((nb, lanes), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nb, lanes), jnp.int32) for _ in range(6)
+            ],
+            interpret=interpret,
+        )(m_cols)
 
-    m_cols = jnp.moveaxis(m, 1, 0)  # (W, N_pad, H)
+    if n_super == 1:
+        choices_p, d_final_p, rank_final_p = run_super(m_packed[0])
+        choices_p = choices_p[None]
+        d_final_p = d_final_p[None]
+        rank_final_p = rank_final_p[None]
+    else:
+        choices_p, d_final_p, rank_final_p = jax.lax.map(
+            run_super, m_packed
+        )
 
-    choices, d_final, rank_final = pl.pallas_call(
-        kernel,
-        grid=(n_pad // nb, w // cw),
-        in_specs=[
-            pl.BlockSpec(
-                (cw, nb, h), lambda b, j: (j, b, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (cw, nb, h), lambda b, j: (j, b, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((nb, h), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, h), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((w, n_pad, h), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, h), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, h), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((nb, h), jnp.int32) for _ in range(6)],
-        interpret=interpret,
-    )(m_cols)
-    choices = choices[:, :n]
-    d_final = d_final[:n]
-    rank_final = rank_final[:n]
+    def unpack(x_packed, has_w):
+        # (n_super, [W,] nb, groups*P) -> (n, [W,] H)
+        if has_w:
+            x = x_packed.reshape(n_super, w, nb, groups, p)
+            x = jnp.transpose(x, (0, 3, 2, 1, 4))  # (ns, groups, nb, W, P)
+            return x.reshape(n_pad, w, p)[:n, :, :h]
+        x = x_packed.reshape(n_super, nb, groups, p)
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return x.reshape(n_pad, p)[:n, :h]
+
+    choices = jnp.moveaxis(unpack(choices_p, True), 1, 0)  # (W, n, H)
+    d_final = unpack(d_final_p, False)
+    rank_final = unpack(rank_final_p, False)
 
     # Exit row: earliest-settled last-column node among exit-distance ties.
-    m_last = m[:n, w - 1, :]
+    m_last = m[:, w - 1, :]
     exit_dist = d_final + 255 - m_last
     tied = exit_dist == jnp.min(exit_dist, axis=-1, keepdims=True)
     r_last = jnp.argmin(jnp.where(tied, rank_final, _BIG), axis=-1).astype(

@@ -48,3 +48,23 @@ def test_pallas_batched_plateaus():
     got = np.asarray(delineate_pallas(maps, interpret=True))
     want = np.asarray(minpath.delineate(maps))
     assert np.array_equal(got, want)
+
+
+def test_pallas_lane_packed_groups():
+    # 20 maps of height 16 -> 3 sublane blocks packed into lane segments.
+    rng = np.random.default_rng(2)
+    w, h = 12, 16
+    maps = (rng.random((20, w, h)) < 0.25).astype(np.uint8) * 255
+    got = np.asarray(delineate_pallas(maps, interpret=True))
+    want = np.asarray(minpath.delineate(maps))
+    assert np.array_equal(got, want)
+
+
+def test_pallas_nonpow2_height():
+    rng = np.random.default_rng(3)
+    w, h = 10, 11  # pad rows must stay walled off
+    rows = np.clip(5 + np.cumsum(rng.integers(-1, 2, w)), 1, h - 2)
+    m = _ridge_map(w, h, rows)
+    got = np.asarray(delineate_pallas(m[None], interpret=True))[0]
+    want = dijkstra_delineate(m)
+    assert np.array_equal(got, want)

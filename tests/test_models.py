@@ -102,3 +102,27 @@ def test_resnet50_keras_layer_names_present():
     for name in ("conv1_conv", "conv2_block1_1_conv", "conv4_block6_3_bn",
                  "conv5_block3_3_conv"):
         assert name in params, sorted(params)[:5]
+
+
+def test_batchnorm_folding_matches():
+    from oct_image_segmentation_models_tpu.models.unet import (
+        UNetModule,
+        fold_batchnorm_variables,
+    )
+    import flax
+
+    module = UNetModule(num_classes=3, start_neurons=2, pool_layers=2)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 16, 16, 1)).astype(np.float32)
+    variables = module.init(jax.random.PRNGKey(0), x, training=False)
+    # non-trivial running stats
+    variables = flax.core.unfreeze(variables)
+    for blk in variables["batch_stats"].values():
+        blk["BatchNorm_0"]["mean"] = blk["BatchNorm_0"]["mean"] + 0.1
+        blk["BatchNorm_0"]["var"] = blk["BatchNorm_0"]["var"] * 1.5
+    want = module.apply(variables, x, training=False)
+    folded_module = UNetModule(num_classes=3, start_neurons=2, pool_layers=2,
+                               use_bn=False)
+    folded = fold_batchnorm_variables(variables)
+    got = folded_module.apply(folded, x, training=False)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -97,3 +97,20 @@ def test_training_loss_decreases(dataset, tmp_path):
     with h5py.File(stats[-1], "r") as f:
         losses = f["train_loss"][:]
     assert losses[-1] < losses[0], losses
+
+
+def test_bf16_training_runs(dataset, tmp_path):
+    folder = train_model(
+        _params(
+            dataset,
+            tmp_path,
+            epochs=1,
+            model_hyperparameters={
+                "start_neurons": 2,
+                "pool_layers": 2,
+                "dtype": "bfloat16",
+            },
+        ),
+        None,
+    )
+    assert (folder / "model_final.hdf5").exists()
