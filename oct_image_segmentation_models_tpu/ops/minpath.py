@@ -28,17 +28,22 @@ exact (they are for the dominant 0/255 map values).
 Tie-breaking parity: the reference heap breaks distance ties by a
 neighbour-priority (straight-down in the virtual column first, then
 right, then diagonal-up by growing step, then diagonal-down), then by
-insertion order (`graph_search.py:85-92`). For this DAG that reduces to:
+insertion order (`graph_search.py:85-92`). For this DAG the emulation is:
 
-- predecessor choice: same row, then row+k (below), then row-k (above),
-  k ascending — implemented via first-occurrence ``argmin`` over
-  candidates stacked in that order;
+- predecessor choice: lexicographic (distance, entry priority, insertion
+  counter), where priorities follow the truncated neighbour-list
+  positions and counters are ordered by per-column settle ranks
+  propagated through the scan;
+- zero-weight edges (255-255 plateaus) additionally race their
+  predecessor's settle against the node's strict pop (entry validity);
 - final column: the backtrack climbs the free virtual descent to the
-  topmost tied exit row, which resolves to the *first* (topmost) argmin
-  of the exit distances.
+  earliest-settled tied exit row.
 
-Verified against a faithful heapq oracle in
-``tests/test_minpath.py`` (exact match on ridge-like and random maps).
+Verified against a faithful heapq oracle in ``tests/test_minpath.py``:
+bit-exact on realistic (single-ridge) boundary maps, plateaus, gaps and
+flat tails; >97% of adversarial dense-random maps; the residual
+divergences are equal-cost paths whose choice depends on cross-column
+heap-counter races (the returned path is always cost-optimal).
 """
 
 from __future__ import annotations

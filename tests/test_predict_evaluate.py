@@ -144,3 +144,65 @@ def test_evaluate_outputs(trained, tmp_path):
     # Dice of a trained model should be decent on this easy synthetic set
     with h5py.File(save_folder / "overall_evaluation_results.hdf5", "r") as f:
         assert np.nanmean(f["mean_dice_coef_macro"][:]) > 0.55
+
+
+def test_predict_without_graph_search(trained, tmp_path):
+    root, ds, model_path = trained
+    with h5py.File(ds, "r") as f:
+        images = f["test_images"][:2]
+    out_dirs = [tmp_path / f"img_{i}" for i in range(2)]
+    dataset = Dataset(images, None, [p / "x" for p in out_dirs], out_dirs)
+    outputs = predict(
+        PredictionParams(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            dataset=dataset,
+            config_output_dir=tmp_path,
+            save_params=PredictionSaveParams(png_images=False),
+            graph_search=False,
+            batch_size=2,
+        )
+    )
+    assert outputs[0].gs_pred_segs is None
+    assert not (out_dirs[0] / "graph_search_prediction_info.hdf5").exists()
+
+
+def test_evaluate_metric_subset_no_graph_search(trained, tmp_path):
+    root, ds, model_path = trained
+    save_folder = tmp_path / "eval2"
+    outputs = evaluate_model(
+        EvaluationParameters(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            test_dataset_path=ds,
+            save_foldername=save_folder,
+            save_params=EvaluationSaveParams(png_images=False),
+            graph_search=False,
+            metrics=["dice_coef_macro"],
+            batch_size=2,
+        )
+    )
+    assert outputs[0].errors is None
+    with h5py.File(save_folder / "image_0" / "evaluation_results.hdf5") as f:
+        assert "dice_coef_macro" in f
+        assert "hausdorff_distances" not in f
+    with h5py.File(save_folder / "overall_evaluation_results.hdf5") as f:
+        assert "mean_dice_coef_macro" in f
+        assert "mean_abs_errors" not in f
+
+
+def test_invalid_metric_rejected(trained, tmp_path):
+    root, ds, model_path = trained
+    with pytest.raises(ValueError):
+        EvaluationParameters(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            test_dataset_path=ds,
+            save_foldername=tmp_path,
+            save_params=EvaluationSaveParams(),
+            graph_search=False,
+            metrics=["nope"],
+        )
