@@ -36,7 +36,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device_put pytree leaves with the leading axis sharded over the mesh."""
+    """Device_put pytree leaves with the leading axis sharded over the mesh.
+
+    A single-device mesh uses plain placement: arrays carrying a
+    NamedSharding force jit through the SPMD partitioner, which compiles
+    ~8x slower step code on the TPU stack used here, with nothing to
+    partition.
+    """
+    devices = mesh.devices.reshape(-1)
+    if devices.size == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, devices[0]), batch
+        )
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch

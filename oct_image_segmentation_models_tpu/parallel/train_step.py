@@ -1,13 +1,24 @@
 """Jitted, mesh-sharded train/eval steps.
 
-Data parallelism via ``shard_map`` over the ``data`` mesh axis: each device
-computes the forward/backward on its batch shard, gradients (and the
-scalar loss/metric) are combined with mean-``psum`` over ICI, and the
-optimizer update runs redundantly-replicated (identical on every device) —
-the functional equivalent of the reference's MirroredStrategy step
-(`training/training.py:185-188,243-266`). BatchNorm statistics are
-computed per replica and mean-reduced, matching Keras mirrored-variable
-``aggregation=MEAN`` semantics.
+Data parallelism over the ``data`` mesh axis — the TPU-native replacement
+for the reference's MirroredStrategy step
+(`training/training.py:185-188,243-266`). Two implementations:
+
+- ``impl="spmd"``: one logical train step as a plain jit whose layout
+  follows the input placement; XLA inserts the gradient all-reduce when
+  the batch arrives sharded. Compiles to the same fused convolutions as
+  single-device code (the explicit shard_map lowering is ~8x slower for
+  the U-Net backward on this v5e stack) and computes BatchNorm statistics
+  over the whole batch (sync-BN).
+- ``impl="shard_map"``: explicit per-device step with ``pmean`` gradients
+  and mean-reduced per-replica BatchNorm statistics — matching Keras
+  MirroredStrategy semantics exactly (per-replica BN, mirrored-variable
+  ``aggregation=MEAN``), and the explicit-collective formulation of
+  BASELINE.md config #4.
+- ``impl="auto"`` (default): ``spmd`` on a single-device mesh (where the
+  two are semantically identical — one replica — and spmd is much
+  faster) and ``shard_map`` on multi-device meshes (reference-parity BN
+  semantics).
 """
 
 from __future__ import annotations
@@ -16,6 +27,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -33,14 +45,21 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    variables, tx: optax.GradientTransformation, mesh: Mesh = None
+) -> TrainState:
     params = variables["params"]
-    return TrainState(
+    state = TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
     )
+    if mesh is not None and np.prod(mesh.devices.shape) > 1:
+        from .mesh import replicated
+
+        state = jax.device_put(state, replicated(mesh))
+    return state
 
 
 def make_train_step(
@@ -49,9 +68,16 @@ def make_train_step(
     loss_fn: Callable,
     metric_fn: Callable,
     mesh: Mesh,
+    impl: str = "auto",
 ) -> Callable:
     """Returns ``train_step(state, images, labels, rng) ->
     (state, loss, metric)`` jitted over the mesh."""
+    if impl == "auto":
+        impl = "spmd" if mesh.devices.size == 1 else "shard_map"
+    if impl == "spmd":
+        return _make_train_step_spmd(module, tx, loss_fn, metric_fn, mesh)
+    if impl != "shard_map":
+        raise ValueError(f"unknown train step impl: {impl}")
 
     def local_step(state: TrainState, images, labels, rng):
         # Per-device batch shard; fold the data-axis index into the dropout
@@ -94,8 +120,63 @@ def make_train_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_eval_step(module, loss_fn: Callable, metric_fn: Callable, mesh: Mesh):
+def _make_train_step_spmd(module, tx, loss_fn, metric_fn, mesh: Mesh):
+    # No sharding annotations: the step is a plain jit and the layout
+    # follows the input shardings (batch placed sharded by shard_batch,
+    # state replicated) — XLA propagates and inserts the gradient
+    # all-reduce. Explicit in_shardings/out_shardings force the SPMD
+    # partitioner even on a 1-device mesh, which compiles pathologically
+    # on this TPU stack (~8x slower step).
+    del mesh
+
+    def step(state: TrainState, images, labels, rng):
+        def compute_loss(params):
+            out, mutated = module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                training=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return loss_fn(labels, out), (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        metric = metric_fn(labels, out)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_stats, new_opt_state, state.step + 1),
+            loss,
+            metric,
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(
+    module,
+    loss_fn: Callable,
+    metric_fn: Callable,
+    mesh: Mesh,
+    impl: str = "auto",
+):
     """Returns ``eval_step(state, images, labels) -> (loss, metric)``."""
+    if impl == "auto":
+        impl = "spmd" if mesh.devices.size == 1 else "shard_map"
+    if impl == "spmd":
+        def step(state: TrainState, images, labels):
+            out = module.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                images,
+                training=False,
+            )
+            return loss_fn(labels, out), metric_fn(labels, out)
+
+        return jax.jit(step)
+    if impl != "shard_map":
+        raise ValueError(f"unknown eval step impl: {impl}")
 
     def local_step(state: TrainState, images, labels):
         out = module.apply(

@@ -42,6 +42,7 @@ from ..common.mlflow_parameters import MLflowParameters
 from ..common.model_io import load_model, save_model
 from ..common.tracking import get_tracker
 from ..models import get_model_class
+from ..parallel.input_pipeline import prefetch_to_mesh
 from ..parallel.mesh import create_mesh, shard_batch
 from ..parallel.train_step import (
     build_optimizer,
@@ -231,9 +232,14 @@ def train_model(
         )
         model_name = model_architecture
 
-    state = create_train_state(dict(variables), tx)
-    train_step = make_train_step(module, tx, loss_fn, metric_fn, mesh)
-    eval_step = make_eval_step(module, loss_fn, metric_fn, mesh)
+    state = create_train_state(dict(variables), tx, mesh)
+    train_step = make_train_step(
+        module, tx, loss_fn, metric_fn, mesh,
+        impl=training_params.train_step_impl,
+    )
+    eval_step = make_eval_step(
+        module, loss_fn, metric_fn, mesh, impl=training_params.train_step_impl
+    )
 
     monitor_name, monitor_mode = training_params.model_save_monitor
     timestamp = utils.get_timestamp()
@@ -348,15 +354,14 @@ def train_model(
         )
         train_losses, train_metrics = [], []
         with profile_ctx:
-            for batch_images, batch_labels in train_gen:
+            # Host batch assembly + H2D transfer overlap device compute
+            # (double-buffered prefetch onto the mesh).
+            batches = (
+                (np.asarray(bi, np.float32), np.asarray(bl))
+                for bi, bl in train_gen
+            )
+            for images, labels in prefetch_to_mesh(batches, mesh):
                 rng, step_rng = jax.random.split(rng)
-                images, labels = shard_batch(
-                    (
-                        np.asarray(batch_images, np.float32),
-                        np.asarray(batch_labels),
-                    ),
-                    mesh,
-                )
                 state, loss_val, metric_val = train_step(
                     state, images, labels, step_rng
                 )
@@ -365,14 +370,10 @@ def train_model(
         train_gen.on_epoch_end()
 
         val_losses, val_metrics = [], []
-        for batch_images, batch_labels in val_gen:
-            images, labels = shard_batch(
-                (
-                    np.asarray(batch_images, np.float32),
-                    np.asarray(batch_labels),
-                ),
-                mesh,
-            )
+        val_batches = (
+            (np.asarray(bi, np.float32), np.asarray(bl)) for bi, bl in val_gen
+        )
+        for images, labels in prefetch_to_mesh(val_batches, mesh):
             loss_val, metric_val = eval_step(state, images, labels)
             val_losses.append(loss_val)
             val_metrics.append(metric_val)

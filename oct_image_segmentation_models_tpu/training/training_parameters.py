@@ -47,6 +47,7 @@ class TrainingParams:
         patience: int = 50,
         seed: Optional[int] = None,
         profile_dir: Optional[Path] = None,
+        train_step_impl: str = "auto",
     ):
         if (model_architecture is None) == (initial_model is None):
             raise ValueError(
@@ -97,6 +98,9 @@ class TrainingParams:
         # (TPU-native replacement for the reference's wall-clock-only
         # observability, SURVEY.md §5).
         self.profile_dir = Path(profile_dir) if profile_dir else None
+        # Data-parallel step implementation: "auto" | "spmd" | "shard_map"
+        # (see parallel/train_step.py).
+        self.train_step_impl = train_step_impl
 
         # "val_acc" default is rewritten to the configured metric
         # (reference `training_parameters.py:131-136`).
