@@ -14,7 +14,7 @@ import matplotlib
 matplotlib.use("Agg")  # reference package __init__ forces Agg too
 
 import numpy as np
-from matplotlib import cm, colors  # noqa: E402
+from matplotlib import colors  # noqa: E402
 from matplotlib import pyplot as plt  # noqa: E402
 
 predict_colours = [

@@ -20,7 +20,6 @@ from typing import Iterable, Iterator, Optional
 
 import h5py
 import jax
-import numpy as np
 
 from .mesh import shard_batch
 

@@ -11,8 +11,6 @@ stream and the MXU never idles on transfers.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..models import get_model_class

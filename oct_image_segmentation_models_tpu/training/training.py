@@ -43,7 +43,7 @@ from ..common.model_io import load_model, save_model
 from ..common.tracking import get_tracker
 from ..models import get_model_class
 from ..parallel.input_pipeline import prefetch_to_mesh
-from ..parallel.mesh import create_mesh, shard_batch
+from ..parallel.mesh import create_mesh
 from ..parallel.train_step import (
     build_optimizer,
     create_train_state,
