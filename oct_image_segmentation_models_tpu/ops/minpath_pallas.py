@@ -101,35 +101,36 @@ def _build_kernel(w, h, max_grad, p, groups):
             out.append(seg_shift_down(x, k, li))
         return jnp.stack(out, axis=0)  # (2g+1, NB, lanes)
 
-    def bitonic_pass(arrays, less_than, li):
-        """Segmented butterfly: sorts each p-segment independently
-        (partners i^j never cross a power-of-two aligned segment)."""
+    def rank_of(d_key, sub_key, li):
+        """Per-segment dense settle rank of unique (d_key, sub_key).
+
+        One butterfly pass sorts the keys while recording each stage's
+        swap mask; replaying the recorded swaps in *reverse* order on the
+        row iota yields the inverse permutation (= the rank) directly —
+        each masked pairwise swap is an involution, so the reversed
+        composition inverts the sort's gather map. Saves a full second
+        comparison pass."""
+        dk, sk = d_key, sub_key
+        swaps = []
         for k, j in stages:
             asc = (li & k) == 0
             lower = (li & j) == 0
-            partners = tuple(
-                jnp.where(lower, _shift_up(x, j), _shift_down(x, j))
-                for x in arrays
-            )
-            own_lt = less_than(arrays, partners)
+            pd = jnp.where(lower, _shift_up(dk, j), _shift_down(dk, j))
+            ps = jnp.where(lower, _shift_up(sk, j), _shift_down(sk, j))
+            own_lt = (dk < pd) | ((dk == pd) & (sk < ps))
             keep = own_lt == (lower == asc)
-            arrays = tuple(
-                jnp.where(keep, x, q) for x, q in zip(arrays, partners)
+            dk = jnp.where(keep, dk, pd)
+            sk = jnp.where(keep, sk, ps)
+            swaps.append((j, lower, keep))
+        rank = li
+        for j, lower, keep in reversed(swaps):
+            partner = jnp.where(
+                lower, _shift_up(rank, j), _shift_down(rank, j)
             )
-        return arrays
-
-    def lt2(own, partner):
-        d, s = own[0], own[1]
-        pd, ps = partner[0], partner[1]
-        return (d < pd) | ((d == pd) & (s < ps))
-
-    def lt1(own, partner):
-        return own[0] < partner[0]
-
-    def rank_of(d_key, sub_key, li):
-        """Per-segment dense settle rank of unique (d_key, sub_key)."""
-        _, _, perm = bitonic_pass((d_key, sub_key, li), lt2, li)
-        _, rank = bitonic_pass((perm, li), lt1, li)
+            # 'keep' marks rows that kept their own value at this stage;
+            # its partner row necessarily also kept/swapped symmetrically,
+            # so the shifted mask equals the local mask.
+            rank = jnp.where(keep, rank, partner)
         return rank
 
     def make_pri(li):
