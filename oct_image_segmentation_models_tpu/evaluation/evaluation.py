@@ -308,6 +308,38 @@ def evaluate_model(eval_params: EvaluationParameters) -> List[EvaluationOutput]:
     return eval_outputs
 
 
+
+def _region_cmap(n):
+    return plotting.colors.ListedColormap(plotting.region_colours, N=n)
+
+
+def _save_csv(path, array):
+    np.savetxt(path, array, fmt="%d", delimiter=",")
+
+
+def _write_datasets(hdf5_file, specs):
+    """Create HDF5 datasets from (name, data, dtype) triples, skipping
+    None data (optional metrics)."""
+    for name, data, dtype in specs:
+        if data is not None:
+            hdf5_file.create_dataset(name, data=data, dtype=dtype)
+
+
+def _write_run_attrs(hdf5_file, eval_params, image_name, **extra):
+    hdf5_file.attrs["model_filename"] = np.array(
+        str(eval_params.model_path), dtype="S1000"
+    )
+    hdf5_file.attrs["image_name"] = np.array(str(image_name), dtype="S1000")
+    hdf5_file.attrs["timestamp"] = np.array(
+        common_utils.get_timestamp(), dtype="S1000"
+    )
+    for key, value in extra.items():
+        hdf5_file.attrs[key] = np.array(value)
+
+
+def _opt(transform, value):
+    return None if value is None else transform(value)
+
 def _save_image_evaluation_results(
     eval_params: EvaluationParameters,
     eval_image: np.ndarray,
@@ -328,127 +360,101 @@ def _save_image_evaluation_results(
     output_dir: Path,
 ):
     """Reference `evaluation/evaluation.py:452-603` (same files/keys)."""
-    with open(output_dir / "input_image_name.txt", "w") as f:
-        f.write(str(image_name))
+    save = eval_params.save_params
+    num_classes = len(categorical_pred)
+    (output_dir / "input_image_name.txt").write_text(str(image_name))
+    _save_csv(output_dir / "predicted_segmentation_map.csv", predicted_labels)
 
-    np.savetxt(
-        output_dir / Path("predicted_segmentation_map.csv"),
-        predicted_labels,
-        fmt="%d",
-        delimiter=",",
-    )
+    eval_labels = np.argmax(eval_labels, axis=2)
+    _save_csv(output_dir / "ground_truth_segmentation_map.csv", eval_labels)
 
-    hdf5_file = h5py.File(output_dir / Path(EVALUATION_RESULTS_FILENAME), "w")
-    if eval_params.save_params.categorical_pred:
-        hdf5_file.create_dataset(
-            "categorical_pred", data=categorical_pred, dtype="uint8"
-        )
-        if eval_params.save_params.png_images:
-            for map_ind in range(len(categorical_pred)):
-                plotting.save_image_plot(
-                    categorical_pred[map_ind],
-                    output_dir / Path(f"categorical_pred_{map_ind}.png"),
-                    cmap=cm.Blues,
-                )
-
-    if eval_params.save_params.predicted_labels:
-        hdf5_file.create_dataset(
-            "predicted_segmentation_map", data=predicted_labels, dtype="uint8"
-        )
-        if eval_params.save_params.png_images:
-            plotting.save_image_plot(
-                predicted_labels,
-                output_dir / Path("predicted_segmentation_map.png"),
-                cmap=plotting.colors.ListedColormap(
-                    plotting.region_colours, N=len(categorical_pred)
+    with h5py.File(output_dir / EVALUATION_RESULTS_FILENAME, "w") as f:
+        _write_datasets(
+            f,
+            [
+                (
+                    "categorical_pred",
+                    categorical_pred if save.categorical_pred else None,
+                    "uint8",
                 ),
-            )
+                (
+                    "predicted_segmentation_map",
+                    predicted_labels if save.predicted_labels else None,
+                    "uint8",
+                ),
+                ("raw_image", eval_image, "uint8"),
+                ("eval_labels", eval_labels, "uint8"),
+                ("raw_segs", eval_segs, "uint16"),
+                (
+                    EVALUATION_METRIC_DICE_CLASSES,
+                    _opt(np.squeeze, dice_classes),
+                    "float64",
+                ),
+                (
+                    EVALUATION_METRIC_DICE_MACRO,
+                    _opt(np.atleast_1d, dice_macro),
+                    "float64",
+                ),
+                (
+                    EVALUATION_METRIC_DICE_MICRO,
+                    _opt(np.atleast_1d, dice_micro),
+                    "float64",
+                ),
+                (
+                    "average_surface_distances",
+                    average_surface_distances,
+                    "float64",
+                ),
+                (
+                    "average_surface_distances_gt_to_pred",
+                    average_surface_distances_gt_to_pred,
+                    "float64",
+                ),
+                (
+                    "average_surface_distances_pred_to_gt",
+                    average_surface_distances_pred_to_gt,
+                    "float64",
+                ),
+                ("hausdorff_distances", hausdorff_distances, "float64"),
+            ],
+        )
+        _write_run_attrs(
+            f, eval_params, image_name, predict_time=predict_time
+        )
 
-    hdf5_file.create_dataset("raw_image", data=eval_image, dtype="uint8")
+    if save.categorical_pred and save.png_images:
+        for map_ind, class_map in enumerate(categorical_pred):
+            plotting.save_image_plot(
+                class_map,
+                output_dir / f"categorical_pred_{map_ind}.png",
+                cmap=cm.Blues,
+            )
+    if save.predicted_labels and save.png_images:
+        plotting.save_image_plot(
+            predicted_labels,
+            output_dir / "predicted_segmentation_map.png",
+            cmap=_region_cmap(num_classes),
+        )
     plotting.save_image_plot(
         eval_image,
-        output_dir / Path("raw_image.png"),
+        output_dir / "raw_image.png",
         cmap=None if eval_image.shape[2] == 3 else cm.gray,
         vmin=0,
         vmax=255,
     )
-
-    eval_labels = np.argmax(eval_labels, axis=2)
-    hdf5_file.create_dataset("eval_labels", data=eval_labels, dtype="uint8")
-    np.savetxt(
-        output_dir / Path("ground_truth_segmentation_map.csv"),
-        eval_labels,
-        fmt="%d",
-        delimiter=",",
-    )
     plotting.save_image_plot(
         eval_labels,
-        output_dir / Path("ground_truth_segmentation_map.png"),
-        cmap=plotting.colors.ListedColormap(
-            plotting.region_colours, N=len(categorical_pred)
-        ),
+        output_dir / "ground_truth_segmentation_map.png",
+        cmap=_region_cmap(num_classes),
     )
     plotting.save_segmentation_plot(
         eval_image,
         cm.gray,
-        output_dir / Path("truth_plot.png"),
+        output_dir / "truth_plot.png",
         truth_label_segs,
         predictions=None,
         column_range=range(eval_image.shape[1]),
     )
-
-    hdf5_file.create_dataset("raw_segs", data=eval_segs, dtype="uint16")
-
-    if dice_classes is not None:
-        hdf5_file.create_dataset(
-            EVALUATION_METRIC_DICE_CLASSES,
-            data=np.squeeze(dice_classes),
-            dtype="float64",
-        )
-    if dice_macro is not None:
-        hdf5_file.create_dataset(
-            EVALUATION_METRIC_DICE_MACRO,
-            data=np.expand_dims(dice_macro, axis=0),
-            dtype="float64",
-        )
-    if dice_micro is not None:
-        hdf5_file.create_dataset(
-            EVALUATION_METRIC_DICE_MICRO,
-            data=np.expand_dims(dice_micro, axis=0),
-            dtype="float64",
-        )
-    if average_surface_distances is not None:
-        hdf5_file.create_dataset(
-            "average_surface_distances",
-            data=average_surface_distances,
-            dtype="float64",
-        )
-    if average_surface_distances_gt_to_pred is not None:
-        hdf5_file.create_dataset(
-            "average_surface_distances_gt_to_pred",
-            data=average_surface_distances_gt_to_pred,
-            dtype="float64",
-        )
-    if average_surface_distances_pred_to_gt is not None:
-        hdf5_file.create_dataset(
-            "average_surface_distances_pred_to_gt",
-            data=average_surface_distances_pred_to_gt,
-            dtype="float64",
-        )
-    if hausdorff_distances is not None:
-        hdf5_file.create_dataset(
-            "hausdorff_distances", data=hausdorff_distances, dtype="float64"
-        )
-
-    hdf5_file.attrs["model_filename"] = np.array(
-        str(eval_params.model_path), dtype="S1000"
-    )
-    hdf5_file.attrs["image_name"] = np.array(str(image_name), dtype="S1000")
-    hdf5_file.attrs["timestamp"] = np.array(
-        common_utils.get_timestamp(), dtype="S1000"
-    )
-    hdf5_file.attrs["predict_time"] = np.array(predict_time)
-    hdf5_file.close()
 
 
 def _save_graph_based_evaluation_results(
@@ -471,62 +477,48 @@ def _save_graph_based_evaluation_results(
 ):
     """Reference `evaluation/evaluation.py:607-700` (same files/keys)."""
     num_classes = gs_pred_segs.shape[0] + 1
-    hdf5_file = h5py.File(output_dir / Path(GS_EVALUATION_RESULTS_FILENAME), "w")
+    _save_csv(output_dir / "gs_boundaries.csv", gs_pred_segs)
+    _save_csv(output_dir / "gs_predicted_segmentation_map.csv", gs_eval_label)
 
-    np.savetxt(
-        output_dir / Path("gs_boundaries.csv"),
-        gs_pred_segs,
-        delimiter=",",
-        fmt="%d",
-    )
-    np.savetxt(
-        output_dir / Path("gs_predicted_segmentation_map.csv"),
-        gs_eval_label,
-        fmt="%d",
-        delimiter=",",
-    )
-
-    hdf5_file.create_dataset("gs_pred_segs", data=gs_pred_segs, dtype="uint16")
-    hdf5_file.create_dataset("errors", data=errors, dtype="float64")
-    hdf5_file.create_dataset("mean_abs_err", data=mean_abs_err, dtype="float64")
-    hdf5_file.create_dataset("mean_err", data=mean_err, dtype="float64")
-    hdf5_file.create_dataset("abs_err_sd", data=abs_err_sd, dtype="float64")
-    hdf5_file.create_dataset("err_sd", data=err_sd, dtype="float64")
-
-    if gs_dice_classes is not None:
-        hdf5_file.create_dataset(
-            EVALUATION_METRIC_DICE_CLASSES,
-            data=np.squeeze(gs_dice_classes),
-            dtype="float64",
+    with h5py.File(output_dir / GS_EVALUATION_RESULTS_FILENAME, "w") as f:
+        _write_datasets(
+            f,
+            [
+                ("gs_pred_segs", gs_pred_segs, "uint16"),
+                ("errors", errors, "float64"),
+                ("mean_abs_err", mean_abs_err, "float64"),
+                ("mean_err", mean_err, "float64"),
+                ("abs_err_sd", abs_err_sd, "float64"),
+                ("err_sd", err_sd, "float64"),
+                (
+                    EVALUATION_METRIC_DICE_CLASSES,
+                    _opt(np.squeeze, gs_dice_classes),
+                    "float64",
+                ),
+                (
+                    EVALUATION_METRIC_DICE_MACRO,
+                    _opt(np.atleast_1d, gs_dice_macro),
+                    "float64",
+                ),
+                (
+                    EVALUATION_METRIC_DICE_MICRO,
+                    _opt(np.atleast_1d, gs_dice_micro),
+                    "float64",
+                ),
+                ("gs_predicted_labels", gs_eval_label, "uint8"),
+            ],
         )
-    if gs_dice_macro is not None:
-        hdf5_file.create_dataset(
-            EVALUATION_METRIC_DICE_MACRO,
-            data=np.expand_dims(gs_dice_macro, axis=0),
-            dtype="float64",
-        )
-    if gs_dice_micro is not None:
-        hdf5_file.create_dataset(
-            EVALUATION_METRIC_DICE_MICRO,
-            data=np.expand_dims(gs_dice_micro, axis=0),
-            dtype="float64",
-        )
-
-    hdf5_file.create_dataset(
-        "gs_predicted_labels", data=gs_eval_label, dtype="uint8"
-    )
+        _write_run_attrs(f, eval_params, image_name, graph_time=graph_time)
 
     plotting.save_image_plot(
         gs_eval_label,
-        output_dir / Path("gs_predicted_segmentation_map.png"),
-        cmap=plotting.colors.ListedColormap(
-            plotting.region_colours, N=num_classes
-        ),
+        output_dir / "gs_predicted_segmentation_map.png",
+        cmap=_region_cmap(num_classes),
     )
     plotting.save_segmentation_plot(
         eval_image,
         cm.gray,
-        output_dir / Path("gs_pred_and_truth_overlay_plot.png"),
+        output_dir / "gs_pred_and_truth_overlay_plot.png",
         truth_label_segs,
         gs_pred_segs,
         column_range=range(eval_image.shape[1]),
@@ -534,21 +526,11 @@ def _save_graph_based_evaluation_results(
     plotting.save_segmentation_plot(
         eval_image,
         cm.gray,
-        output_dir / Path("gs_predicted_boundaries_ovelay_plot.png"),
+        output_dir / "gs_predicted_boundaries_ovelay_plot.png",
         gs_pred_segs,
         predictions=None,
         column_range=range(eval_image.shape[1]),
     )
-
-    hdf5_file.attrs["model_filename"] = np.array(
-        str(eval_params.model_path), dtype="S1000"
-    )
-    hdf5_file.attrs["image_name"] = np.array(str(image_name), dtype="S1000")
-    hdf5_file.attrs["timestamp"] = np.array(
-        common_utils.get_timestamp(), dtype="S1000"
-    )
-    hdf5_file.attrs["graph_time"] = np.array(graph_time)
-    hdf5_file.close()
 
 
 def save_eval_config_file(eval_params: EvaluationParameters):
