@@ -68,3 +68,13 @@ def test_pallas_nonpow2_height():
     got = np.asarray(delineate_pallas(m[None], interpret=True))[0]
     want = dijkstra_delineate(m)
     assert np.array_equal(got, want)
+
+
+def test_pallas_max_grad_2():
+    rng = np.random.default_rng(4)
+    w, h = 14, 16
+    rows = np.clip(8 + np.cumsum(rng.integers(-3, 4, w)), 1, h - 2)
+    m = _ridge_map(w, h, rows)
+    got = np.asarray(delineate_pallas(m[None], max_grad=2, interpret=True))[0]
+    want = dijkstra_delineate(m, max_grad=2)
+    assert np.array_equal(got, want)

@@ -114,3 +114,31 @@ def test_bf16_training_runs(dataset, tmp_path):
         None,
     )
     assert (folder / "model_final.hdf5").exists()
+
+
+def test_deeplab_training_smoke(tmp_path):
+    # DeepLabV3+ end-to-end: one epoch on tiny 64x64 inputs (3 channels).
+    ds = make_dataset(tmp_path / "rgb.hdf5", n_train=2, n_val=2, n_test=2,
+                      h=64, w=64, num_classes=3, seed=3)
+    # convert to 3-channel images
+    with h5py.File(tmp_path / "rgb.hdf5", "r+") as f:
+        for split in ("train", "val", "test"):
+            imgs = f[f"{split}_images"][:]
+            del f[f"{split}_images"]
+            f[f"{split}_images"] = np.repeat(imgs, 3, axis=-1)
+    folder = train_model(
+        TrainingParams(
+            model_architecture="deeplabv3plus",
+            training_dataset_path=tmp_path / "rgb.hdf5",
+            initial_model=None,
+            results_location=tmp_path,
+            opt_con="adam",
+            loss="dice_loss_macro",
+            metric="dice_coef_macro",
+            epochs=1,
+            batch_size=2,
+            seed=0,
+        ),
+        None,
+    )
+    assert (folder / "model_final.hdf5").exists()
