@@ -117,9 +117,20 @@ class LoadedModel:
         )
 
     def predict(self, images, batch_size: Optional[int] = None, verbose=0):
-        """Channels-last class probabilities for a (B, H, W, C) batch."""
+        """Channels-last class probabilities for a (B, H, W, C) batch.
+
+        ``batch_size`` chunks large inputs (one jit compilation per chunk
+        shape; the final remainder chunk compiles separately)."""
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
         images = jnp.asarray(images)
-        return np.asarray(self._apply(self.variables, images))
+        if batch_size is None or images.shape[0] <= batch_size:
+            return np.asarray(self._apply(self.variables, images))
+        chunks = [
+            np.asarray(self._apply(self.variables, images[i : i + batch_size]))
+            for i in range(0, images.shape[0], batch_size)
+        ]
+        return np.concatenate(chunks)
 
 
 def _rebuild_container(model_name: str, model_config: dict):

@@ -224,3 +224,33 @@ def test_cli_train(tmp_path):
     main(["train", str(cfg_path)])
     runs = list((tmp_path / "runs").glob("*/model_final.hdf5"))
     assert runs
+
+
+def test_loaded_model_predict_chunks(tmp_path):
+    container, module, variables = _tiny_model()
+    path = tmp_path / "m.hdf5"
+    model_io.save_model(path, "unet", container.get_config(),
+                        {"params": variables["params"],
+                         "batch_stats": variables["batch_stats"]})
+    loaded, _ = model_io.load_model_and_config(path)
+    images = np.random.default_rng(0).integers(
+        0, 255, (5, 16, 16, 1), dtype=np.uint8
+    )
+    full = loaded.predict(images)
+    chunked = loaded.predict(images, batch_size=2)
+    assert np.allclose(full, chunked, atol=1e-6)
+
+
+def test_sharded_reader_remainder(tmp_path):
+    from oct_image_segmentation_models_tpu.parallel.input_pipeline import (
+        ShardedHDF5Reader,
+    )
+
+    ds = make_dataset(tmp_path / "odd.hdf5", n_train=7, n_val=2, n_test=2)
+    shards = [
+        ShardedHDF5Reader(ds, "train", process_index=i, process_count=3).load()
+        for i in range(3)
+    ]
+    counts = [s[0].shape[0] for s in shards]
+    assert sum(counts) == 7
+    assert max(counts) - min(counts) <= 1
