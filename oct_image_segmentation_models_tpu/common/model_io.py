@@ -169,7 +169,7 @@ def load_model_and_config(
         model_path = Path(local)
 
     if not _is_native_checkpoint(model_path):
-        return load_keras_unet_model(model_path)
+        return load_keras_model(model_path)
 
     model_name, model_config, variables, _ = load_model(model_path)
 
@@ -228,6 +228,35 @@ def _keras_layer_index(name: str, prefix: str) -> int:
     """conv2d -> 0, conv2d_3 -> 3 (Keras default layer naming)."""
     rest = name[len(prefix):]
     return int(rest[1:]) if rest else 0
+
+
+def _keras_model_name(f: h5py.File, default: str) -> str:
+    """Model name from the serialized Keras config attribute.
+
+    The reference names its models after the registry key
+    (`models/unet.py:149-153`, `models/deeplabv3plus.py:127-130`), so
+    this is how checkpoints are dispatched to the right importer."""
+    raw_cfg = f.attrs.get("model_config")
+    if raw_cfg is None:
+        return default
+    try:
+        cfg = json.loads(
+            raw_cfg.decode() if isinstance(raw_cfg, bytes) else raw_cfg
+        )
+        return cfg.get("config", {}).get("name", default)
+    except (ValueError, AttributeError):
+        return default
+
+
+def load_keras_model(model_path: Path) -> Tuple["LoadedModel", dict]:
+    """Import a reference Keras checkpoint, dispatching on the embedded
+    model name (U-Net by layer order, DeepLabV3+ by layer name)."""
+    model_path = Path(model_path)
+    with h5py.File(model_path, "r") as f:
+        name = _keras_model_name(f, "unet")
+    if name == "deeplabv3plus":
+        return load_keras_deeplab_model(model_path)
+    return load_keras_unet_model(model_path)
 
 
 def load_keras_unet_model(model_path: Path) -> Tuple[LoadedModel, dict]:
@@ -343,3 +372,136 @@ def load_keras_unet_model(model_path: Path) -> Tuple[LoadedModel, dict]:
 
     variables = {"params": params, "batch_stats": batch_stats}
     return LoadedModel(model_name, module, variables, model_config), model_config
+
+
+def load_keras_deeplab_model(model_path: Path) -> Tuple[LoadedModel, dict]:
+    """Import a *reference* Keras DeepLabV3+ checkpoint into Flax.
+
+    The backbone convs/BNs carry Keras ResNet50 layer names (reference
+    `models/deeplabv3plus.py:91` uses ``keras.applications.ResNet50``),
+    which match the Flax backbone's layer names exactly
+    (:mod:`..models.resnet`), so they map by name. The head layers get
+    Keras default names (``conv2d[_k]`` / ``batch_normalization[_k]``)
+    in creation order — DSPP pool/1x1/rate-6/12/18/projection blocks,
+    the 48-filter low-level projection, two decoder blocks, then the
+    softmax head (reference `models/deeplabv3plus.py:33-125`) — which
+    matches this module's creation order, so they map by index.
+    """
+    import flax
+    import jax as _jax
+
+    model_path = Path(model_path)
+    sidecar = model_path.parent / "model_config.json"
+    if not sidecar.exists():
+        raise FileNotFoundError(
+            f"Keras checkpoint import needs {sidecar} (written by the "
+            "reference trainer) to rebuild the architecture"
+        )
+    with open(sidecar) as fh:
+        model_config = json.load(fh)
+
+    container = _rebuild_container("deeplabv3plus", model_config)
+    module = container.build_model()
+    variables = module.init(
+        _jax.random.PRNGKey(0),
+        np.zeros(
+            (
+                1,
+                model_config["image_height"],
+                model_config["image_width"],
+                model_config["input_channels"],
+            ),
+            np.float32,
+        ),
+        training=False,
+    )
+    params = flax.core.unfreeze(variables["params"])
+    batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+
+    with h5py.File(model_path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+
+        def weights_of(layer):
+            grp = root[layer]
+            while layer in grp:
+                grp = grp[layer]
+            return {k.split(":")[0]: np.asarray(v) for k, v in grp.items()}
+
+        # --- backbone, by Keras layer name ---
+        for layer_name, target in params["resnet50"].items():
+            if layer_name not in root:
+                raise KeyError(
+                    f"backbone layer {layer_name!r} missing from checkpoint"
+                )
+            src = weights_of(layer_name)
+            if "kernel" in target:
+                if tuple(target["kernel"].shape) != src["kernel"].shape:
+                    raise ValueError(
+                        f"{layer_name}: kernel {src['kernel'].shape} != "
+                        f"{tuple(target['kernel'].shape)}"
+                    )
+                target["kernel"] = jnp.asarray(src["kernel"])
+                if "bias" in target and "bias" in src:
+                    target["bias"] = jnp.asarray(src["bias"])
+            if "scale" in target:
+                target["scale"] = jnp.asarray(src["gamma"])
+                target["bias"] = jnp.asarray(src["beta"])
+                bs = batch_stats["resnet50"][layer_name]
+                bs["mean"] = jnp.asarray(src["moving_mean"])
+                bs["var"] = jnp.asarray(src["moving_variance"])
+
+        # --- head, by creation-order index ---
+        convs = sorted(
+            (n for n in root if n == "conv2d" or n.startswith("conv2d_")),
+            key=lambda n: _keras_layer_index(n, "conv2d"),
+        )
+        bns = sorted(
+            (
+                n
+                for n in root
+                if n == "batch_normalization"
+                or n.startswith("batch_normalization_")
+            ),
+            key=lambda n: _keras_layer_index(n, "batch_normalization"),
+        )
+        head_blocks = [("DSPP_0", f"_ConvBlock_{i}") for i in range(6)] + [
+            (f"_ConvBlock_{i}",) for i in range(3)
+        ]
+        if len(bns) != len(head_blocks) or len(convs) != len(head_blocks) + 1:
+            raise ValueError(
+                f"Keras DeepLab head layout mismatch: {len(convs)} convs / "
+                f"{len(bns)} batch-norms vs {len(head_blocks)} blocks"
+            )
+        for i, path in enumerate(head_blocks):
+            kw, bw = weights_of(convs[i]), weights_of(bns[i])
+            p = params
+            b = batch_stats
+            for part in path:
+                p = p[part]
+                b = b[part]
+            tgt = p["Conv_0"]
+            if tuple(tgt["kernel"].shape) != kw["kernel"].shape:
+                raise ValueError(
+                    f"{'/'.join(path)}: kernel {kw['kernel'].shape} != "
+                    f"{tuple(tgt['kernel'].shape)}"
+                )
+            tgt["kernel"] = jnp.asarray(kw["kernel"])
+            if "bias" in tgt and "bias" in kw:
+                tgt["bias"] = jnp.asarray(kw["bias"])
+            bn_tgt = p["BatchNorm_0"]
+            bn_tgt["scale"] = jnp.asarray(bw["gamma"])
+            bn_tgt["bias"] = jnp.asarray(bw["beta"])
+            bs = b["BatchNorm_0"]
+            bs["mean"] = jnp.asarray(bw["moving_mean"])
+            bs["var"] = jnp.asarray(bw["moving_variance"])
+
+        head = params["Conv_0"]
+        kw = weights_of(convs[-1])
+        head["kernel"] = jnp.asarray(kw["kernel"])
+        head["bias"] = jnp.asarray(kw["bias"])
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    return (
+        LoadedModel("deeplabv3plus", module, variables, model_config),
+        model_config,
+    )

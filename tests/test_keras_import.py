@@ -102,3 +102,100 @@ def test_keras_import_requires_sidecar(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         model_io.load_model_and_config(path)
+
+
+def test_keras_deeplab_checkpoint_roundtrip(tmp_path):
+    """Fabricate a reference-style Keras DeepLabV3+ checkpoint (ResNet50
+    layer names for the backbone, creation-order conv2d_k names for the
+    head) and import it weight-for-weight."""
+    import flax
+
+    container = get_model_class("deeplabv3plus")(
+        input_channels=3,
+        num_classes=3,
+        image_height=64,
+        image_width=64,
+    )
+    module = container.build_model()
+    variables = flax.core.unfreeze(
+        module.init(
+            jax.random.PRNGKey(1),
+            np.zeros((1, 64, 64, 3), np.float32),
+            training=False,
+        )
+    )
+    rng = np.random.default_rng(3)
+    # perturb so every imported tensor differs from a fresh init
+    variables = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + rng.normal(0, 0.01, a.shape).astype(a.dtype),
+        variables,
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+
+    path = tmp_path / "model_epoch05.hdf5"
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(
+            {"class_name": "Functional", "config": {"name": "deeplabv3plus"}}
+        )
+        root = f.create_group("model_weights")
+
+        def write_layer(name, tensors):
+            g = root.create_group(name).create_group(name)
+            for k, v in tensors.items():
+                g[f"{k}:0"] = np.asarray(v)
+
+        for layer_name, target in params["resnet50"].items():
+            if "kernel" in target:
+                write_layer(
+                    layer_name,
+                    {"kernel": target["kernel"], "bias": target["bias"]},
+                )
+            else:
+                write_layer(
+                    layer_name,
+                    {
+                        "gamma": target["scale"],
+                        "beta": target["bias"],
+                        "moving_mean": stats["resnet50"][layer_name]["mean"],
+                        "moving_variance": stats["resnet50"][layer_name]["var"],
+                    },
+                )
+
+        head_blocks = [("DSPP_0", f"_ConvBlock_{i}") for i in range(6)] + [
+            (f"_ConvBlock_{i}",) for i in range(3)
+        ]
+        for i, hpath in enumerate(head_blocks):
+            p, b = params, stats
+            for part in hpath:
+                p, b = p[part], b[part]
+            conv = {"kernel": p["Conv_0"]["kernel"]}
+            if "bias" in p["Conv_0"]:
+                conv["bias"] = p["Conv_0"]["bias"]
+            write_layer("conv2d" if i == 0 else f"conv2d_{i}", conv)
+            write_layer(
+                "batch_normalization"
+                if i == 0
+                else f"batch_normalization_{i}",
+                {
+                    "gamma": p["BatchNorm_0"]["scale"],
+                    "beta": p["BatchNorm_0"]["bias"],
+                    "moving_mean": b["BatchNorm_0"]["mean"],
+                    "moving_variance": b["BatchNorm_0"]["var"],
+                },
+            )
+        write_layer(
+            "conv2d_9",
+            {"kernel": params["Conv_0"]["kernel"], "bias": params["Conv_0"]["bias"]},
+        )
+    with open(tmp_path / "model_config.json", "w") as fh:
+        json.dump(container.get_config(), fh)
+
+    loaded, config = model_io.load_model_and_config(path)
+    assert loaded.name == "deeplabv3plus"
+    got = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, loaded.variables)
+    )
+    want = jax.tree_util.tree_leaves(variables)
+    assert len(got) == len(want)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), b)
