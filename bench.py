@@ -13,6 +13,11 @@ measurement is pure device time — immune to host/tunnel launch overhead
 and async-dispatch artifacts (block_until_ready is unreliable under the
 axon tunnel used in this environment).
 
+The accelerator path runs the space-to-depth transformed conv stack
+(ops/s2d_unet.py: BN folded, top two levels in s2d(2) layout so every
+conv feeds the 128-wide MXU lane dimension fully) — numerically
+equivalent to the parity module to ~3e-4 in probability space.
+
 ``vs_baseline`` follows BASELINE.md's north star (">= 10x Keras-CPU
 B-scans/sec on one v5e chip"): the baseline is 10x the throughput of the
 same fused pipeline on the CPU backend (a conservative stand-in for the
@@ -37,14 +42,23 @@ CPU_BATCH = 2
 CPU_CACHE = ".bench_cpu_baseline.json"
 
 
-def build_loop(dtype, minpath_backend, k, fold_bn=True):
-    """Inference-optimised flagship: BatchNorm affines folded into conv
-    weights, parameters pre-cast to the compute dtype, min-path on the
-    Pallas kernel."""
+def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
+    """Flagship inference pipeline builder.
+
+    mode: "s2d" (BN-folded space-to-depth conv stack, the optimized
+    path), "folded" (BN-folded parity module), or "parity" (the exact
+    training module).
+    Returns (module, loop_factory) where ``loop_factory(variables)``
+    jits the K-iteration pipeline loop over uint8 images.
+    """
     from oct_image_segmentation_models_tpu.models import get_model_class
-    from oct_image_segmentation_models_tpu.models.unet import UNetModule
+    from oct_image_segmentation_models_tpu.models.unet import (
+        UNetModule,
+        fold_batchnorm_variables,
+    )
     from oct_image_segmentation_models_tpu.ops import boundary as bops
     from oct_image_segmentation_models_tpu.ops import minpath as mops
+    from oct_image_segmentation_models_tpu.ops.s2d_unet import build_s2d_apply
 
     container = get_model_class("unet")(
         input_channels=1,
@@ -55,50 +69,61 @@ def build_loop(dtype, minpath_backend, k, fold_bn=True):
         dtype=dtype,
     )
     module = container.build_model()
-    if fold_bn:
-        module = UNetModule(
-            num_classes=NUM_CLASSES,
-            start_neurons=32,
-            dtype=jnp.dtype(dtype),
-            use_bn=False,
-        )
     preprocess = container.get_preprocess_input_fn()
 
-    @jax.jit
-    def loop(variables, images_u8):
-        def body(carry, _):
-            # fold the carry into the input so iterations cannot be CSE'd
-            x = preprocess(images_u8.astype(jnp.float32) + carry)
-            probs = module.apply(variables, x, training=False)
-            _, categorical = bops.perform_argmax(probs, bin=True)
-            maps = bops.boundary_prob_maps(categorical)
-            delins = mops.delineate_image_maps(maps, backend=minpath_backend)
-            return (carry + 1) % 2, delins
+    def loop_factory(variables):
+        if mode == "s2d":
+            apply_fn = build_s2d_apply(
+                dict(variables), container.get_config(), dtype=jnp.dtype(dtype)
+            )
+        elif mode == "folded":
+            folded = fold_batchnorm_variables(dict(variables))
+            inf_module = UNetModule(
+                num_classes=NUM_CLASSES,
+                start_neurons=32,
+                dtype=jnp.dtype(dtype),
+                use_bn=False,
+            )
 
-        carry, delins = jax.lax.scan(body, jnp.float32(0), None, length=k)
-        return carry, delins
+            def apply_fn(x):
+                return inf_module.apply(folded, x, training=False)
+        else:
 
-    return module, loop
+            def apply_fn(x):
+                return module.apply(variables, x, training=False)
+
+        @jax.jit
+        def loop(images_u8):
+            def body(carry, _):
+                # fold the carry into the input so iterations cannot be CSE'd
+                x = preprocess(images_u8.astype(jnp.float32) + carry)
+                probs = apply_fn(x)
+                _, categorical = bops.perform_argmax(probs, bin=True)
+                maps = bops.boundary_prob_maps(categorical)
+                delins = mops.delineate_image_maps(maps, backend=minpath_backend)
+                return (carry + 1) % 2, delins
+
+            carry, delins = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return carry, delins
+
+        return loop
+
+    return module, loop_factory
 
 
-def time_loop(module, loop, device, images_np, k):
+def time_loop(module, loop_factory, device, images_np, k):
     with jax.default_device(device):
         variables = module.init(
             jax.random.PRNGKey(0),
             np.zeros((1, H, W, 1), np.float32),
             training=False,
         )
-        variables = jax.tree_util.tree_map(
-            lambda x: x.astype(module.dtype)
-            if x.dtype == jnp.float32
-            else x,
-            dict(variables),
-        )
+        loop = loop_factory(dict(variables))
         images = jax.device_put(images_np, device)
-        out = loop(variables, images)
+        out = loop(images)
         np.asarray(out[0])  # compile + drain
         t0 = time.perf_counter()
-        out = loop(variables, images)
+        out = loop(images)
         np.asarray(out[0])  # forces a real device sync
         dt = time.perf_counter() - t0
     return (images_np.shape[0] * k) / dt
@@ -112,8 +137,8 @@ def measure_cpu_proxy(images_np):
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         return float("nan")
-    module, loop = build_loop("float32", "xla", 1, fold_bn=False)
-    tp = time_loop(module, loop, cpu, images_np[:CPU_BATCH], 1)
+    module, loop_factory = build_pipeline("float32", "xla", 1, mode="parity")
+    tp = time_loop(module, loop_factory, cpu, images_np[:CPU_BATCH], 1)
     with open(CPU_CACHE, "w") as fh:
         json.dump({"cpu_bscans_per_s": tp}, fh)
     return tp
@@ -124,8 +149,8 @@ def main():
     images_np = rng.integers(0, 255, size=(BATCH, H, W, 1), dtype=np.uint8)
 
     accel = jax.devices()[0]
-    module, loop = build_loop("bfloat16", "auto", K_ITERS)
-    tp_accel = time_loop(module, loop, accel, images_np, K_ITERS)
+    module, loop_factory = build_pipeline("float32", "auto", K_ITERS, mode="s2d")
+    tp_accel = time_loop(module, loop_factory, accel, images_np, K_ITERS)
 
     tp_cpu = measure_cpu_proxy(images_np)
     baseline = 10.0 * tp_cpu

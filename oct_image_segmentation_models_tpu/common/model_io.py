@@ -168,10 +168,12 @@ def load_model_and_config(
         local = mlflow.artifacts.download_artifacts(str(model_path))
         model_path = Path(local)
 
-    if not _is_native_checkpoint(model_path):
+    if _is_orbax_checkpoint(model_path):
+        model_name, model_config, variables, _ = load_model_orbax(model_path)
+    elif not _is_native_checkpoint(model_path):
         return load_keras_model(model_path)
-
-    model_name, model_config, variables, _ = load_model(model_path)
+    else:
+        model_name, model_config, variables, _ = load_model(model_path)
 
     # Parity: prefer the sidecar model_config.json when present.
     sidecar = model_path.parent / "model_config.json"
@@ -505,3 +507,48 @@ def load_keras_deeplab_model(model_path: Path) -> Tuple[LoadedModel, dict]:
         LoadedModel("deeplabv3plus", module, variables, model_config),
         model_config,
     )
+
+
+# ---------------------------------------------------------------------------
+# Orbax checkpoint backend (optional alternative to the HDF5 format)
+# ---------------------------------------------------------------------------
+
+_ORBAX_META = "octseg_model.json"
+
+
+def save_model_orbax(path: Path, model_name: str, model_config: dict, variables: dict):
+    """Write an Orbax directory checkpoint (async-safe, multi-host aware)
+    with the model name/config alongside so it stays self-contained like
+    the HDF5 format."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path / "variables", variables)
+    with open(path / _ORBAX_META, "w") as fh:
+        json.dump({"model_name": model_name, "model_config": model_config}, fh)
+
+
+def load_model_orbax(path: Path) -> Tuple[str, dict, dict, None]:
+    """Inverse of :func:`save_model_orbax`; same return signature as
+    :func:`load_model`."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with open(path / _ORBAX_META) as fh:
+        meta = json.load(fh)
+    ckptr = ocp.PyTreeCheckpointer()
+    variables = ckptr.restore(path / "variables")
+    return meta["model_name"], meta["model_config"], variables, None
+
+
+def _is_orbax_checkpoint(path: Path) -> bool:
+    return Path(path).is_dir() and (Path(path) / _ORBAX_META).exists()
+
+
+def load_checkpoint(path: Path) -> Tuple[str, dict, dict, Optional[bytes]]:
+    """Format-dispatching restore (HDF5 or Orbax) — used by the trainer's
+    ``initial_model`` resume path."""
+    if _is_orbax_checkpoint(path):
+        return load_model_orbax(path)
+    return load_model(path)

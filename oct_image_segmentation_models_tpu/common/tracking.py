@@ -123,3 +123,37 @@ def get_tracker(mlflow_params: Optional[MLflowParameters]):
             "falling back to local JSON tracking"
         )
         return LocalTracker()
+
+
+class TensorBoardWriter:
+    """Mirrors epoch scalars to TensorBoard event files (SURVEY.md §5 —
+    the reference has MLflow only; TB is additive observability)."""
+
+    def __init__(self, log_dir: Path):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._writer = SummaryWriter(log_dir=str(log_dir))
+
+    def log_metrics(self, metrics: dict, step: int):
+        for name, value in metrics.items():
+            try:
+                self._writer.add_scalar(name, float(value), step)
+            except (TypeError, ValueError):
+                continue
+
+    def close(self):
+        self._writer.flush()
+        self._writer.close()
+
+
+def get_tensorboard_writer(log_dir: Path) -> Optional[TensorBoardWriter]:
+    """TensorBoard writer factory; returns None (with a warning) when no
+    tensorboard backend is importable."""
+    try:
+        return TensorBoardWriter(log_dir)
+    except ImportError:
+        log.warning(
+            "tensorboard=True but no tensorboard backend is importable; "
+            "skipping TensorBoard event files"
+        )
+        return None

@@ -38,9 +38,9 @@ from ..common import custom_losses, custom_metrics
 from ..common import data_generator as data_gen
 from ..common import dataset_loader, utils
 from ..common import profiling
+from ..common import model_io
 from ..common.mlflow_parameters import MLflowParameters
-from ..common.model_io import load_model, save_model
-from ..common.tracking import get_tracker
+from ..common.tracking import get_tensorboard_writer, get_tracker
 from ..models import get_model_class
 from ..parallel.input_pipeline import prefetch_to_mesh
 from ..parallel.mesh import create_mesh
@@ -205,7 +205,7 @@ def train_model(
 
     if training_params.initial_model:
         log.info(f"Resuming training from model: {training_params.initial_model}")
-        model_name, model_config, variables, _ = load_model(
+        model_name, model_config, variables, _ = model_io.load_checkpoint(
             training_params.initial_model
         )
         model_class = get_model_class(model_name)
@@ -250,6 +250,15 @@ def train_model(
     )
     os.makedirs(save_foldername)
     tracker.start_run(save_foldername)
+    tb_writer = (
+        get_tensorboard_writer(save_foldername / "tensorboard")
+        if training_params.tensorboard
+        else None
+    )
+    if training_params.checkpoint_format == "orbax":
+        ckpt_save, ckpt_suffix = model_io.save_model_orbax, ".orbax"
+    else:
+        ckpt_save, ckpt_suffix = model_io.save_model, ".hdf5"
 
     tracker.log_params(
         {
@@ -393,6 +402,8 @@ def train_model(
         log.info(f"Epoch {epoch + 1}/{training_params.epochs}: {logs}")
         history.on_epoch_end(epoch, logs)
         tracker.log_metrics(logs, step=epoch + 1)
+        if tb_writer is not None:
+            tb_writer.log_metrics(logs, step=epoch + 1)
 
         monitored = logs.get(monitor_name, logs["val_loss"])
         improved = _monitor_improved(monitored, best_monitor, monitor_mode)
@@ -406,8 +417,8 @@ def train_model(
             best_monitor = monitored
             best_variables = state_host
         if improved or not training_params.model_save_best:
-            save_model(
-                save_foldername / f"model_epoch{epoch + 1:02d}.hdf5",
+            ckpt_save(
+                save_foldername / f"model_epoch{epoch + 1:02d}{ckpt_suffix}",
                 model_name,
                 model_container.get_config(),
                 state_host,
@@ -438,11 +449,13 @@ def train_model(
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
         }
-    save_model(
-        save_foldername / "model_final.hdf5",
+    ckpt_save(
+        save_foldername / f"model_final{ckpt_suffix}",
         model_name,
         model_container.get_config(),
         final_variables,
     )
+    if tb_writer is not None:
+        tb_writer.close()
     tracker.end_run()
     return save_foldername

@@ -48,6 +48,8 @@ class TrainingParams:
         seed: Optional[int] = None,
         profile_dir: Optional[Path] = None,
         train_step_impl: str = "auto",
+        checkpoint_format: str = "hdf5",
+        tensorboard: bool = False,
     ):
         if (model_architecture is None) == (initial_model is None):
             raise ValueError(
@@ -101,6 +103,18 @@ class TrainingParams:
         # Data-parallel step implementation: "auto" | "spmd" | "shard_map"
         # (see parallel/train_step.py).
         self.train_step_impl = train_step_impl
+        # Checkpoint backend: "hdf5" (reference-parity single files) or
+        # "orbax" (directory checkpoints via orbax.checkpoint; async-safe
+        # and multi-host aware).
+        if checkpoint_format not in ("hdf5", "orbax"):
+            raise ValueError(
+                f"checkpoint_format must be 'hdf5' or 'orbax', "
+                f"got {checkpoint_format!r}"
+            )
+        self.checkpoint_format = checkpoint_format
+        # Also mirror epoch scalars to TensorBoard event files under
+        # <run>/tensorboard (in addition to the MLflow/local tracker).
+        self.tensorboard = tensorboard
 
         # "val_acc" default is rewritten to the configured metric
         # (reference `training_parameters.py:131-136`).

@@ -1,0 +1,96 @@
+"""Space-to-depth transformed U-Net inference path (ops/s2d_unet.py)
+vs the parity ``UNetModule`` — must agree to float tolerance for every
+transformed-level count, config, and odd spatial geometry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oct_image_segmentation_models_tpu.models import get_model_class
+from oct_image_segmentation_models_tpu.ops.s2d_unet import (
+    build_s2d_apply,
+    s2d_eligible_levels,
+)
+
+
+def _model(cin=1, num_classes=3, h=16, w=24, **hp):
+    container = get_model_class("unet")(
+        input_channels=cin,
+        num_classes=num_classes,
+        image_height=h,
+        image_width=w,
+        **hp,
+    )
+    module = container.build_model()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, h, w, cin), jnp.float32)
+    variables = module.init(rng, x, training=False)
+    # non-trivial batch stats so BN folding is exercised
+    bs = jax.tree_util.tree_map(
+        lambda a: a + jax.random.uniform(rng, a.shape) * 0.1 + 0.05,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": bs}
+    ref = module.apply(variables, x, training=False)
+    return container, variables, x, ref
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(start_neurons=4, pool_layers=2, conv_layers=2, h=16, w=24),
+        dict(start_neurons=8, pool_layers=3, conv_layers=2, h=32, w=32),
+        dict(start_neurons=4, pool_layers=2, conv_layers=2, h=16, w=16, cin=3),
+    ],
+)
+def test_s2d_matches_parity_module(cfg):
+    cin = cfg.pop("cin", 1)
+    h, w = cfg.pop("h"), cfg.pop("w")
+    container, variables, x, ref = _model(cin=cin, h=h, w=w, **cfg)
+    for levels in range(cfg["pool_layers"] + 1):
+        fn = build_s2d_apply(
+            variables, container.get_config(), s2d_levels=levels
+        )
+        out = jax.jit(fn)(x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=0
+        )
+
+
+def test_s2d_auto_levels():
+    # 32 base filters (flagship): top two levels stay under the 128-lane
+    # width -> transformed; odd conv counts and big kernels disable it.
+    assert s2d_eligible_levels(32, 4, 2, (3, 3), (2, 2)) == 2
+    assert s2d_eligible_levels(8, 4, 2, (3, 3), (2, 2)) == 4
+    assert s2d_eligible_levels(32, 4, 3, (3, 3), (2, 2)) == 0
+    assert s2d_eligible_levels(32, 4, 2, (5, 5), (2, 2)) == 0
+
+
+def test_s2d_rejects_odd_spatial():
+    container, variables, _, _ = _model(
+        h=16, w=24, start_neurons=4, pool_layers=2, conv_layers=2
+    )
+    fn = build_s2d_apply(variables, container.get_config(), s2d_levels=1)
+    with pytest.raises(AssertionError, match="even spatial"):
+        fn(jnp.zeros((1, 15, 24, 1), jnp.float32))
+
+
+def test_s2d_uint8_preprocess_pipeline_consistency():
+    """The optimized path must agree with the parity module on the real
+    uint8 -> /255 -> forward inference flow (argmax identical)."""
+    container, variables, _, _ = _model(h=32, w=32, start_neurons=4,
+                                        pool_layers=2, conv_layers=2)
+    module = container.build_model()
+    pre = container.get_preprocess_input_fn()
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (3, 32, 32, 1), np.uint8
+    )
+    x = pre(jnp.asarray(imgs, jnp.float32))
+    ref = module.apply(variables, x, training=False)
+    fn = build_s2d_apply(variables, container.get_config())
+    out = jax.jit(fn)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    assert np.array_equal(
+        np.argmax(np.asarray(out), -1), np.argmax(np.asarray(ref), -1)
+    )

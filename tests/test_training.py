@@ -142,3 +142,43 @@ def test_deeplab_training_smoke(tmp_path):
         None,
     )
     assert (folder / "model_final.hdf5").exists()
+
+
+def test_orbax_checkpoint_and_tensorboard(dataset, tmp_path):
+    """Orbax backend writes directory checkpoints that load_model_and_config
+    restores; tensorboard=True writes event files."""
+    from oct_image_segmentation_models_tpu.common import model_io
+
+    folder = train_model(
+        _params(
+            dataset,
+            tmp_path,
+            epochs=1,
+            checkpoint_format="orbax",
+            tensorboard=True,
+        ),
+        None,
+    )
+    final = folder / "model_final.orbax"
+    assert final.is_dir()
+    loaded, config = model_io.load_model_and_config(final)
+    assert loaded.name == "unet"
+    images = np.zeros((1, 32, 48, 1), np.uint8)
+    probs = loaded.predict(images)
+    assert probs.shape == (1, 32, 48, config["num_classes"])
+    assert np.allclose(probs.sum(-1), 1, atol=1e-5)
+    events = list((folder / "tensorboard").glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
+
+    # resume from an orbax checkpoint
+    folder2 = train_model(
+        _params(
+            dataset,
+            tmp_path / "resume",
+            epochs=1,
+            model_architecture=None,
+            initial_model=str(final),
+        ),
+        None,
+    )
+    assert (folder2 / "model_final.hdf5").exists()
