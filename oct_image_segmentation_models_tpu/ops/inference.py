@@ -30,7 +30,15 @@ from . import minpath as minpath_ops
 
 
 class StagedPipeline:
-    """Jit-per-stage inference over uint8 image batches."""
+    """Jit-per-stage inference over uint8 image batches.
+
+    When ``optimize`` is on (default) and the model is a U-Net whose
+    config qualifies, the predict stage runs the space-to-depth
+    transformed conv stack (:mod:`.s2d_unet` — BN folded, top levels in
+    s2d(2) layout; ~1.7x faster on v5e at 512x1024) for inputs whose
+    spatial dims divide the transformed-level factor; other inputs fall
+    back to the parity module.
+    """
 
     def __init__(
         self,
@@ -40,8 +48,37 @@ class StagedPipeline:
         bg_ilm: bool = True,
         bg_csi: bool = False,
         max_grad: int = 1,
+        model_config: dict = None,
+        optimize: bool = True,
     ):
         self.variables = variables
+
+        self._predict_s2d = None
+        self._s2d_div = 1
+        if optimize and model_config is not None:
+            from ..models.unet import UNetModule
+            from .s2d_unet import build_s2d_apply, s2d_eligible_levels
+
+            if isinstance(module, UNetModule):
+                levels = s2d_eligible_levels(
+                    model_config.get("start_neurons", 8),
+                    model_config.get("pool_layers", 4),
+                    model_config.get("conv_layers", 2),
+                    model_config.get("enc_kernel", (3, 3)),
+                    model_config.get("dec_kernel", (2, 2)),
+                )
+                if levels > 0 and "batch_stats" in variables:
+                    s2d_fn = build_s2d_apply(
+                        dict(variables), model_config, s2d_levels=levels
+                    )
+                    self._s2d_div = 2**levels
+
+                    @jax.jit
+                    def _predict_s2d(images):
+                        x = preprocess_fn(images.astype(jnp.float32))
+                        return s2d_fn(x)
+
+                    self._predict_s2d = _predict_s2d
 
         @jax.jit
         def _predict(variables, images):
@@ -70,7 +107,14 @@ class StagedPipeline:
 
     def predict_probs(self, images_u8):
         """(B, H, W, C) uint8 -> (B, H, W, num_classes) float probabilities."""
-        return self._predict_fn(self.variables, jnp.asarray(images_u8))
+        images = jnp.asarray(images_u8)
+        if (
+            self._predict_s2d is not None
+            and images.shape[1] % self._s2d_div == 0
+            and images.shape[2] % self._s2d_div == 0
+        ):
+            return self._predict_s2d(images)
+        return self._predict_fn(self.variables, images)
 
     def convert(self, probs):
         """probs -> (argmax labels u8, one-hot class-first, boundary maps u8)."""
@@ -91,14 +135,22 @@ def make_fused_pipeline(
     with_graph_search: bool = True,
     donate_images: bool = False,
     minpath_backend: str = "auto",
+    apply_fn: Callable = None,
 ) -> Callable:
     """One-jit end-to-end pipeline:
     ``fn(variables, images_u8) -> (labels u8, boundary maps u8,
-    delineations u16 | None)``."""
+    delineations u16 | None)``.
+
+    ``apply_fn`` (preprocessed x -> probs, weights closed over) replaces
+    ``module.apply`` — used to run the s2d-transformed conv stack
+    (:mod:`.s2d_unet`); ``variables`` is then ignored by the forward."""
 
     def pipeline(variables, images):
         x = preprocess_fn(images.astype(jnp.float32))
-        probs = module.apply(variables, x, training=False)
+        if apply_fn is not None:
+            probs = apply_fn(x)
+        else:
+            probs = module.apply(variables, x, training=False)
         argmax_pred, categorical = boundary_ops.perform_argmax(probs, bin=True)
         maps = boundary_ops.boundary_prob_maps(
             categorical, bg_ilm=bg_ilm, bg_csi=bg_csi

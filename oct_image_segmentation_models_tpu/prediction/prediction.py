@@ -75,6 +75,7 @@ def run_pipeline(
         bg_ilm=bg_ilm,
         bg_csi=bg_csi,
         max_grad=max_grad,
+        model_config=model_config,
     )
 
     n = images.shape[0]

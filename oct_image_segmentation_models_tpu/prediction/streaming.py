@@ -30,10 +30,36 @@ class VolumeSegmenter:
         bg_csi: bool = False,
         max_grad: int = 1,
         with_graph_search: bool = True,
+        optimize: bool = True,
     ):
         self.loaded_model = loaded_model
         self.batch_size = batch_size
         container = get_model_class(loaded_model.name)(**model_config)
+
+        # s2d-transformed conv stack for eligible U-Nets (volumes have
+        # fixed B-scan geometry, checked at segment time).
+        apply_fn = None
+        self._s2d_div = 1
+        if optimize and "batch_stats" in loaded_model.variables:
+            from ..models.unet import UNetModule
+            from ..ops.s2d_unet import build_s2d_apply, s2d_eligible_levels
+
+            if isinstance(loaded_model.module, UNetModule):
+                levels = s2d_eligible_levels(
+                    model_config.get("start_neurons", 8),
+                    model_config.get("pool_layers", 4),
+                    model_config.get("conv_layers", 2),
+                    model_config.get("enc_kernel", (3, 3)),
+                    model_config.get("dec_kernel", (2, 2)),
+                )
+                if levels > 0:
+                    apply_fn = build_s2d_apply(
+                        dict(loaded_model.variables),
+                        model_config,
+                        s2d_levels=levels,
+                    )
+                    self._s2d_div = 2**levels
+
         self._pipeline = make_fused_pipeline(
             loaded_model.module,
             container.get_preprocess_input_fn(),
@@ -41,6 +67,19 @@ class VolumeSegmenter:
             bg_csi=bg_csi,
             max_grad=max_grad,
             with_graph_search=with_graph_search,
+            apply_fn=apply_fn,
+        )
+        self._fallback = (
+            make_fused_pipeline(
+                loaded_model.module,
+                container.get_preprocess_input_fn(),
+                bg_ilm=bg_ilm,
+                bg_csi=bg_csi,
+                max_grad=max_grad,
+                with_graph_search=with_graph_search,
+            )
+            if apply_fn is not None
+            else None
         )
 
     def segment_volume(self, volume: np.ndarray, prefetch: int = 2):
@@ -54,10 +93,16 @@ class VolumeSegmenter:
         if pad:
             volume = np.concatenate([volume, volume[-1:].repeat(pad, 0)])
 
+        pipeline = self._pipeline
+        if self._fallback is not None and (
+            volume.shape[1] % self._s2d_div or volume.shape[2] % self._s2d_div
+        ):
+            pipeline = self._fallback
+
         batches = (volume[i : i + b] for i in range(0, len(volume), b))
         labels_out, segs_out = [], []
         for batch in device_prefetch(batches, size=prefetch):
-            labels, _maps, delins = self._pipeline(
+            labels, _maps, delins = pipeline(
                 self.loaded_model.variables, batch
             )
             labels_out.append(labels)
