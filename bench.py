@@ -98,6 +98,8 @@ def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
                 # fold the carry into the input so iterations cannot be CSE'd
                 x = preprocess(images_u8.astype(jnp.float32) + carry)
                 probs = apply_fn(x)
+                # f32 one-hot conversion: composes better with the Pallas
+                # min-path than the integer path (see ops/inference.py).
                 _, categorical = bops.perform_argmax(probs, bin=True)
                 maps = bops.boundary_prob_maps(categorical)
                 delins = mops.delineate_image_maps(maps, backend=minpath_backend)

@@ -116,6 +116,50 @@ def boundary_prob_maps(
     return jnp.stack(maps, axis=1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_classes", "bg_ilm", "bg_csi")
+)
+def boundary_maps_from_labels(
+    labels: jnp.ndarray,
+    num_classes: int,
+    bg_ilm: bool = True,
+    bg_csi: bool = False,
+) -> jnp.ndarray:
+    """Integer-only fast path for :func:`boundary_prob_maps` on *argmax*
+    labels: identical output, but computed from the ``(B, H, W)`` label
+    map with int8-sized arithmetic instead of materialising the
+    class-first float32 one-hot (134 MB + a layout change at the
+    flagship shape). Since the one-hot is binary, ``2 * np.gradient``
+    takes values in {-2..2} and the ridge tail in {0, 1, 2}, so the
+    whole conversion is exact in integers; the final ``*255`` uint8 cast
+    wraps 510 -> 254 exactly like the reference
+    (`common/utils.py:73-77,140-147`).
+    """
+    lab = labels.astype(jnp.int32)
+
+    def vgrad2(oh):
+        # 2 * np.gradient(oh, axis=-2): central diffs inside, doubled
+        # one-sided diffs at the edges.
+        interior = oh[..., 2:, :] - oh[..., :-2, :]
+        first = 2 * (oh[..., 1:2, :] - oh[..., 0:1, :])
+        last = 2 * (oh[..., -1:, :] - oh[..., -2:-1, :])
+        return jnp.concatenate([first, interior, last], axis=-2)
+
+    maps = []
+    for map_ind in range(1, num_classes):
+        use_bg = (map_ind == 1 and bg_ilm) or (
+            map_ind == num_classes - 1 and bg_csi
+        )
+        if use_bg:
+            g2 = -vgrad2((lab == map_ind - 1).astype(jnp.int32))
+        else:
+            g2 = vgrad2((lab == map_ind).astype(jnp.int32))
+        r = jnp.maximum(g2, 0)  # == relu(grad) * 2
+        v = jnp.maximum(r - jnp.roll(r, -1, axis=-2), 0)
+        maps.append((v * 255).astype(jnp.uint8))
+    return jnp.stack(maps, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("image_height",))
 def repair_segs(segs: jnp.ndarray, image_height: int) -> jnp.ndarray:
     """Replace invalid boundary rows (NaN or 0) with the first *originally*

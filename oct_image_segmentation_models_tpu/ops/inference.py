@@ -88,8 +88,8 @@ class StagedPipeline:
         @jax.jit
         def _convert(probs):
             argmax_pred, categorical = boundary_ops.perform_argmax(probs, bin=True)
-            maps = boundary_ops.boundary_prob_maps(
-                categorical, bg_ilm=bg_ilm, bg_csi=bg_csi
+            maps = boundary_ops.boundary_maps_from_labels(
+                argmax_pred, probs.shape[3], bg_ilm=bg_ilm, bg_csi=bg_csi
             )
             return argmax_pred.astype(jnp.uint8), categorical, maps
 
@@ -151,6 +151,10 @@ def make_fused_pipeline(
             probs = apply_fn(x)
         else:
             probs = module.apply(variables, x, training=False)
+        # NB: the f32 one-hot conversion composes better with the Pallas
+        # min-path than boundary_maps_from_labels here (measured 52 vs
+        # 66 ms for the full fused pipeline on v5e — an XLA scheduling/
+        # layout interaction; both are <1 ms in isolation).
         argmax_pred, categorical = boundary_ops.perform_argmax(probs, bin=True)
         maps = boundary_ops.boundary_prob_maps(
             categorical, bg_ilm=bg_ilm, bg_csi=bg_csi

@@ -121,3 +121,31 @@ def test_area_mask_roundtrip_with_generate_boundary():
     segs = np.stack(segs).astype(np.float64)  # (B, n, W)
     masks = np.asarray(boundary.create_area_mask(segs, 24))
     assert np.array_equal(masks, labels.astype(np.uint8))
+
+
+def test_boundary_maps_from_labels_matches_prob_maps():
+    """The integer fast path must equal boundary_prob_maps bit-for-bit
+    for every (num_classes, bg_ilm, bg_csi) combination."""
+    import jax
+    import jax.numpy as jnp
+
+    from oct_image_segmentation_models_tpu.ops import boundary as bops
+
+    rng = np.random.default_rng(0)
+    for num_classes in (3, 4, 6):
+        labels = rng.integers(0, num_classes, (3, 17, 13))
+        _, cat = bops.perform_argmax(
+            jax.nn.one_hot(labels, num_classes), bin=True
+        )
+        for bg_ilm in (True, False):
+            for bg_csi in (True, False):
+                ref = bops.boundary_prob_maps(
+                    cat, bg_ilm=bg_ilm, bg_csi=bg_csi
+                )
+                fast = bops.boundary_maps_from_labels(
+                    jnp.asarray(labels),
+                    num_classes,
+                    bg_ilm=bg_ilm,
+                    bg_csi=bg_csi,
+                )
+                assert np.array_equal(np.asarray(ref), np.asarray(fast))
