@@ -152,7 +152,12 @@ def phase_tile(x: jnp.ndarray) -> jnp.ndarray:
 
 def phase_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Channel-concat of two unshifted s2d tensors, interleaved per phase
-    so the result is the s2d form of concat([A, B], axis=-1)."""
+    so the result is the s2d form of concat([A, B], axis=-1).
+
+    NB: the interleave costs an extra memory pass on TPU (~1.5 ms at the
+    flagship shape); the forward builder instead uses a *plain* concat
+    and bakes the interleave into the next conv's kernel with
+    :func:`_split_concat_perm`."""
     B, Hb, Wb, Ca4 = a.shape
     Cb4 = b.shape[-1]
     a = a.reshape(B, Hb, Wb, 4, Ca4 // 4)
@@ -160,6 +165,26 @@ def phase_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([a, b], axis=-1).reshape(
         B, Hb, Wb, Ca4 + Cb4
     )
+
+
+def _split_concat_perm(ca: int, cb: int) -> np.ndarray:
+    """Input-channel gather map for a transformed kernel whose input is
+    ``concat([A_s2d, B_s2d])`` (two phase-major blocks of 4*ca and 4*cb
+    channels) instead of the phase-interleaved s2d form of
+    ``concat([A, B])`` the transform assumes.
+
+    Returns ``perm`` with ``W2_split[..., p, :] = W2[..., perm[p], :]``:
+    position ``p`` of the split layout holds interleaved channel
+    ``q * (ca + cb) + c`` for A's ``(q, c)`` and ``+ ca + c`` for B's.
+    """
+    c = ca + cb
+    perm = np.empty(4 * c, np.int64)
+    for q in range(4):
+        perm[q * ca : (q + 1) * ca] = q * c + np.arange(ca)
+        perm[4 * ca + q * cb : 4 * ca + (q + 1) * cb] = (
+            q * c + ca + np.arange(cb)
+        )
+    return perm
 
 
 def _mask_shifted(y: jnp.ndarray) -> jnp.ndarray:
@@ -283,8 +308,10 @@ def build_s2d_apply(
     # --- pre-transform kernels for the s2d levels ----------------------
     # Each entry: ("s2d", W2, bias4, e_h, e_w, a_in, a_out) or
     # ("plain", w, b).
-    def t(w, b, a_in, a_out):
+    def t(w, b, a_in, a_out, in_perm=None):
         W2, e_h, e_w = transform_kernel(w, a_in, a_out)
+        if in_perm is not None:
+            W2 = W2[:, :, in_perm, :]
         return (
             jnp.asarray(W2, dtype),
             jnp.asarray(np.tile(b, 4), dtype),
@@ -320,7 +347,26 @@ def build_s2d_apply(
         w, b = convs[idx]
         idx += 1
         if L < s2d_levels:
-            level.append(("s2d", *t(w, b, 0, 0)))  # dec conv: U -> U
+            # Dec conv (U -> U) consumes the phase-tiled upsample, whose 4
+            # phases are all equal — so sum the kernel over the input
+            # phase axis and feed the *scalar-form* x directly, skipping
+            # the tile's full-res materialisation.
+            W2, e_h, e_w = transform_kernel(w, 0, 0)
+            cin = w.shape[2]
+            W2 = W2.reshape(
+                W2.shape[0], W2.shape[1], 4, cin, W2.shape[3]
+            ).sum(axis=2)
+            level.append(
+                (
+                    "s2d",
+                    jnp.asarray(W2, dtype),
+                    jnp.asarray(np.tile(b, 4), dtype),
+                    e_h,
+                    e_w,
+                    0,
+                    0,
+                )
+            )
         else:
             level.append(("plain", jnp.asarray(w, dtype), jnp.asarray(b, dtype)))
         for j in range(conv_layers):
@@ -328,7 +374,14 @@ def build_s2d_apply(
             idx += 1
             if L < s2d_levels:
                 a_in, a_out = (0, 1) if j % 2 == 0 else (1, 0)
-                level.append(("s2d", *t(w, b, a_in, a_out)))
+                # The first conv consumes the *plain* concat of two
+                # phase-major blocks (x, skip); bake the interleave into
+                # the kernel instead of shuffling the activations.
+                perm = None
+                if j == 0:
+                    feats = w.shape[3]
+                    perm = _split_concat_perm(feats, w.shape[2] - feats)
+                level.append(("s2d", *t(w, b, a_in, a_out, in_perm=perm)))
             else:
                 level.append(("plain", jnp.asarray(w, dtype), jnp.asarray(b, dtype)))
         level_idx = L
@@ -394,9 +447,11 @@ def build_s2d_apply(
             if level_idx < s2d_levels:
                 if x_form == "s2d":
                     x = d2s(x)
-                x = phase_tile(x)
+                # upsample = phase tile, pre-summed into the dec kernel:
+                # feed scalar-form x directly
                 x = run_conv(x, level[0])
-                x = phase_concat(x, skips[level_idx])
+                # plain concat: interleave is baked into the next kernel
+                x = jnp.concatenate([x, skips[level_idx]], axis=-1)
                 for plan in level[1:]:
                     x = run_conv(x, plan)
                 x_form = "s2d"
