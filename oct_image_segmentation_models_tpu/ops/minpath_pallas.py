@@ -74,6 +74,16 @@ def _build_kernel(w, h, max_grad, p, groups):
     """Kernel over (sublanes=8, lanes=groups*p) packed state."""
     lanes = groups * p
     stages = _butterfly_stages(p)
+    # Single-key settle-rank packing: distances are bounded by
+    # 255 + 510*(w-1) (entry edge + per-column weight <= 510) and rank
+    # sub-keys by (2 + 2*max_grad) * p, so when d_max * F + sub fits in
+    # int32 the bitonic compares ONE packed key instead of a
+    # lexicographic pair — halves the per-stage op count.
+    _F = 1
+    while _F < (2 + 2 * max_grad) * p:
+        _F *= 2
+    _d_cap = (2**31 - _F) // _F
+    pack_rank = (255 + 510 * (w - 1)) <= _d_cap - 1
     offsets = [0] + list(range(1, max_grad + 1)) + [
         -k for k in range(1, max_grad + 1)
     ]
@@ -110,18 +120,33 @@ def _build_kernel(w, h, max_grad, p, groups):
         each masked pairwise swap is an involution, so the reversed
         composition inverts the sort's gather map. Saves a full second
         comparison pass."""
-        dk, sk = d_key, sub_key
         swaps = []
-        for k, j in stages:
-            asc = (li & k) == 0
-            lower = (li & j) == 0
-            pd = jnp.where(lower, _shift_up(dk, j), _shift_down(dk, j))
-            ps = jnp.where(lower, _shift_up(sk, j), _shift_down(sk, j))
-            own_lt = (dk < pd) | ((dk == pd) & (sk < ps))
-            keep = own_lt == (lower == asc)
-            dk = jnp.where(keep, dk, pd)
-            sk = jnp.where(keep, sk, ps)
-            swaps.append((j, lower, keep))
+        if pack_rank:
+            # packed single-key path (see _F/_d_cap above); pad rows'
+            # _BIG distances / sub-keys are clamped, their relative
+            # order is irrelevant (never selected).
+            kk = jnp.minimum(d_key, _d_cap) * _F + jnp.minimum(
+                sub_key, _F - 1
+            )
+            for k, j in stages:
+                asc = (li & k) == 0
+                lower = (li & j) == 0
+                pd = jnp.where(lower, _shift_up(kk, j), _shift_down(kk, j))
+                keep = (kk < pd) == (lower == asc)
+                kk = jnp.where(keep, kk, pd)
+                swaps.append((j, lower, keep))
+        else:
+            dk, sk = d_key, sub_key
+            for k, j in stages:
+                asc = (li & k) == 0
+                lower = (li & j) == 0
+                pd = jnp.where(lower, _shift_up(dk, j), _shift_down(dk, j))
+                ps = jnp.where(lower, _shift_up(sk, j), _shift_down(sk, j))
+                own_lt = (dk < pd) | ((dk == pd) & (sk < ps))
+                keep = own_lt == (lower == asc)
+                dk = jnp.where(keep, dk, pd)
+                sk = jnp.where(keep, sk, ps)
+                swaps.append((j, lower, keep))
         rank = li
         for j, lower, keep in reversed(swaps):
             partner = jnp.where(
