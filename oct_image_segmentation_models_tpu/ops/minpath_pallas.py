@@ -111,7 +111,18 @@ def _build_kernel(w, h, max_grad, p, groups):
             out.append(seg_shift_down(x, k, li))
         return jnp.stack(out, axis=0)  # (2g+1, NB, lanes)
 
-    def rank_of(d_key, sub_key, li):
+    def stage_masks(li):
+        """Per-stage (lower, dir) masks — pure functions of the row iota,
+        computed ONCE before the column loop (each column's rank_of reuses
+        them instead of rebuilding 2 iota-derived masks x 45 stages)."""
+        out = []
+        for k, j in stages:
+            asc = (li & k) == 0
+            lower = (li & j) == 0
+            out.append((j, lower, lower == asc))
+        return out
+
+    def rank_of(d_key, sub_key, li, masks):
         """Per-segment dense settle rank of unique (d_key, sub_key).
 
         One butterfly pass sorts the keys while recording each stage's
@@ -128,22 +139,18 @@ def _build_kernel(w, h, max_grad, p, groups):
             kk = jnp.minimum(d_key, _d_cap) * _F + jnp.minimum(
                 sub_key, _F - 1
             )
-            for k, j in stages:
-                asc = (li & k) == 0
-                lower = (li & j) == 0
+            for j, lower, direc in masks:
                 pd = jnp.where(lower, _shift_up(kk, j), _shift_down(kk, j))
-                keep = (kk < pd) == (lower == asc)
+                keep = (kk < pd) == direc
                 kk = jnp.where(keep, kk, pd)
                 swaps.append((j, lower, keep))
         else:
             dk, sk = d_key, sub_key
-            for k, j in stages:
-                asc = (li & k) == 0
-                lower = (li & j) == 0
+            for j, lower, direc in masks:
                 pd = jnp.where(lower, _shift_up(dk, j), _shift_down(dk, j))
                 ps = jnp.where(lower, _shift_up(sk, j), _shift_down(sk, j))
                 own_lt = (dk < pd) | ((dk == pd) & (sk < ps))
-                keep = own_lt == (lower == asc)
+                keep = own_lt == direc
                 dk = jnp.where(keep, dk, pd)
                 sk = jnp.where(keep, sk, ps)
                 swaps.append((j, lower, keep))
@@ -183,6 +190,7 @@ def _build_kernel(w, h, max_grad, p, groups):
         cw = m_ref.shape[0]
         li = local_iota()
         stacked_pri = make_pri(li)
+        masks = stage_masks(li)
         is_pad = li >= h  # rows beyond the real map height: hard wall
 
         def column(ji, _):
@@ -194,7 +202,7 @@ def _build_kernel(w, h, max_grad, p, groups):
                 d0 = jnp.where(is_pad, _BIG, 255 - m_cur)
                 d_s[:] = d0
                 pri_s[:] = jnp.ones((nb, lanes), jnp.int32)
-                rank_s[:] = rank_of(d0, li, li)
+                rank_s[:] = rank_of(d0, li, li, masks)
                 dpred_s[:] = jnp.zeros((nb, lanes), jnp.int32)
                 ppred_s[:] = jnp.zeros((nb, lanes), jnp.int32)
                 choice_ref[ji] = jnp.zeros((nb, lanes), jnp.int32)
@@ -277,7 +285,7 @@ def _build_kernel(w, h, max_grad, p, groups):
                 choice_ref[ji] = select(cand_idx)
                 d_s[:] = d_new
                 pri_s[:] = best_pri
-                rank_s[:] = rank_of(d_new, best_pri * p + entry_ctr, li)
+                rank_s[:] = rank_of(d_new, best_pri * p + entry_ctr, li, masks)
                 dpred_s[:] = select(sh_d)
                 ppred_s[:] = select(sh_pp)
 
