@@ -42,6 +42,11 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     NamedSharding force jit through the SPMD partitioner, which compiles
     ~8x slower step code on the TPU stack used here, with nothing to
     partition.
+
+    Multi-process (multi-host) meshes receive each process's *local*
+    batch shard and assemble the global array from the per-process data
+    (``jax.make_array_from_process_local_data``); single-process
+    multi-device meshes receive the full global batch.
     """
     devices = mesh.devices.reshape(-1)
     if devices.size == 1:
@@ -49,6 +54,13 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
             lambda x: jax.device_put(x, devices[0]), batch
         )
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -40,7 +40,11 @@ from ..common import dataset_loader, utils
 from ..common import profiling
 from ..common import model_io
 from ..common.mlflow_parameters import MLflowParameters
-from ..common.tracking import get_tensorboard_writer, get_tracker
+from ..common.tracking import (
+    NullTracker,
+    get_tensorboard_writer,
+    get_tracker,
+)
 from ..models import get_model_class
 from ..parallel.input_pipeline import prefetch_to_mesh
 from ..parallel.mesh import create_mesh
@@ -146,15 +150,53 @@ def train_model(
     num_classes = int(len(np.unique(train_labels)))
     log.info(f"Detected {num_classes} classes")
 
+    # Multi-host: each process keeps its strided sample shard (same
+    # layout as parallel.input_pipeline.ShardedHDF5Reader) and assembles
+    # global batches via make_array_from_process_local_data in
+    # shard_batch. num_classes/class weights above use the full label
+    # set so all processes agree.
+    proc_count, proc_index = jax.process_count(), jax.process_index()
+    is_main_process = proc_index == 0
+    if proc_count > 1:
+        if training_params.batch_size % proc_count:
+            raise ValueError(
+                f"batch_size ({training_params.batch_size}) must be "
+                f"divisible by the process count ({proc_count})"
+            )
+        shard = slice(proc_index, None, proc_count)
+        # Trim every shard to the smallest shard size so all processes
+        # run the same number of steps (unequal step counts would
+        # deadlock the collectives).
+        n_tr = len(train_images) // proc_count
+        n_va = len(val_images) // proc_count
+        train_images = train_images[shard][:n_tr]
+        train_labels = train_labels[shard][:n_tr]
+        val_images = val_images[shard][:n_va]
+        val_labels = val_labels[shard][:n_va]
+        log.info(
+            f"Process {proc_index}/{proc_count}: "
+            f"{len(train_images)} train / {len(val_images)} val samples"
+        )
+
     _, image_height, image_width, input_channels = train_images.shape
     log.info(
         f"Detected input image dimensions (h x w): {image_height} x {image_width}."
     )
     log.info(f"Detected {input_channels} input channels.")
 
-    # Device mesh: all chips whose count divides the batch evenly.
+    # Device mesh: all chips whose count divides the batch evenly
+    # (multi-host must use every device — all processes participate).
     devices = jax.devices()
-    usable = math.gcd(training_params.batch_size, len(devices))
+    if proc_count > 1:
+        if training_params.batch_size % len(devices):
+            raise ValueError(
+                f"batch_size ({training_params.batch_size}) must be "
+                f"divisible by the global device count ({len(devices)}) "
+                "for multi-host training"
+            )
+        usable = len(devices)
+    else:
+        usable = math.gcd(training_params.batch_size, len(devices))
     mesh = create_mesh(devices[:usable])
     log.info(f"Number of devices: {usable}")
 
@@ -248,11 +290,16 @@ def train_model(
         / Path(tracker.run_id)
         / Path(f"{timestamp}_{model_architecture}")
     )
-    os.makedirs(save_foldername)
+    if is_main_process:
+        os.makedirs(save_foldername)
+    else:
+        # Non-main processes train but write nothing (checkpoints, run
+        # artifacts, and tracking are process-0 responsibilities).
+        tracker = NullTracker()
     tracker.start_run(save_foldername)
     tb_writer = (
         get_tensorboard_writer(save_foldername / "tensorboard")
-        if training_params.tensorboard
+        if training_params.tensorboard and is_main_process
         else None
     )
     if training_params.checkpoint_format == "orbax":
@@ -299,22 +346,25 @@ def train_model(
         f"({image_height}x{image_width}x{input_channels}), {num_classes} classes"
     )
     opt_config = {"learning_rate": training_params.opt_params.get("learning_rate")}
-    save_training_params_file(
+    if is_main_process:
+        save_training_params_file(
         save_foldername,
         model_summary,
         model_container.get_config(),
         training_dataset_md5,
-        c_weight,
-        timestamp,
-        training_params,
-        opt_config,
-    )
+            c_weight,
+            timestamp,
+            training_params,
+            opt_config,
+        )
 
     preprocess_fn = model_container.get_preprocess_input_fn()
+    # Each process assembles its local slice of the global batch.
+    local_batch_size = training_params.batch_size // proc_count
     train_gen = data_gen.DataGenerator(
         train_images,
         train_labels_model,
-        training_params.batch_size,
+        local_batch_size,
         training_params.aug_fn_args,
         training_params.aug_mode,
         training_params.aug_probs,
@@ -326,7 +376,7 @@ def train_model(
     val_gen = data_gen.DataGenerator(
         val_images,
         val_labels_model,
-        training_params.batch_size,
+        local_batch_size,
         aug_val_fn_args,
         aug_val_mode,
         aug_val_probs,
@@ -338,9 +388,9 @@ def train_model(
 
     for name, gen in (("training", train_gen), ("validation", val_gen)):
         total = gen.get_total_samples()
-        if training_params.batch_size > total:
+        if local_batch_size > total:
             raise ValueError(
-                f"The batch size ({training_params.batch_size}) cannot be "
+                f"The batch size ({local_batch_size}) cannot be "
                 f"larger than the number of {name} samples ({total})"
             )
         log.info(f"{name} generator total number of samples: {total}")
@@ -352,10 +402,12 @@ def train_model(
         "batch_stats": jax.device_get(state.batch_stats),
     }
     epochs_since_improvement = 0
-    history.on_train_begin()
+    if is_main_process:
+        history.on_train_begin()
 
     for epoch in range(training_params.epochs):
-        history.on_epoch_begin(epoch)
+        if is_main_process:
+            history.on_epoch_begin(epoch)
         profile_ctx = (
             profiling.trace(training_params.profile_dir)
             if epoch == 0
@@ -400,7 +452,8 @@ def train_model(
             ),
         }
         log.info(f"Epoch {epoch + 1}/{training_params.epochs}: {logs}")
-        history.on_epoch_end(epoch, logs)
+        if is_main_process:
+            history.on_epoch_end(epoch, logs)
         tracker.log_metrics(logs, step=epoch + 1)
         if tb_writer is not None:
             tb_writer.log_metrics(logs, step=epoch + 1)
@@ -416,7 +469,7 @@ def train_model(
         if improved:
             best_monitor = monitored
             best_variables = state_host
-        if improved or not training_params.model_save_best:
+        if (improved or not training_params.model_save_best) and is_main_process:
             ckpt_save(
                 save_foldername / f"model_epoch{epoch + 1:02d}{ckpt_suffix}",
                 model_name,
@@ -440,7 +493,8 @@ def train_model(
                 )
                 break
 
-    history.on_train_end()
+    if is_main_process:
+        history.on_train_end()
 
     if training_params.restore_best_weights:
         final_variables = best_variables
@@ -449,12 +503,13 @@ def train_model(
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
         }
-    ckpt_save(
-        save_foldername / f"model_final{ckpt_suffix}",
-        model_name,
-        model_container.get_config(),
-        final_variables,
-    )
+    if is_main_process:
+        ckpt_save(
+            save_foldername / f"model_final{ckpt_suffix}",
+            model_name,
+            model_container.get_config(),
+            final_variables,
+        )
     if tb_writer is not None:
         tb_writer.close()
     tracker.end_run()
