@@ -71,33 +71,16 @@ def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
     module = container.build_model()
     preprocess = container.get_preprocess_input_fn()
 
-    def loop_factory(variables):
-        if mode == "s2d":
-            apply_fn = build_s2d_apply(
-                dict(variables), container.get_config(), dtype=jnp.dtype(dtype)
-            )
-        elif mode == "folded":
-            folded = fold_batchnorm_variables(dict(variables))
-            inf_module = UNetModule(
-                num_classes=NUM_CLASSES,
-                start_neurons=32,
-                dtype=jnp.dtype(dtype),
-                use_bn=False,
-            )
-
-            def apply_fn(x):
-                return inf_module.apply(folded, x, training=False)
-        else:
-
-            def apply_fn(x):
-                return module.apply(variables, x, training=False)
-
+    def make_loop(apply_with_vars):
+        # variables stay a jit *argument* (captured constants >~100 MB
+        # overflow the remote compiler's request limit, see PLAN.md); the
+        # s2d mode necessarily embeds its transformed kernels instead.
         @jax.jit
-        def loop(images_u8):
+        def loop(variables, images_u8):
             def body(carry, _):
                 # fold the carry into the input so iterations cannot be CSE'd
                 x = preprocess(images_u8.astype(jnp.float32) + carry)
-                probs = apply_fn(x)
+                probs = apply_with_vars(variables, x)
                 # f32 one-hot conversion: composes better with the Pallas
                 # min-path than the integer path (see ops/inference.py).
                 _, categorical = bops.perform_argmax(probs, bin=True)
@@ -109,6 +92,29 @@ def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
             return carry, delins
 
         return loop
+
+    def loop_factory(variables):
+        import functools
+
+        if mode == "s2d":
+            apply_fn = build_s2d_apply(
+                dict(variables), container.get_config(), dtype=jnp.dtype(dtype)
+            )
+            return functools.partial(make_loop(lambda _, x: apply_fn(x)), 0)
+        if mode == "folded":
+            folded = fold_batchnorm_variables(dict(variables))
+            inf_module = UNetModule(
+                num_classes=NUM_CLASSES,
+                start_neurons=32,
+                dtype=jnp.dtype(dtype),
+                use_bn=False,
+            )
+            loop = make_loop(
+                lambda v, x: inf_module.apply(v, x, training=False)
+            )
+            return functools.partial(loop, folded)
+        loop = make_loop(lambda v, x: module.apply(v, x, training=False))
+        return functools.partial(loop, dict(variables))
 
     return module, loop_factory
 

@@ -170,6 +170,12 @@ def load_model_and_config(
 
     if _is_orbax_checkpoint(model_path):
         model_name, model_config, variables, _ = load_model_orbax(model_path)
+    elif model_path.is_dir():
+        raise ValueError(
+            f"{model_path} is a directory but not an Orbax checkpoint "
+            f"(missing {_ORBAX_META}); pass the checkpoint directory that "
+            "save_model_orbax wrote, not a subdirectory"
+        )
     elif not _is_native_checkpoint(model_path):
         return load_keras_model(model_path)
     else:
@@ -499,6 +505,12 @@ def load_keras_deeplab_model(model_path: Path) -> Tuple[LoadedModel, dict]:
 
         head = params["Conv_0"]
         kw = weights_of(convs[-1])
+        if tuple(head["kernel"].shape) != kw["kernel"].shape:
+            raise ValueError(
+                f"softmax head: kernel {kw['kernel'].shape} != "
+                f"{tuple(head['kernel'].shape)} — num_classes mismatch "
+                "between checkpoint and model_config.json?"
+            )
         head["kernel"] = jnp.asarray(kw["kernel"])
         head["bias"] = jnp.asarray(kw["bias"])
 

@@ -130,7 +130,10 @@ class TensorBoardWriter:
     the reference has MLflow only; TB is additive observability)."""
 
     def __init__(self, log_dir: Path):
-        from torch.utils.tensorboard import SummaryWriter
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError:
+            from tensorboardX import SummaryWriter
 
         self._writer = SummaryWriter(log_dir=str(log_dir))
 
@@ -153,7 +156,8 @@ def get_tensorboard_writer(log_dir: Path) -> Optional[TensorBoardWriter]:
         return TensorBoardWriter(log_dir)
     except ImportError:
         log.warning(
-            "tensorboard=True but no tensorboard backend is importable; "
-            "skipping TensorBoard event files"
+            "tensorboard=True but no event-file writer is importable "
+            "(needs torch.utils.tensorboard or tensorboardX); skipping "
+            "TensorBoard event files"
         )
         return None

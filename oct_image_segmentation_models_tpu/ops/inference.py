@@ -55,30 +55,20 @@ class StagedPipeline:
 
         self._predict_s2d = None
         self._s2d_div = 1
-        if optimize and model_config is not None:
-            from ..models.unet import UNetModule
-            from .s2d_unet import build_s2d_apply, s2d_eligible_levels
+        if optimize:
+            from .s2d_unet import maybe_build_s2d_apply
 
-            if isinstance(module, UNetModule):
-                levels = s2d_eligible_levels(
-                    model_config.get("start_neurons", 8),
-                    model_config.get("pool_layers", 4),
-                    model_config.get("conv_layers", 2),
-                    model_config.get("enc_kernel", (3, 3)),
-                    model_config.get("dec_kernel", (2, 2)),
-                )
-                if levels > 0 and "batch_stats" in variables:
-                    s2d_fn = build_s2d_apply(
-                        dict(variables), model_config, s2d_levels=levels
-                    )
-                    self._s2d_div = 2**levels
+            s2d_fn, self._s2d_div = maybe_build_s2d_apply(
+                module, variables, model_config
+            )
+            if s2d_fn is not None:
 
-                    @jax.jit
-                    def _predict_s2d(images):
-                        x = preprocess_fn(images.astype(jnp.float32))
-                        return s2d_fn(x)
+                @jax.jit
+                def _predict_s2d(images):
+                    x = preprocess_fn(images.astype(jnp.float32))
+                    return s2d_fn(x)
 
-                    self._predict_s2d = _predict_s2d
+                self._predict_s2d = _predict_s2d
 
         @jax.jit
         def _predict(variables, images):

@@ -42,7 +42,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_s2d_apply", "s2d_eligible_levels"]
+__all__ = [
+    "build_s2d_apply",
+    "maybe_build_s2d_apply",
+    "s2d_eligible_levels",
+]
+
+
+def maybe_build_s2d_apply(module, variables: dict, model_config: dict):
+    """Build the transformed inference fn when the model qualifies.
+
+    Single decision point for every inference surface (staged pipeline,
+    fused pipeline, streaming): the model must be a ``UNetModule`` with
+    batch stats (BN folding) and an eligible config.
+
+    Returns ``(apply_fn | None, spatial_divisor)`` — inputs whose H/W are
+    not multiples of the divisor must use the parity module instead.
+    """
+    from ..models.unet import UNetModule
+
+    if model_config is None or not isinstance(module, UNetModule):
+        return None, 1
+    if "batch_stats" not in variables:
+        return None, 1
+    levels = s2d_eligible_levels(
+        model_config.get("start_neurons", 8),
+        model_config.get("pool_layers", 4),
+        model_config.get("conv_layers", 2),
+        model_config.get("enc_kernel", (3, 3)),
+        model_config.get("dec_kernel", (2, 2)),
+    )
+    if levels == 0:
+        return None, 1
+    apply_fn = build_s2d_apply(dict(variables), model_config, s2d_levels=levels)
+    return apply_fn, 2**levels
 
 
 # ---------------------------------------------------------------------------

@@ -38,27 +38,13 @@ class VolumeSegmenter:
 
         # s2d-transformed conv stack for eligible U-Nets (volumes have
         # fixed B-scan geometry, checked at segment time).
-        apply_fn = None
-        self._s2d_div = 1
-        if optimize and "batch_stats" in loaded_model.variables:
-            from ..models.unet import UNetModule
-            from ..ops.s2d_unet import build_s2d_apply, s2d_eligible_levels
+        apply_fn, self._s2d_div = (None, 1)
+        if optimize:
+            from ..ops.s2d_unet import maybe_build_s2d_apply
 
-            if isinstance(loaded_model.module, UNetModule):
-                levels = s2d_eligible_levels(
-                    model_config.get("start_neurons", 8),
-                    model_config.get("pool_layers", 4),
-                    model_config.get("conv_layers", 2),
-                    model_config.get("enc_kernel", (3, 3)),
-                    model_config.get("dec_kernel", (2, 2)),
-                )
-                if levels > 0:
-                    apply_fn = build_s2d_apply(
-                        dict(loaded_model.variables),
-                        model_config,
-                        s2d_levels=levels,
-                    )
-                    self._s2d_div = 2**levels
+            apply_fn, self._s2d_div = maybe_build_s2d_apply(
+                loaded_model.module, loaded_model.variables, model_config
+            )
 
         self._pipeline = make_fused_pipeline(
             loaded_model.module,

@@ -140,7 +140,10 @@ def train_model(
 
     Call stack parity with reference `training/training.py:135-408`.
     """
-    tracker = get_tracker(mlflow_params)
+    proc_count, proc_index = jax.process_count(), jax.process_index()
+    is_main_process = proc_index == 0
+    # Tracking (incl. MLflow network calls) is a process-0 concern only.
+    tracker = get_tracker(mlflow_params) if is_main_process else NullTracker()
 
     training_dataset_path = training_params.training_dataset_path
     with h5py.File(training_dataset_path, "r") as hdf5_file:
@@ -150,13 +153,22 @@ def train_model(
     num_classes = int(len(np.unique(train_labels)))
     log.info(f"Detected {num_classes} classes")
 
+    # Balanced class weights use the FULL label set (before any
+    # multi-host sharding) so every process bakes the same weights into
+    # its loss.
+    if training_params.class_weight == "balanced":
+        dataset_labels = np.concatenate((train_labels, val_labels))
+        c_weight = custom_losses.compute_balanced_class_weight(dataset_labels)
+    elif isinstance(training_params.class_weight, list):
+        c_weight = np.array(training_params.class_weight)
+    else:
+        c_weight = None
+
     # Multi-host: each process keeps its strided sample shard (same
     # layout as parallel.input_pipeline.ShardedHDF5Reader) and assembles
     # global batches via make_array_from_process_local_data in
-    # shard_batch. num_classes/class weights above use the full label
-    # set so all processes agree.
-    proc_count, proc_index = jax.process_count(), jax.process_index()
-    is_main_process = proc_index == 0
+    # shard_batch. num_classes and class weights above were computed from
+    # the full label set so all processes agree.
     if proc_count > 1:
         if training_params.batch_size % proc_count:
             raise ValueError(
@@ -205,14 +217,6 @@ def train_model(
     loss = custom_losses.custom_loss_objects.get(training_params.loss)
     if loss is None:
         raise ValueError(f"Loss '{training_params.loss}' not found.")
-
-    if training_params.class_weight == "balanced":
-        dataset_labels = np.concatenate((train_labels, val_labels))
-        c_weight = custom_losses.compute_balanced_class_weight(dataset_labels)
-    elif isinstance(training_params.class_weight, list):
-        c_weight = np.array(training_params.class_weight)
-    else:
-        c_weight = None
 
     sparse_labels = loss["takes_sparse"]
     loss_kwargs = dict(training_params.loss_fn_kwargs)
@@ -291,11 +295,9 @@ def train_model(
         / Path(f"{timestamp}_{model_architecture}")
     )
     if is_main_process:
-        os.makedirs(save_foldername)
-    else:
         # Non-main processes train but write nothing (checkpoints, run
         # artifacts, and tracking are process-0 responsibilities).
-        tracker = NullTracker()
+        os.makedirs(save_foldername)
     tracker.start_run(save_foldername)
     tb_writer = (
         get_tensorboard_writer(save_foldername / "tensorboard")
@@ -303,6 +305,13 @@ def train_model(
         else None
     )
     if training_params.checkpoint_format == "orbax":
+        try:
+            import orbax.checkpoint  # noqa: F401  (fail fast, not at epoch end)
+        except ImportError as exc:
+            raise RuntimeError(
+                "checkpoint_format='orbax' requires the orbax-checkpoint "
+                "package; install it or use the default 'hdf5' format"
+            ) from exc
         ckpt_save, ckpt_suffix = model_io.save_model_orbax, ".orbax"
     else:
         ckpt_save, ckpt_suffix = model_io.save_model, ".hdf5"
