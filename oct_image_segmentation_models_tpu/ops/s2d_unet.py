@@ -104,33 +104,61 @@ def _axis_spec(k: int, a_in: int, a_out: int):
     return e_min, e_max
 
 
-def transform_kernel(w: np.ndarray, a_in: int, a_out: int):
-    """Transform a (kh, kw, C, N) stride-1 SAME conv kernel into block
-    space: returns (W2, pad_h, pad_w) where W2 has shape
-    (Eh, Ew, 4C, 4N), channel layout (q_h, q_w, c) / (d_h, d_w, n), and
-    pad_* are the lax.conv block-space paddings.
+def _transform_maps(kh: int, kw: int, a_in: int, a_out: int):
+    """Static geometry of a kernel transform: gather indices + validity.
+
+    Returns ``(KI, KJ, mask, e_h_range, e_w_range)`` with KI/KJ/mask of
+    shape (Eh, Ew, 2, 2, 2, 2) — axes (e_h, e_w, q_h, q_w, d_h, d_w) —
+    such that ``W2[e,(q,c),(d,n)] = w[KI, KJ][c, n] * mask``.
     """
-    kh, kw, C, N = w.shape
     ehmin, ehmax = _axis_spec(kh, a_in, a_out)
     ewmin, ewmax = _axis_spec(kw, a_in, a_out)
     Eh, Ew = ehmax - ehmin + 1, ewmax - ewmin + 1
     lo_h, _ = _tap_range(kh)
     lo_w, _ = _tap_range(kw)
     s = a_out - a_in
-    W2 = np.zeros((Eh, Ew, 2, 2, C, 2, 2, N), dtype=np.float64)
+    KI = np.zeros((Eh, Ew, 2, 2, 2, 2), np.int64)
+    KJ = np.zeros((Eh, Ew, 2, 2, 2, 2), np.int64)
+    mask = np.zeros((Eh, Ew, 2, 2, 2, 2), bool)
     for ei, e_h in enumerate(range(ehmin, ehmax + 1)):
         for ej, e_w in enumerate(range(ewmin, ewmax + 1)):
             for q_h in range(2):
                 for q_w in range(2):
                     for d_h in range(2):
                         for d_w in range(2):
-                            dh = 2 * e_h + q_h - d_h + s
-                            dw = 2 * e_w + q_w - d_w + s
-                            ki, kj = dh - lo_h, dw - lo_w
+                            ki = 2 * e_h + q_h - d_h + s - lo_h
+                            kj = 2 * e_w + q_w - d_w + s - lo_w
                             if 0 <= ki < kh and 0 <= kj < kw:
-                                W2[ei, ej, q_h, q_w, :, d_h, d_w, :] = w[ki, kj]
-    W2 = W2.reshape(Eh, Ew, 4 * C, 4 * N)
-    return W2, (ehmin, ehmax), (ewmin, ewmax)
+                                KI[ei, ej, q_h, q_w, d_h, d_w] = ki
+                                KJ[ei, ej, q_h, q_w, d_h, d_w] = kj
+                                mask[ei, ej, q_h, q_w, d_h, d_w] = True
+    return KI, KJ, mask, (ehmin, ehmax), (ewmin, ewmax)
+
+
+def transform_kernel(w: np.ndarray, a_in: int, a_out: int):
+    """Transform a (kh, kw, C, N) stride-1 SAME conv kernel into block
+    space: returns (W2, e_h_range, e_w_range) where W2 has shape
+    (Eh, Ew, 4C, 4N), channel layout (q_h, q_w, c) / (d_h, d_w, n).
+    """
+    kh, kw, C, N = w.shape
+    KI, KJ, mask, e_h, e_w = _transform_maps(kh, kw, a_in, a_out)
+    # (Eh, Ew, qh, qw, dh, dw, C, N) -> (Eh, Ew, qh, qw, C, dh, dw, N)
+    W2 = np.asarray(w)[KI, KJ] * mask[..., None, None]
+    W2 = np.transpose(W2, (0, 1, 2, 3, 6, 4, 5, 7))
+    Eh, Ew = KI.shape[:2]
+    return W2.reshape(Eh, Ew, 4 * C, 4 * N), e_h, e_w
+
+
+def transform_kernel_jnp(w: jnp.ndarray, maps) -> jnp.ndarray:
+    """Differentiable (jnp) version of :func:`transform_kernel` from
+    precomputed :func:`_transform_maps` — linear in ``w``, so gradients
+    flow back to the parity kernel under autodiff."""
+    KI, KJ, mask, _, _ = maps
+    C, N = w.shape[2], w.shape[3]
+    W2 = w[KI, KJ] * jnp.asarray(mask, w.dtype)[..., None, None]
+    W2 = jnp.transpose(W2, (0, 1, 2, 3, 6, 4, 5, 7))
+    Eh, Ew = KI.shape[:2]
+    return W2.reshape(Eh, Ew, 4 * C, 4 * N)
 
 
 def _block_pad(n_in: int, n_out: int, e_rng: tuple[int, int]):
