@@ -58,6 +58,9 @@ def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
     )
     from oct_image_segmentation_models_tpu.ops import boundary as bops
     from oct_image_segmentation_models_tpu.ops import minpath as mops
+    from oct_image_segmentation_models_tpu.ops.minpath_pallas import (
+        delineate_pallas_s2d,
+    )
     from oct_image_segmentation_models_tpu.ops.s2d_unet import build_s2d_apply
 
     container = get_model_class("unet")(
@@ -80,12 +83,24 @@ def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
             def body(carry, _):
                 # fold the carry into the input so iterations cannot be CSE'd
                 x = preprocess(images_u8.astype(jnp.float32) + carry)
-                probs = apply_with_vars(variables, x)
-                # f32 one-hot conversion: composes better with the Pallas
-                # min-path than the integer path (see ops/inference.py).
-                _, categorical = bops.perform_argmax(probs, bin=True)
-                maps = bops.boundary_prob_maps(categorical)
-                delins = mops.delineate_image_maps(maps, backend=minpath_backend)
+                out = apply_with_vars(variables, x)
+                if mode == "s2d":
+                    # labels_s2d forward: softmax/argmax/boundary-ridge all
+                    # stay in the s2d domain, maps feed the Pallas kernel
+                    # through its s2d packing entry (see ops/inference.py).
+                    maps_s2d = bops.boundary_maps_from_s2d_labels(
+                        out, NUM_CLASSES, transposed="s2d"
+                    )
+                    delins = delineate_pallas_s2d(maps_s2d)
+                else:
+                    # f32 one-hot conversion: composes better with the
+                    # Pallas min-path than the integer path on a
+                    # probability forward (see ops/inference.py).
+                    _, categorical = bops.perform_argmax(out, bin=True)
+                    maps = bops.boundary_prob_maps(categorical)
+                    delins = mops.delineate_image_maps(
+                        maps, backend=minpath_backend
+                    )
                 return (carry + 1) % 2, delins
 
             carry, delins = jax.lax.scan(body, jnp.float32(0), None, length=k)
@@ -98,7 +113,10 @@ def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
 
         if mode == "s2d":
             apply_fn = build_s2d_apply(
-                dict(variables), container.get_config(), dtype=jnp.dtype(dtype)
+                dict(variables),
+                container.get_config(),
+                dtype=jnp.dtype(dtype),
+                output="labels_s2d",
             )
             return functools.partial(make_loop(lambda _, x: apply_fn(x)), 0)
         if mode == "folded":

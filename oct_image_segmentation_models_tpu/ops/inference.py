@@ -126,6 +126,8 @@ def make_fused_pipeline(
     donate_images: bool = False,
     minpath_backend: str = "auto",
     apply_fn: Callable = None,
+    labels_apply_fn: Callable = None,
+    num_classes: int = None,
 ) -> Callable:
     """One-jit end-to-end pipeline:
     ``fn(variables, images_u8) -> (labels u8, boundary maps u8,
@@ -133,18 +135,60 @@ def make_fused_pipeline(
 
     ``apply_fn`` (preprocessed x -> probs, weights closed over) replaces
     ``module.apply`` — used to run the s2d-transformed conv stack
-    (:mod:`.s2d_unet`); ``variables`` is then ignored by the forward."""
+    (:mod:`.s2d_unet`); ``variables`` is then ignored by the forward.
+
+    ``labels_apply_fn`` (preprocessed x -> uint8 argmax labels in s2d
+    layout, from ``build_s2d_apply(..., output="labels_s2d")``) is the
+    fast tail: softmax, argmax AND the boundary-map conversion all stay
+    in the s2d domain (:func:`.boundary.boundary_maps_from_s2d_labels`),
+    so the f32 probability tensor is never depth-to-spaced or re-laid-out
+    (~5 ms/batch-8 at 512x1024 on v5e). Requires ``num_classes``."""
 
     def pipeline(variables, images):
         x = preprocess_fn(images.astype(jnp.float32))
+        if labels_apply_fn is not None:
+            from .s2d_unet import d2s
+
+            lab_s2d = labels_apply_fn(x)
+            labels = d2s(lab_s2d)[..., 0]
+            maps = boundary_ops.boundary_maps_from_s2d_labels(
+                lab_s2d, num_classes, bg_ilm=bg_ilm, bg_csi=bg_csi
+            )
+            if not with_graph_search:
+                return labels, maps, None
+            if minpath_ops.resolve_backend(minpath_backend):
+                from .minpath_pallas import delineate_pallas_s2d
+
+                maps_s2d = boundary_ops.boundary_maps_from_s2d_labels(
+                    lab_s2d,
+                    num_classes,
+                    bg_ilm=bg_ilm,
+                    bg_csi=bg_csi,
+                    transposed="s2d",
+                )
+                delins = delineate_pallas_s2d(maps_s2d, max_grad=max_grad)
+            else:
+                maps_t = boundary_ops.boundary_maps_from_s2d_labels(
+                    lab_s2d,
+                    num_classes,
+                    bg_ilm=bg_ilm,
+                    bg_csi=bg_csi,
+                    transposed=True,
+                )
+                delins = minpath_ops.delineate(
+                    maps_t, max_grad=max_grad, backend=minpath_backend
+                )
+            return labels, maps, delins.astype(jnp.uint16)
         if apply_fn is not None:
             probs = apply_fn(x)
         else:
             probs = module.apply(variables, x, training=False)
-        # NB: the f32 one-hot conversion composes better with the Pallas
-        # min-path than boundary_maps_from_labels here (measured 52 vs
-        # 66 ms for the full fused pipeline on v5e — an XLA scheduling/
-        # layout interaction; both are <1 ms in isolation).
+        # NB: with a probability forward, the f32 one-hot conversion
+        # composes better with the Pallas min-path than
+        # boundary_maps_from_labels (measured 52 vs 66 ms for the full
+        # fused pipeline on v5e — an XLA scheduling/layout interaction;
+        # both are <1 ms in isolation). The labels_apply_fn path above
+        # avoids the tradeoff entirely.
         argmax_pred, categorical = boundary_ops.perform_argmax(probs, bin=True)
         maps = boundary_ops.boundary_prob_maps(
             categorical, bg_ilm=bg_ilm, bg_csi=bg_csi

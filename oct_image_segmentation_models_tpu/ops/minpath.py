@@ -71,6 +71,18 @@ def _shift_down(x: jnp.ndarray, k: int) -> jnp.ndarray:
     )
 
 
+def resolve_backend(backend: str, tie_parity: str = "exact") -> bool:
+    """True when the Pallas kernel should run: "auto" picks Pallas on
+    TPU for exact tie parity; "pallas"/"xla" force."""
+    if backend == "auto":
+        return tie_parity == "exact" and jax.default_backend() == "tpu"
+    if backend == "pallas":
+        return True
+    if backend == "xla":
+        return False
+    raise ValueError(f"unknown backend: {backend}")
+
+
 def delineate(
     maps_u8: jnp.ndarray,
     max_grad: int = 1,
@@ -82,17 +94,7 @@ def delineate(
     See :func:`_delineate_xla` for the algorithm/params; ``backend`` is
     "auto" (Pallas on TPU, XLA elsewhere), "pallas", or "xla".
     """
-    if backend == "auto":
-        use_pallas = (
-            tie_parity == "exact" and jax.default_backend() == "tpu"
-        )
-    elif backend == "pallas":
-        use_pallas = True
-    elif backend == "xla":
-        use_pallas = False
-    else:
-        raise ValueError(f"unknown backend: {backend}")
-    if use_pallas:
+    if resolve_backend(backend, tie_parity):
         from .minpath_pallas import delineate_pallas
 
         return delineate_pallas(maps_u8, max_grad=max_grad)

@@ -303,6 +303,18 @@ def _build_kernel(w, h, max_grad, p, groups):
     return kernel, offsets
 
 
+def _pack_plan(n: int, h: int):
+    """Packing geometry: maps-per-sublane-block x lane groups."""
+    p = 1
+    while p < h:
+        p *= 2
+    nb = _SUBLANES
+    n_blocks = -(-n // nb)
+    groups = max(1, min(n_blocks, _MAX_LANES // p))
+    n_super = -(-n_blocks // groups)
+    return p, nb, groups, n_super, n_super * groups * nb
+
+
 @functools.partial(jax.jit, static_argnames=("max_grad", "interpret"))
 def delineate_pallas(
     maps_u8: jnp.ndarray, max_grad: int = 1, interpret: bool = False
@@ -314,25 +326,18 @@ def delineate_pallas(
     """
     lead = maps_u8.shape[:-2]
     w, h = maps_u8.shape[-2], maps_u8.shape[-1]
-    m = maps_u8.reshape((-1, w, h)).astype(jnp.int32)
+    m = maps_u8.reshape((-1, w, h))
     n = m.shape[0]
-
-    p = 1
-    while p < h:
-        p *= 2
-
-    nb = _SUBLANES
-    n_blocks = -(-n // nb)
-    groups = max(1, min(n_blocks, _MAX_LANES // p))
-    n_super = -(-n_blocks // groups)
-    n_pad = n_super * groups * nb
+    p, nb, groups, n_super, n_pad = _pack_plan(n, h)
     lanes = groups * p
 
     # Pack: (n_pad, W, H) -> (n_super, groups, nb, W, H)
-    #   -> per super-block (W, nb, groups*P) with per-segment H->P pad rows.
+    #   -> per super-block (W, nb, groups*P) with per-segment H->P pad
+    # rows. Stays uint8 through the transpose (4x less relayout traffic);
+    # the int32 widening happens in the final, sequential-write pass.
     if n_pad != n:
         m_padded = jnp.concatenate(
-            [m, jnp.zeros((n_pad - n, w, h), jnp.int32)], axis=0
+            [m, jnp.zeros((n_pad - n, w, h), m.dtype)], axis=0
         )
     else:
         m_padded = m
@@ -343,6 +348,83 @@ def delineate_pallas(
     m_packed = jnp.transpose(m5, (0, 3, 2, 1, 4)).reshape(
         n_super, w, nb, lanes
     )
+    m_last = m[:, w - 1, :].astype(jnp.int32)
+    return _run_packed(
+        m_packed, m_last, lead, n, w, h, max_grad, interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_grad", "interpret"))
+def delineate_pallas_s2d(
+    maps_s2d_u8: jnp.ndarray, max_grad: int = 1, interpret: bool = False
+) -> jnp.ndarray:
+    """:func:`delineate_pallas` taking maps in space-to-depth layout.
+
+    ``maps_s2d_u8``: ``(B, M, Hb, Wb, 4)`` uint8 with channel layout
+    ``(q_h, q_w)`` (from ``boundary_maps_from_s2d_labels(...,
+    transposed="s2d")``), representing image-orientation ``(B, M, H, W)``
+    maps with ``H = 2 Hb, W = 2 Wb``. Returns ``(B, M, W) int32`` rows.
+
+    Rationale: the kernel's packed operand wants columns major and rows
+    in the lane dimension; building that from an s2d-form map via the
+    image or transposed orientation costs 3-4 relayout passes (~13 ms at
+    the flagship shape). Here the s2d tensor goes to the packed layout
+    in ONE 6-D uint8 transpose.
+    """
+    B, M, hb, wb, four = maps_s2d_u8.shape
+    assert four == 4
+    n = B * M
+    w, h = 2 * wb, 2 * hb
+    p, nb, groups, n_super, n_pad = _pack_plan(n, h)
+    lanes = groups * p
+
+    m6 = maps_s2d_u8.reshape(n, hb, wb, 2, 2)
+    if n_pad != n:
+        m6 = jnp.concatenate(
+            [m6, jnp.zeros((n_pad - n, hb, wb, 2, 2), m6.dtype)], axis=0
+        )
+    # (ns, g, nb, i, j, qh, qw) -> (ns, j, qw, nb, g, i, qh)
+    #   = (n_super, W(j,qw), nb, lanes(g, row=(i,qh)))
+    m7 = m6.reshape(n_super, groups, nb, hb, wb, 2, 2)
+    m7 = jnp.transpose(m7, (0, 4, 6, 2, 1, 3, 5))
+    m_packed = m7.reshape(n_super, w, nb, groups * h)
+    if p != h:
+        # pad each group's row segment H -> P at the lane tail
+        m_packed = jnp.pad(
+            m_packed.reshape(n_super, w, nb, groups, h),
+            ((0, 0), (0, 0), (0, 0), (0, 0), (0, p - h)),
+        ).reshape(n_super, w, nb, lanes)
+
+    # last real column (j = wb-1, qw = 1), rows (i, qh): (n, h)
+    m_last = (
+        maps_s2d_u8[:, :, :, wb - 1, :]
+        .reshape(n, hb, 2, 2)[:, :, :, 1]
+        .reshape(n, h)
+        .astype(jnp.int32)
+    )
+    return _run_packed(
+        m_packed, m_last, (B, M), n, w, h, max_grad, interpret
+    )
+
+
+def _run_packed(
+    m_packed: jnp.ndarray,
+    m_last: jnp.ndarray,
+    lead: tuple,
+    n: int,
+    w: int,
+    h: int,
+    max_grad: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Run the kernel over packed uint8 columns + backtrack to rows."""
+    n_super, _, nb, lanes = m_packed.shape
+    p = 1
+    while p < h:
+        p *= 2
+    groups = lanes // p
+    n_pad = n_super * groups * nb
+    m_packed = m_packed.astype(jnp.int32)
 
     kernel, offsets = _build_kernel(w, h, max_grad, p, groups)
     cw = next(c for c in (32, 16, 8, 4, 2, 1) if w % c == 0)
@@ -405,7 +487,6 @@ def delineate_pallas(
     rank_final = unpack(rank_final_p, False)
 
     # Exit row: earliest-settled last-column node among exit-distance ties.
-    m_last = m[:, w - 1, :]
     exit_dist = d_final + 255 - m_last
     tied = exit_dist == jnp.min(exit_dist, axis=-1, keepdims=True)
     r_last = jnp.argmin(jnp.where(tied, rank_final, _BIG), axis=-1).astype(

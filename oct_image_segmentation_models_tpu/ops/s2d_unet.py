@@ -49,12 +49,15 @@ __all__ = [
 ]
 
 
-def maybe_build_s2d_apply(module, variables: dict, model_config: dict):
+def maybe_build_s2d_apply(
+    module, variables: dict, model_config: dict, output: str = "probs"
+):
     """Build the transformed inference fn when the model qualifies.
 
     Single decision point for every inference surface (staged pipeline,
     fused pipeline, streaming): the model must be a ``UNetModule`` with
-    batch stats (BN folding) and an eligible config.
+    batch stats (BN folding) and an eligible config. ``output`` is
+    forwarded to :func:`build_s2d_apply`.
 
     Returns ``(apply_fn | None, spatial_divisor)`` — inputs whose H/W are
     not multiples of the divisor must use the parity module instead.
@@ -74,7 +77,9 @@ def maybe_build_s2d_apply(module, variables: dict, model_config: dict):
     )
     if levels == 0:
         return None, 1
-    apply_fn = build_s2d_apply(dict(variables), model_config, s2d_levels=levels)
+    apply_fn = build_s2d_apply(
+        dict(variables), model_config, s2d_levels=levels, output=output
+    )
     return apply_fn, 2**levels
 
 
@@ -317,6 +322,7 @@ def build_s2d_apply(
     *,
     dtype=jnp.float32,
     s2d_levels: Optional[int] = None,
+    output: str = "probs",
 ):
     """Build the transformed inference function.
 
@@ -330,11 +336,36 @@ def build_s2d_apply(
       s2d_levels: top levels to transform; default auto
         (:func:`s2d_eligible_levels`). 0 falls back to plain block-space
         -free convs (still BN-folded).
+      output: "probs" — (B, H, W, num_classes) float32 softmax
+        probabilities, matching ``UNetModule.apply(..., training=False)``;
+        "labels" — (B, H, W) uint8 argmax class labels, with softmax AND
+        argmax computed per-phase in the s2d domain so the only
+        depth-to-space pass is on 1-byte labels instead of float32
+        probabilities (the f32 d2s + relayout around softmax/argmax cost
+        ~5 ms/batch-8 at 512x1024 on v5e; this path removes them while
+        producing bit-identical labels, since d2s is a pure permutation
+        and softmax/argmax act per class group either way).
 
     Returns ``apply_fn(x)``: preprocessed (B, H, W, Cin) float images ->
-    (B, H, W, num_classes) float32 softmax probabilities, matching
-    ``UNetModule.apply(..., training=False)``.
+    probs or labels per ``output``.
     """
+    if output not in ("probs", "labels", "labels_s2d"):
+        raise ValueError(f"unknown output mode: {output}")
+    if output == "labels_s2d" and (
+        s2d_levels == 0
+        or (
+            s2d_levels is None
+            and s2d_eligible_levels(
+                model_config.get("start_neurons", 8),
+                model_config.get("pool_layers", 4),
+                model_config.get("conv_layers", 2),
+                tuple(model_config.get("enc_kernel", (3, 3))),
+                tuple(model_config.get("dec_kernel", (2, 2))),
+            )
+            == 0
+        )
+    ):
+        raise ValueError("labels_s2d output requires s2d_levels > 0")
     from ..models.unet import fold_batchnorm_variables
 
     if "batch_stats" in variables:
@@ -531,13 +562,32 @@ def build_s2d_apply(
                 x, w, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + b
-            y = d2s(y)
-        else:
-            w, b = head_plain
-            y = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b
-        return jax.nn.softmax(y, axis=-1)
+            # Per-phase class groups: (B, Hb, Wb, 4, K). softmax/argmax
+            # commute with the d2s permutation, so computing them here is
+            # bit-identical to computing them after d2s.
+            B, nh, nw, C4 = y.shape
+            k = C4 // 4
+            yg = y.reshape(B, nh, nw, 4, k)
+            if output in ("labels", "labels_s2d"):
+                lab = jnp.argmax(
+                    jax.nn.softmax(yg, axis=-1), axis=-1
+                ).astype(jnp.uint8)
+                # "labels_s2d" keeps the (B, Hb, Wb, 4) s2d layout so
+                # downstream ops (boundary_maps_from_s2d_labels) stay in
+                # the conv-native layout; "labels" depth-to-spaces.
+                if output == "labels_s2d":
+                    return lab
+                return d2s(lab)[..., 0]
+            y = jax.nn.softmax(yg, axis=-1).reshape(B, nh, nw, C4)
+            return d2s(y)
+        w, b = head_plain
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        probs = jax.nn.softmax(y, axis=-1)
+        if output == "labels":
+            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        return probs
 
     return apply_fn

@@ -37,13 +37,18 @@ class VolumeSegmenter:
         container = get_model_class(loaded_model.name)(**model_config)
 
         # s2d-transformed conv stack for eligible U-Nets (volumes have
-        # fixed B-scan geometry, checked at segment time).
-        apply_fn, self._s2d_div = (None, 1)
+        # fixed B-scan geometry, checked at segment time). The fast path
+        # keeps softmax/argmax/boundary-ridge in the s2d domain
+        # (build_s2d_apply output="labels_s2d", see ops/inference.py).
+        labels_fn, self._s2d_div = (None, 1)
         if optimize:
             from ..ops.s2d_unet import maybe_build_s2d_apply
 
-            apply_fn, self._s2d_div = maybe_build_s2d_apply(
-                loaded_model.module, loaded_model.variables, model_config
+            labels_fn, self._s2d_div = maybe_build_s2d_apply(
+                loaded_model.module,
+                loaded_model.variables,
+                model_config,
+                output="labels_s2d",
             )
 
         self._pipeline = make_fused_pipeline(
@@ -53,7 +58,8 @@ class VolumeSegmenter:
             bg_csi=bg_csi,
             max_grad=max_grad,
             with_graph_search=with_graph_search,
-            apply_fn=apply_fn,
+            labels_apply_fn=labels_fn,
+            num_classes=model_config.get("num_classes"),
         )
         self._fallback = (
             make_fused_pipeline(
@@ -64,7 +70,7 @@ class VolumeSegmenter:
                 max_grad=max_grad,
                 with_graph_search=with_graph_search,
             )
-            if apply_fn is not None
+            if labels_fn is not None
             else None
         )
 

@@ -149,3 +149,55 @@ def test_boundary_maps_from_labels_matches_prob_maps():
                     bg_csi=bg_csi,
                 )
                 assert np.array_equal(np.asarray(ref), np.asarray(fast))
+
+
+def _to_s2d_labels(labels):
+    b, h, w = labels.shape
+    return (
+        labels.reshape(b, h // 2, 2, w // 2, 2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, h // 2, w // 2, 4)
+    )
+
+
+def test_boundary_maps_from_s2d_labels_matches_label_path():
+    rng = np.random.default_rng(11)
+    for b, h, w, c in [(2, 16, 12, 4), (1, 8, 8, 3), (2, 32, 16, 5)]:
+        for labels in (
+            _random_labels(rng, b, h, w, c),
+            rng.integers(0, c, (b, h, w)),
+        ):
+            lab_s2d = _to_s2d_labels(np.asarray(labels))
+            for bg_ilm, bg_csi in [(True, False), (False, False), (True, True)]:
+                ref = np.asarray(
+                    boundary.boundary_maps_from_labels(
+                        labels, c, bg_ilm=bg_ilm, bg_csi=bg_csi
+                    )
+                )
+                got = np.asarray(
+                    boundary.boundary_maps_from_s2d_labels(
+                        lab_s2d, c, bg_ilm=bg_ilm, bg_csi=bg_csi
+                    )
+                )
+                assert np.array_equal(ref, got)
+                got_t = np.asarray(
+                    boundary.boundary_maps_from_s2d_labels(
+                        lab_s2d, c, bg_ilm=bg_ilm, bg_csi=bg_csi,
+                        transposed=True,
+                    )
+                )
+                assert np.array_equal(np.swapaxes(ref, -1, -2), got_t)
+                m_s2d = np.asarray(
+                    boundary.boundary_maps_from_s2d_labels(
+                        lab_s2d, c, bg_ilm=bg_ilm, bg_csi=bg_csi,
+                        transposed="s2d",
+                    )
+                )
+                # d2s of the s2d-form maps == image-orientation maps
+                bm, mm, hb, wb, _ = m_s2d.shape
+                d2s = (
+                    m_s2d.reshape(bm, mm, hb, wb, 2, 2)
+                    .transpose(0, 1, 2, 4, 3, 5)
+                    .reshape(bm, mm, 2 * hb, 2 * wb)
+                )
+                assert np.array_equal(ref, d2s)

@@ -78,3 +78,26 @@ def test_pallas_max_grad_2():
     got = np.asarray(delineate_pallas(m[None], max_grad=2, interpret=True))[0]
     want = dijkstra_delineate(m, max_grad=2)
     assert np.array_equal(got, want)
+
+
+def test_pallas_s2d_packing_matches_plain():
+    from oct_image_segmentation_models_tpu.ops.minpath_pallas import (
+        delineate_pallas_s2d,
+    )
+
+    rng = np.random.default_rng(7)
+    for b, m_n, h, w, g in [(2, 3, 16, 12, 1), (1, 2, 32, 20, 2)]:
+        maps = rng.integers(0, 256, (b, m_n, h, w), dtype=np.uint8)
+        s2d = (
+            maps.reshape(b, m_n, h // 2, 2, w // 2, 2)
+            .transpose(0, 1, 2, 4, 3, 5)
+            .reshape(b, m_n, h // 2, w // 2, 4)
+        )
+        ref = np.asarray(
+            delineate_pallas(
+                np.swapaxes(maps, -1, -2), max_grad=g, interpret=True
+            )
+        )
+        got = np.asarray(delineate_pallas_s2d(s2d, max_grad=g, interpret=True))
+        assert got.shape == (b, m_n, w)
+        assert np.array_equal(ref, got)

@@ -94,3 +94,62 @@ def test_s2d_uint8_preprocess_pipeline_consistency():
     assert np.array_equal(
         np.argmax(np.asarray(out), -1), np.argmax(np.asarray(ref), -1)
     )
+
+
+def test_s2d_labels_outputs_match_probs_argmax():
+    container, variables, x, ref = _model(
+        start_neurons=4, pool_layers=2, conv_layers=2
+    )
+    cfg = container.get_config()
+    probs = jax.jit(build_s2d_apply(variables, cfg))(x)
+    want = np.argmax(np.asarray(probs), axis=-1).astype(np.uint8)
+    got = np.asarray(
+        jax.jit(build_s2d_apply(variables, cfg, output="labels"))(x)
+    )
+    assert np.array_equal(want, got)
+    lab_s2d = np.asarray(
+        jax.jit(build_s2d_apply(variables, cfg, output="labels_s2d"))(x)
+    )
+    b, hb, wb, four = lab_s2d.shape
+    assert four == 4
+    d2s = (
+        lab_s2d.reshape(b, hb, wb, 2, 2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, 2 * hb, 2 * wb)
+    )
+    assert np.array_equal(want, d2s)
+
+
+def test_s2d_labels_requires_transformed_levels():
+    container, variables, x, ref = _model(
+        start_neurons=4, pool_layers=2, conv_layers=2
+    )
+    with pytest.raises(ValueError):
+        build_s2d_apply(
+            variables, container.get_config(), s2d_levels=0,
+            output="labels_s2d",
+        )
+
+
+def test_fused_pipeline_labels_path_matches_probs_path():
+    from oct_image_segmentation_models_tpu.ops.inference import (
+        make_fused_pipeline,
+    )
+
+    container, variables, x, ref = _model(
+        num_classes=4, start_neurons=4, pool_layers=2, conv_layers=2
+    )
+    cfg = container.get_config()
+    module = container.build_model()
+    pre = container.get_preprocess_input_fn()
+    images = (np.asarray(x) * 255).astype(np.uint8)
+    ref_pipe = make_fused_pipeline(module, pre)
+    labels_fn = build_s2d_apply(variables, cfg, output="labels_s2d")
+    fast_pipe = make_fused_pipeline(
+        module, pre, labels_apply_fn=labels_fn, num_classes=4
+    )
+    want_labels, want_maps, want_delins = ref_pipe(variables, images)
+    got_labels, got_maps, got_delins = fast_pipe(variables, images)
+    assert np.array_equal(np.asarray(want_labels), np.asarray(got_labels))
+    assert np.array_equal(np.asarray(want_maps), np.asarray(got_maps))
+    assert np.array_equal(np.asarray(want_delins), np.asarray(got_delins))
