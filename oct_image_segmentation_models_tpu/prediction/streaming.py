@@ -85,6 +85,17 @@ class VolumeSegmenter:
         if pad:
             volume = np.concatenate([volume, volume[-1:].repeat(pad, 0)])
 
+        # The conv stack downsamples 2**pool_layers times; incompatible
+        # dims would otherwise surface as an opaque concat shape error
+        # deep inside the traced forward.
+        model_div = 2 ** self.loaded_model.model_config.get("pool_layers", 0)
+        if volume.shape[1] % model_div or volume.shape[2] % model_div:
+            raise ValueError(
+                f"B-scan spatial dims {volume.shape[1]}x{volume.shape[2]} "
+                f"must be multiples of {model_div} (the model's "
+                f"2**pool_layers downsampling factor)"
+            )
+
         pipeline = self._pipeline
         if self._fallback is not None and (
             volume.shape[1] % self._s2d_div or volume.shape[2] % self._s2d_div

@@ -154,6 +154,9 @@ def test_streaming_volume(tmp_path):
     assert labels.shape == (10, 16, 16)
     assert segs.shape == (10, 2, 16)
 
+    with pytest.raises(ValueError, match="pool_layers"):
+        seg.segment_volume(volume[:, :14])
+
 
 def test_cli_evaluate(tmp_path):
     from oct_image_segmentation_models_tpu.cli import main
