@@ -50,6 +50,7 @@ class StagedPipeline:
         max_grad: int = 1,
         model_config: dict = None,
         optimize: bool = True,
+        compute_dtype: str = "float32",
     ):
         self.variables = variables
 
@@ -59,7 +60,8 @@ class StagedPipeline:
             from .s2d_unet import maybe_build_s2d_apply
 
             s2d_fn, self._s2d_div = maybe_build_s2d_apply(
-                module, variables, model_config
+                module, variables, model_config,
+                dtype=jnp.dtype(compute_dtype),
             )
             if s2d_fn is not None:
 

@@ -50,14 +50,18 @@ __all__ = [
 
 
 def maybe_build_s2d_apply(
-    module, variables: dict, model_config: dict, output: str = "probs"
+    module,
+    variables: dict,
+    model_config: dict,
+    output: str = "probs",
+    dtype=jnp.float32,
 ):
     """Build the transformed inference fn when the model qualifies.
 
     Single decision point for every inference surface (staged pipeline,
     fused pipeline, streaming): the model must be a ``UNetModule`` with
-    batch stats (BN folding) and an eligible config. ``output`` is
-    forwarded to :func:`build_s2d_apply`.
+    batch stats (BN folding) and an eligible config. ``output`` and
+    ``dtype`` are forwarded to :func:`build_s2d_apply`.
 
     Returns ``(apply_fn | None, spatial_divisor)`` — inputs whose H/W are
     not multiples of the divisor must use the parity module instead.
@@ -78,7 +82,11 @@ def maybe_build_s2d_apply(
     if levels == 0:
         return None, 1
     apply_fn = build_s2d_apply(
-        dict(variables), model_config, s2d_levels=levels, output=output
+        dict(variables),
+        model_config,
+        s2d_levels=levels,
+        output=output,
+        dtype=dtype,
     )
     return apply_fn, 2**levels
 

@@ -31,6 +31,7 @@ class VolumeSegmenter:
         max_grad: int = 1,
         with_graph_search: bool = True,
         optimize: bool = True,
+        compute_dtype: str = "float32",
     ):
         self.loaded_model = loaded_model
         self.batch_size = batch_size
@@ -40,8 +41,14 @@ class VolumeSegmenter:
         # fixed B-scan geometry, checked at segment time). The fast path
         # keeps softmax/argmax/boundary-ridge in the s2d domain
         # (build_s2d_apply output="labels_s2d", see ops/inference.py).
+        # ``compute_dtype="bfloat16"`` additionally halves the conv
+        # stack's HBM traffic (head/softmax stay float32); boundary rows
+        # shift only where class probabilities are near-tied — see
+        # tests/test_s2d_unet.py for the accuracy-tolerance check.
         labels_fn, self._s2d_div = (None, 1)
         if optimize:
+            import jax.numpy as jnp
+
             from ..ops.s2d_unet import maybe_build_s2d_apply
 
             labels_fn, self._s2d_div = maybe_build_s2d_apply(
@@ -49,6 +56,7 @@ class VolumeSegmenter:
                 loaded_model.variables,
                 model_config,
                 output="labels_s2d",
+                dtype=jnp.dtype(compute_dtype),
             )
 
         self._pipeline = make_fused_pipeline(

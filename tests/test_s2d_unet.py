@@ -153,3 +153,70 @@ def test_fused_pipeline_labels_path_matches_probs_path():
     assert np.array_equal(np.asarray(want_labels), np.asarray(got_labels))
     assert np.array_equal(np.asarray(want_maps), np.asarray(got_maps))
     assert np.array_equal(np.asarray(want_delins), np.asarray(got_delins))
+
+
+def test_bf16_stack_accuracy_tolerance(tmp_path):
+    """bfloat16 conv stack vs float32 on a trained model: labels must
+    agree on nearly every pixel and min-path boundary rows must stay
+    within the 0.05 px MAE budget (BASELINE.md north star)."""
+    from oct_image_segmentation_models_tpu.common.model_io import (
+        load_model_and_config,
+    )
+    from oct_image_segmentation_models_tpu.ops import boundary as bops
+    from oct_image_segmentation_models_tpu.ops import minpath as mops
+    from oct_image_segmentation_models_tpu.ops.s2d_unet import d2s
+    from oct_image_segmentation_models_tpu.training import (
+        TrainingParams,
+        train_model,
+    )
+
+    from synth import make_dataset, make_layered_sample
+
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=8, n_val=4, n_test=2,
+                      h=32, w=64, num_classes=3, seed=3)
+    folder = train_model(
+        TrainingParams(
+            model_architecture="unet",
+            training_dataset_path=ds,
+            initial_model=None,
+            results_location=tmp_path,
+            opt_con="adam",
+            opt_params={"learning_rate": 5e-3},
+            loss="dice_loss_macro",
+            metric="dice_coef_macro",
+            epochs=6,
+            batch_size=4,
+            model_hyperparameters={"start_neurons": 4, "pool_layers": 2},
+            seed=0,
+            aug_mode="none",
+        ),
+        None,
+    )
+    ckpt = sorted(folder.glob("model_epoch*.hdf5"))[-1]
+    loaded, config = load_model_and_config(ckpt)
+
+    rng = np.random.default_rng(7)
+    images = np.stack(
+        [make_layered_sample(rng, 32, 64, 3)[0] for _ in range(6)]
+    )[..., None]
+    x = images.astype(np.float32) / 255.0
+
+    outs = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        fn = build_s2d_apply(
+            dict(loaded.variables), config, output="labels_s2d", dtype=dt
+        )
+        lab_s2d = jax.jit(fn)(x)
+        labels = d2s(lab_s2d)[..., 0]
+        maps_t = bops.boundary_maps_from_s2d_labels(
+            lab_s2d, config["num_classes"], transposed=True
+        )
+        delins = mops.delineate(maps_t, backend="xla")
+        outs[dt.__name__] = (np.asarray(labels), np.asarray(delins))
+
+    lab32, del32 = outs["float32"]
+    lab16, del16 = outs["bfloat16"]
+    agree = (lab32 == lab16).mean()
+    mae = np.abs(del32.astype(float) - del16.astype(float)).mean()
+    assert agree > 0.995, agree
+    assert mae < 0.05, mae
