@@ -35,15 +35,26 @@ insertion order (`graph_search.py:85-92`). For this DAG the emulation is:
   positions and counters are ordered by per-column settle ranks
   propagated through the scan;
 - zero-weight edges (255-255 plateaus) additionally race their
-  predecessor's settle against the node's strict pop (entry validity);
+  predecessor's settle against the node's strict pop (entry validity).
+  The race compares the two predecessors' *global* settle keys, which
+  expand recursively into the lexicographic sequence
+  ``(w1, pi2, w2, pi3, ...)`` of winning-entry edge weights and entry
+  priorities up the ancestor chain (both chains are rooted at the same
+  tied distance, so absolute distances reduce to per-edge weights).
+  Each node carries this chain as packed integers — ``(510 - w)`` (9
+  bits) and the predecessor's entry priority (``bit_length(2g+1)``
+  bits) per level, two levels per int32 — giving an exact race to
+  ancestor depth 4 in two carried arrays (ties beyond that depth
+  default to the plateau-support side);
 - final column: the backtrack climbs the free virtual descent to the
   earliest-settled tied exit row.
 
 Verified against a faithful heapq oracle in ``tests/test_minpath.py``:
 bit-exact on realistic (single-ridge) boundary maps, plateaus, gaps and
-flat tails; >97% of adversarial dense-random maps; the residual
-divergences are equal-cost paths whose choice depends on cross-column
-heap-counter races (the returned path is always cost-optimal).
+flat tails; >99% of adversarial dense-random maps; the residual
+divergences are equal-cost paths whose choice depends on settle races
+deeper than the carried chain (the returned path is always
+cost-optimal).
 """
 
 from __future__ import annotations
@@ -116,13 +127,15 @@ def _delineate_xla(
         among equal-cost paths. Both modes always return a *cost-optimal*
         (Dijkstra-equivalent) delineation:
         - "exact": propagate exact per-column settle ranks (a bitonic rank
-          network per column) — matches the heap bit-for-bit on realistic
-          (single-ridge) boundary maps and >97% of adversarial random
-          maps; the residual divergences are equal-cost global ties whose
-          resolution depends on cross-column heap-counter races;
-        - "fast": fixed-depth settle signatures (own/pred/grand-pred
-          (distance, priority) pairs, top-row fallback) — same cost
-          guarantee, slightly weaker tie parity, cheaper per column.
+          network per column) plus packed ancestor chains for the
+          zero-edge settle races (module docstring) — matches the heap
+          bit-for-bit on realistic (single-ridge) boundary maps incl.
+          plateau and flat-tail tie chains, and >99% of adversarial
+          random maps; residual divergences are equal-cost global ties
+          resolved deeper than the carried chain depth;
+        - "fast": no settle ranks — pop choices refine over the packed
+          ancestor chains only, with a top-row fallback. Same cost
+          guarantee, weaker tie parity, cheaper per column.
 
     Returns:
       int32 rows ``(..., W)`` — the delineated boundary row per column,
@@ -214,13 +227,39 @@ def _delineate_xla(
             d0, jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
         )
     else:
-        # Fast mode: the rank slot carries the grand-pred (distance,
-        # priority) signature pair instead (packed small ints).
         rank0 = jnp.zeros((n, h), jnp.int32)
     pri0 = jnp.ones((n, h), jnp.int32)
-    # Predecessor settle keys (virtual column: distance 0, priority 0).
-    d_pred0 = jnp.zeros((n, h), jnp.int32)
-    pri_pred0 = jnp.zeros((n, h), jnp.int32)
+
+    # Packed ancestor chains (module docstring): per level,
+    # (510 - edge weight) in 9 bits and the node's entry priority + 1 in
+    # PB bits; two levels per int32, c1 = levels 1-2, c2 = levels 3-4.
+    # The +1 leaves 0 and the all-ones value free as strictly-smaller /
+    # strictly-larger sentinels for the ancestor-merge resolution below.
+    PB = (3 + 2 * max_grad).bit_length()
+    LB = 9 + PB
+    LMASK = (1 << LB) - 1
+    P1M = ((1 << PB) - 1) << LB  # priority field of chain level 1
+    P2M = (1 << PB) - 1  # priority field of chain level 2
+    # Predecessor-row chains (levels 1-2): the settle race is not purely
+    # lexicographic — when u's level-k ancestor IS the predecessor of
+    # s's level-k ancestor (the chains merge), the ancestor settles
+    # first regardless of the priority fields, so merged levels force
+    # the priority comparison in u's favour.
+    RB = max(9, (h - 1).bit_length())
+    RMASK = (1 << RB) - 1
+    # Column 0: entry edge weight 255 - m (virtual all-ones column), the
+    # virtual predecessors' own entries are the free pri-0 descent with
+    # weight 0 (level pack (510 << PB) | 1) down to the source at row 0
+    # (all-zero pad, which correctly settles earliest).
+    vlvl = (510 << PB) | 1
+    rows_b = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32), (n, h))
+    c1_0 = ((((255 + m[:, 0, :]) << PB) | 1) << LB) | jnp.where(
+        rows_b >= 1, vlvl, 0
+    )
+    c2_0 = (jnp.where(rows_b >= 2, vlvl, 0) << LB) | jnp.where(
+        rows_b >= 3, vlvl, 0
+    )
+    rw_0 = (rows_b << RB) | jnp.maximum(rows_b - 1, 0)
 
     xs = jnp.moveaxis(m[:, 1:, :], 1, 0)  # (W-1, N, H), column-major scan
 
@@ -258,7 +297,7 @@ def _delineate_xla(
         return valid & (masked == jnp.min(masked, axis=0, keepdims=True))
 
     def step(carry, m_cur):
-        d, m_prev, pri_prev, rank_prev, d_pred, pri_pred = carry
+        d, m_prev, pri_prev, rank_prev, c1, c2, rw = carry
         q = d - m_prev  # (N, H); +510 - m_cur added after the min
         stacked = shifts(q)
         best = jnp.min(stacked, axis=0)
@@ -267,35 +306,78 @@ def _delineate_xla(
 
         sh_d = shifts(d)
         sh_pp = shifts(pri_prev)
+        sh_m = shifts(m_prev)
+        sh_c1 = shifts(c1)
+        sh_c2 = shifts(c2)
+        sh_rw = shifts(rw)
         stacked_rank = shifts(rank_prev)
 
         # Heap-entry validity: a zero-weight edge (both endpoints 255,
         # `graph_search.py:79`) comes from a predecessor u with *equal*
         # distance, whose entry only exists if u settles before this node
-        # pops via its best strict (positive-weight) entry from s. The race
-        # compares u's settle key (d, pri_u) against the strict pop key
-        # (d, pri_s, ctr_s): priorities first; on a priority tie the
-        # insertion counters, i.e. the settle order of u's predecessor
-        # vs s — compared by (distance, pop priority), deeper cross-column
-        # ties defaulting to valid (the plateau support chain was pushed
-        # earlier).
-        zero_edge = (shifts(m_prev) == 255) & (m_cur == 255)[None]
+        # pops via its best strict (positive-weight) entry from s. The
+        # race compares u's settle key (d, pri_u, ctr_u) against the
+        # strict pop key (d, pri_s, ctr_s): priorities first; on a
+        # priority tie the counters, i.e. the settle order of u's
+        # predecessor vs s's strict predecessor — u's side is its carried
+        # chain, s's side is the strict edge's level prepended to the
+        # strict predecessor's chain. Ties deeper than the carried depth
+        # default to valid (the plateau support chain was pushed earlier).
+        zero_edge = (sh_m == 255) & (m_cur == 255)[None]
         strict = tied & ~zero_edge
         pri_strict = jnp.where(strict, stacked_pri, _BIG)
         best_strict_pri = jnp.min(pri_strict, axis=0)
         strict_rank_m = jnp.where(
-            pri_strict == best_strict_pri[None], stacked_rank, _BIG
+            pri_strict == best_strict_pri[None],
+            stacked_rank if exact else sh_c1,
+            _BIG,
         )
         s_choice = jnp.argmin(strict_rank_m, axis=0)
 
         def sgather(x):
             return jnp.take_along_axis(x, s_choice[None], axis=0)[0]
 
-        d_s = sgather(sh_d)[None]
-        pri_pop_s = sgather(sh_pp)[None]
+        s_pack = ((sgather(sh_m) + m_cur) << PB) | (sgather(sh_pp) + 1)
+        s_gc1 = sgather(sh_c1)
+        s_c1 = ((s_pack << LB) | (s_gc1 >> LB))[None]
+        s_c2 = (((s_gc1 & LMASK) << LB) | (sgather(sh_c2) >> LB))[None]
+        s_rw = sgather(sh_rw)[None]
+        # Priority fields are event-valid only when both compared
+        # entries already coexist in the heap, i.e. when neither side's
+        # next chain link is a zero-weight cascade edge (w-field 510,
+        # whose push order is the sequential cascade order, not key
+        # order). Suppress (tie out) the priority comparison at levels
+        # whose successor link cascades on either side; weight fields
+        # (distance comparisons) are always valid. Level 4's successor
+        # is unknown, so its priority field is always suppressed.
+        def wfield(c, shift):
+            return ((c >> shift) & 511) == 510
+
+        supp1 = wfield(sh_c1, PB) | wfield(s_c1, PB)
+        supp2 = wfield(sh_c2, LB + PB) | wfield(s_c2, LB + PB)
+        supp3 = wfield(sh_c2, PB) | wfield(s_c2, PB)
+        u_c1 = sh_c1 & ~jnp.where(supp1, P1M, 0) & ~jnp.where(supp2, P2M, 0)
+        sv_c1 = (
+            jnp.broadcast_to(s_c1, sh_c1.shape)
+            & ~jnp.where(supp1, P1M, 0)
+            & ~jnp.where(supp2, P2M, 0)
+        )
+        u_c2 = sh_c2 & ~jnp.where(supp3, P1M, 0) & ~P2M
+        sv_c2 = (
+            jnp.broadcast_to(s_c2, sh_c2.shape)
+            & ~jnp.where(supp3, P1M, 0)
+            & ~P2M
+        )
+        # Ancestor merges (exact, takes precedence): when u's level-k
+        # ancestor IS the predecessor of s's level-k ancestor, the
+        # ancestor settles first regardless of priorities — force the
+        # priority field of merged levels to the sentinels so the packed
+        # compare resolves u-first there.
+        m1 = (sh_rw >> RB) == (s_rw >> RB)
+        m2 = (sh_rw & RMASK) == (s_rw & RMASK)
+        u_c1 = u_c1 & ~jnp.where(m1, P1M, 0) & ~jnp.where(m2, P2M, 0)
+        sv_c1 = sv_c1 | jnp.where(m1, P1M, 0) | jnp.where(m2, P2M, 0)
         pu = sh_pp
-        dpu = shifts(d_pred)
-        ppu = shifts(pri_pred)
         ps = best_strict_pri[None]
         zero_valid = (
             tied
@@ -304,7 +386,7 @@ def _delineate_xla(
                 (pu < ps)
                 | (
                     (pu == ps)
-                    & ((dpu < d_s) | ((dpu == d_s) & (ppu <= pri_pop_s)))
+                    & ((u_c1 < sv_c1) | ((u_c1 == sv_c1) & (u_c2 <= sv_c2)))
                 )
             )
         )
@@ -320,14 +402,13 @@ def _delineate_xla(
             entry_ctr = jnp.min(rank_m, axis=0)
             choice = jnp.argmin(rank_m, axis=0).astype(jnp.uint8)
         else:
-            # Pred settle order approximated by the signature chain
-            # (D, pri, grand-(D, pri) packed, row), top-row fallback.
+            # Pred settle order approximated by the carried chains,
+            # top-row fallback.
             for key in (
                 sh_d,
                 sh_pp,
-                dpu,
-                ppu,
-                stacked_rank,
+                sh_c1,
+                sh_c2,
                 jnp.broadcast_to(cand_rows, valid.shape),
             ):
                 valid = refine(valid, key)
@@ -339,22 +420,27 @@ def _delineate_xla(
         if exact:
             rank_new = bitonic_rank(d_new, best_pri * pad + entry_ctr)
         else:
-            # Carry the grand-pred (D, pri) pair packed into the rank slot.
-            rank_new = cgather(dpu) * 8 + jnp.minimum(cgather(ppu), 7)
+            rank_new = rank_prev  # unused in fast mode
+        c_pack = ((cgather(sh_m) + m_cur) << PB) | (cgather(sh_pp) + 1)
+        c_gc1 = cgather(sh_c1)
+        pred_row = cgather(jnp.broadcast_to(cand_rows, valid.shape))
         carry_new = (
             d_new,
             m_cur,
             best_pri,
             rank_new,
-            cgather(sh_d),
-            cgather(sh_pp),
+            (c_pack << LB) | (c_gc1 >> LB),
+            ((c_gc1 & LMASK) << LB) | (cgather(sh_c2) >> LB),
+            (pred_row << RB) | (cgather(sh_rw) >> RB),
         )
         return carry_new, choice
 
     (
-        (d_final, m_last, pri_last, rank_last, d_pred_last, pri_pred_last),
+        (d_final, m_last, pri_last, rank_last, c1_last, c2_last, _rw_last),
         choices,
-    ) = jax.lax.scan(step, (d0, m[:, 0, :], pri0, rank0, d_pred0, pri_pred0), xs)
+    ) = jax.lax.scan(
+        step, (d0, m[:, 0, :], pri0, rank0, c1_0, c2_0, rw_0), xs
+    )
     # choices: (W-1, N, H)
 
     # Exit edge back into the all-ones virtual column. The first virtual
@@ -367,7 +453,7 @@ def _delineate_xla(
     if exact:
         exit_keys = (rank_last,)
     else:
-        exit_keys = (d_final, pri_last, d_pred_last, pri_pred_last, rank_last)
+        exit_keys = (d_final, pri_last, c1_last, c2_last)
     for key in exit_keys:
         masked = jnp.where(tied_e, key, _BIG)
         tied_e = tied_e & (masked == jnp.min(masked, axis=-1, keepdims=True))

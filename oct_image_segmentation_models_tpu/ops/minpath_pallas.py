@@ -88,6 +88,16 @@ def _build_kernel(w, h, max_grad, p, groups):
         -k for k in range(1, max_grad + 1)
     ]
     nb = _SUBLANES
+    # Packed ancestor-chain constants for the zero-edge settle races —
+    # see minpath.py (the XLA path) for the full derivation.
+    PB = (3 + 2 * max_grad).bit_length()
+    LB = 9 + PB
+    LMASK = (1 << LB) - 1
+    P1M = ((1 << PB) - 1) << LB
+    P2M = (1 << PB) - 1
+    RB = max(9, (h - 1).bit_length())
+    RMASK = (1 << RB) - 1
+    vlvl = (510 << PB) | 1
 
     def local_iota():
         # Row index within each p-aligned segment.
@@ -182,8 +192,9 @@ def _build_kernel(w, h, max_grad, p, groups):
         d_s,  # scratch (NB, lanes) int32: distances
         pri_s,  # scratch: pop priorities
         rank_s,  # scratch: settle ranks
-        dpred_s,  # scratch: pred distances
-        ppred_s,  # scratch: pred pop priorities
+        c1_s,  # scratch: packed ancestor chain, levels 1-2
+        c2_s,  # scratch: packed ancestor chain, levels 3-4
+        rw_s,  # scratch: packed predecessor-row chain, levels 1-2
         mprev_s,  # scratch: previous column map values
     ):
         chunk = pl.program_id(0)
@@ -203,8 +214,16 @@ def _build_kernel(w, h, max_grad, p, groups):
                 d_s[:] = d0
                 pri_s[:] = jnp.ones((nb, lanes), jnp.int32)
                 rank_s[:] = rank_of(d0, li, li, masks)
-                dpred_s[:] = jnp.zeros((nb, lanes), jnp.int32)
-                ppred_s[:] = jnp.zeros((nb, lanes), jnp.int32)
+                # Chains: entry edge 255 - m from the virtual all-ones
+                # column, whose own entries are the pri-0 weight-0
+                # descent down to the source (see minpath.py).
+                c1_s[:] = ((((255 + m_cur) << PB) | 1) << LB) | jnp.where(
+                    li >= 1, vlvl, 0
+                )
+                c2_s[:] = (jnp.where(li >= 2, vlvl, 0) << LB) | jnp.where(
+                    li >= 3, vlvl, 0
+                )
+                rw_s[:] = (li << RB) | jnp.maximum(li - 1, 0)
                 choice_ref[ji] = jnp.zeros((nb, lanes), jnp.int32)
 
             @pl.when(j > 0)
@@ -213,8 +232,9 @@ def _build_kernel(w, h, max_grad, p, groups):
                 m_prev = mprev_s[:]
                 pri_prev = pri_s[:]
                 rank_prev = rank_s[:]
-                d_pred = dpred_s[:]
-                pri_pred = ppred_s[:]
+                c1 = c1_s[:]
+                c2 = c2_s[:]
+                rw = rw_s[:]
 
                 q = d - m_prev
                 stacked = shifts(q, li)
@@ -222,15 +242,17 @@ def _build_kernel(w, h, max_grad, p, groups):
                 tied = stacked == best[None]
                 d_new = jnp.where(is_pad, _BIG, best + 510 - m_cur)
 
-                sh_d = shifts(d, li)
                 sh_pp = shifts(pri_prev, li)
+                sh_m = shifts(m_prev, li)
+                sh_c1 = shifts(c1, li)
+                sh_c2 = shifts(c2, li)
+                sh_rw = shifts(rw, li)
                 stacked_rank = shifts(rank_prev, li)
 
-                # Heap-entry validity for zero-weight edges (see
-                # minpath.py): a 255-255 predecessor with equal distance
-                # only has a live entry if it settles before this node's
-                # strict pop; compare (pri, then pred settle key).
-                zero_edge = (shifts(m_prev, li) == 255) & (m_cur == 255)[None]
+                # Heap-entry validity for zero-weight edges: see
+                # minpath.py for the full derivation (ancestor chains,
+                # cascade suppression, merge resolution).
+                zero_edge = (sh_m == 255) & (m_cur == 255)[None]
                 strict = tied & ~zero_edge
                 pri_strict = jnp.where(strict, stacked_pri, _BIG)
                 best_strict_pri = jnp.min(pri_strict, axis=0)
@@ -239,12 +261,53 @@ def _build_kernel(w, h, max_grad, p, groups):
                 )
                 s_min = jnp.min(strict_rank_m, axis=0)
                 s_sel = strict_rank_m == s_min[None]
-                d_sv = jnp.min(jnp.where(s_sel, sh_d, _BIG), axis=0)
-                pri_pop_s = jnp.min(jnp.where(s_sel, sh_pp, _BIG), axis=0)
+
+                def sselect(stacked_x):
+                    return jnp.min(jnp.where(s_sel, stacked_x, _BIG), axis=0)
+
+                s_pack = ((sselect(sh_m) + m_cur) << PB) | (
+                    sselect(sh_pp) + 1
+                )
+                s_gc1 = sselect(sh_c1)
+                s_c1 = ((s_pack << LB) | (s_gc1 >> LB))[None]
+                s_c2 = (((s_gc1 & LMASK) << LB) | (sselect(sh_c2) >> LB))[
+                    None
+                ]
+                s_rw = sselect(sh_rw)[None]
+
+                # Cascade suppression of priority fields + ancestor
+                # merges (minpath.py).
+                supp1 = (((sh_c1 >> PB) & 511) == 510) | (
+                    ((s_c1 >> PB) & 511) == 510
+                )
+                supp2 = (((sh_c2 >> (LB + PB)) & 511) == 510) | (
+                    ((s_c2 >> (LB + PB)) & 511) == 510
+                )
+                supp3 = (((sh_c2 >> PB) & 511) == 510) | (
+                    ((s_c2 >> PB) & 511) == 510
+                )
+                u_c1 = (
+                    sh_c1
+                    & ~jnp.where(supp1, P1M, 0)
+                    & ~jnp.where(supp2, P2M, 0)
+                )
+                sv_c1 = (
+                    jnp.broadcast_to(s_c1, u_c1.shape)
+                    & ~jnp.where(supp1, P1M, 0)
+                    & ~jnp.where(supp2, P2M, 0)
+                )
+                u_c2 = sh_c2 & ~jnp.where(supp3, P1M, 0) & ~P2M
+                sv_c2 = (
+                    jnp.broadcast_to(s_c2, u_c2.shape)
+                    & ~jnp.where(supp3, P1M, 0)
+                    & ~P2M
+                )
+                m1 = (sh_rw >> RB) == (s_rw >> RB)
+                m2 = (sh_rw & RMASK) == (s_rw & RMASK)
+                u_c1 = u_c1 & ~jnp.where(m1, P1M, 0) & ~jnp.where(m2, P2M, 0)
+                sv_c1 = sv_c1 | jnp.where(m1, P1M, 0) | jnp.where(m2, P2M, 0)
 
                 pu = sh_pp
-                dpu = shifts(d_pred, li)
-                ppu = shifts(pri_pred, li)
                 ps = best_strict_pri[None]
                 zero_valid = (
                     tied
@@ -254,11 +317,8 @@ def _build_kernel(w, h, max_grad, p, groups):
                         | (
                             (pu == ps)
                             & (
-                                (dpu < d_sv[None])
-                                | (
-                                    (dpu == d_sv[None])
-                                    & (ppu <= pri_pop_s[None])
-                                )
+                                (u_c1 < sv_c1)
+                                | ((u_c1 == sv_c1) & (u_c2 <= sv_c2))
                             )
                         )
                     )
@@ -282,12 +342,18 @@ def _build_kernel(w, h, max_grad, p, groups):
                 cand_idx = jax.lax.broadcasted_iota(
                     jnp.int32, stacked.shape, 0
                 )
+                rows_cand = jnp.stack(
+                    [li + off for off in offsets], axis=0
+                )
                 choice_ref[ji] = select(cand_idx)
                 d_s[:] = d_new
                 pri_s[:] = best_pri
                 rank_s[:] = rank_of(d_new, best_pri * p + entry_ctr, li, masks)
-                dpred_s[:] = select(sh_d)
-                ppred_s[:] = select(sh_pp)
+                c_pack = ((select(sh_m) + m_cur) << PB) | (select(sh_pp) + 1)
+                c_gc1 = select(sh_c1)
+                c1_s[:] = (c_pack << LB) | (c_gc1 >> LB)
+                c2_s[:] = ((c_gc1 & LMASK) << LB) | (select(sh_c2) >> LB)
+                rw_s[:] = (select(rows_cand) << RB) | (select(sh_rw) >> RB)
 
             mprev_s[:] = m_cur
 
@@ -457,7 +523,7 @@ def _run_packed(
                 jax.ShapeDtypeStruct((nb, lanes), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((nb, lanes), jnp.int32) for _ in range(6)
+                pltpu.VMEM((nb, lanes), jnp.int32) for _ in range(7)
             ],
             interpret=interpret,
         )(m_cols)
