@@ -196,3 +196,63 @@ def test_wide_random_sweep_cost_exactness():
                 p[np.arange(w), got].sum() == p[np.arange(w), want].sum()
             ), "path cost must match the optimum"
     assert diverged <= 0.01 * total, f"{diverged}/{total} columns diverged"
+
+
+def test_flat_tail_sweep_extended_matches_oracle():
+    # Extended sweep of the flat-tail tie chains (30 trials vs the 20
+    # above): the depth-4 ancestor-chain races must stay bit-exact.
+    rng = np.random.default_rng(8)
+    for trial in range(30):
+        w, h = 24, 16
+        rows = _smooth_rows(rng, w, h, max_step=2)
+        m = _ridge_map(w, h, rows)
+        tail = int(rng.integers(3, 9))
+        if trial % 2:
+            m[-tail:, :] = 0
+        else:
+            m[:tail, :] = 0
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_big_jump_ridges_match_oracle():
+    # max_step=4 jumps with max_grad=1 force equal-cost detours whose
+    # choice depends on deep settle races (incl. ancestor merges).
+    rng = np.random.default_rng(1)
+    for trial in range(10):
+        w, h = 24, 20
+        rows = _smooth_rows(rng, w, h, max_step=4)
+        m = _ridge_map(w, h, rows)
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_wide_plateau_ridges_cost_and_near_parity():
+    # 2-3-row-wide 255 plateaus: dense zero-edge cascade races. Allow
+    # <=1% columns to diverge (events deeper than the carried chains),
+    # always at equal path cost.
+    rng = np.random.default_rng(8)
+    for _ in range(30):
+        _smooth_rows(rng, 24, 16)  # keep rng stream aligned w/ suite
+        rng.integers(3, 9)
+    div = total = 0
+    for trial in range(30):
+        w, h = 24, 16
+        rows = _smooth_rows(rng, w, h, max_step=2)
+        m = _ridge_map(w, h, rows)
+        m |= np.roll(m, 1, axis=1)
+        if trial % 3 == 0:
+            m |= np.roll(m, 2, axis=1)
+        got = np.asarray(minpath.delineate(m))
+        want = dijkstra_delineate(m)
+        total += w
+        d = int((got != want).sum())
+        div += d
+        if d:
+            p = m.astype(np.int64)
+            assert (
+                p[np.arange(w), got].sum() == p[np.arange(w), want].sum()
+            )
+    assert div <= 0.01 * total, f"{div}/{total}"
