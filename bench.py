@@ -87,11 +87,18 @@ def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
                 if mode == "s2d":
                     # labels_s2d forward: softmax/argmax/boundary-ridge all
                     # stay in the s2d domain, maps feed the Pallas kernel
-                    # through its s2d packing entry (see ops/inference.py).
+                    # through its s2d packing entry (see ops/inference.py);
+                    # non-TPU hosts fall back to the XLA min-path.
                     maps_s2d = bops.boundary_maps_from_s2d_labels(
                         out, NUM_CLASSES, transposed="s2d"
                     )
-                    delins = delineate_pallas_s2d(maps_s2d)
+                    if mops.resolve_backend(minpath_backend):
+                        delins = delineate_pallas_s2d(maps_s2d)
+                    else:
+                        delins = mops.delineate(
+                            bops.s2d_maps_to_transposed(maps_s2d),
+                            backend=minpath_backend,
+                        )
                 else:
                     # f32 one-hot conversion: composes better with the
                     # Pallas min-path than the integer path on a

@@ -246,15 +246,27 @@ def boundary_maps_from_s2d_labels(
     m = jnp.stack(maps, axis=1)  # (B, M, Hb, Wb, 4)
     if transposed == "s2d":
         return m
+    if transposed:
+        return s2d_maps_to_transposed(m)
+    return s2d_maps_to_image(m)
+
+
+def s2d_maps_to_image(m: jnp.ndarray) -> jnp.ndarray:
+    """s2d-form maps ``(B, M, Hb, Wb, 4)`` -> image ``(B, M, H, W)``."""
     B, M, Hb, Wb, _ = m.shape
     m = m.reshape(B, M, Hb, Wb, 2, 2)
-    if transposed:
-        # (b, m, i, j, qh, qw) -> (b, m, j, qw, i, qh) = (B, M, W, H)
-        m = jnp.transpose(m, (0, 1, 3, 5, 2, 4))
-        return m.reshape(B, M, 2 * Wb, 2 * Hb)
     # (b, m, i, j, qh, qw) -> (b, m, i, qh, j, qw) = (B, M, H, W)
     m = jnp.transpose(m, (0, 1, 2, 4, 3, 5))
     return m.reshape(B, M, 2 * Hb, 2 * Wb)
+
+
+def s2d_maps_to_transposed(m: jnp.ndarray) -> jnp.ndarray:
+    """s2d-form maps -> the min-path's ``(B, M, W, H)`` orientation."""
+    B, M, Hb, Wb, _ = m.shape
+    m = m.reshape(B, M, Hb, Wb, 2, 2)
+    # (b, m, i, j, qh, qw) -> (b, m, j, qw, i, qh) = (B, M, W, H)
+    m = jnp.transpose(m, (0, 1, 3, 5, 2, 4))
+    return m.reshape(B, M, 2 * Wb, 2 * Hb)
 
 
 @functools.partial(jax.jit, static_argnames=("image_height",))

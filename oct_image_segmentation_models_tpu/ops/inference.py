@@ -153,32 +153,27 @@ def make_fused_pipeline(
 
             lab_s2d = labels_apply_fn(x)
             labels = d2s(lab_s2d)[..., 0]
-            maps = boundary_ops.boundary_maps_from_s2d_labels(
-                lab_s2d, num_classes, bg_ilm=bg_ilm, bg_csi=bg_csi
+            # One ridge pass in the s2d domain; the image / transposed
+            # orientations are pure permutations of its output.
+            maps_s2d = boundary_ops.boundary_maps_from_s2d_labels(
+                lab_s2d,
+                num_classes,
+                bg_ilm=bg_ilm,
+                bg_csi=bg_csi,
+                transposed="s2d",
             )
+            maps = boundary_ops.s2d_maps_to_image(maps_s2d)
             if not with_graph_search:
                 return labels, maps, None
             if minpath_ops.resolve_backend(minpath_backend):
                 from .minpath_pallas import delineate_pallas_s2d
 
-                maps_s2d = boundary_ops.boundary_maps_from_s2d_labels(
-                    lab_s2d,
-                    num_classes,
-                    bg_ilm=bg_ilm,
-                    bg_csi=bg_csi,
-                    transposed="s2d",
-                )
                 delins = delineate_pallas_s2d(maps_s2d, max_grad=max_grad)
             else:
-                maps_t = boundary_ops.boundary_maps_from_s2d_labels(
-                    lab_s2d,
-                    num_classes,
-                    bg_ilm=bg_ilm,
-                    bg_csi=bg_csi,
-                    transposed=True,
-                )
                 delins = minpath_ops.delineate(
-                    maps_t, max_grad=max_grad, backend=minpath_backend
+                    boundary_ops.s2d_maps_to_transposed(maps_s2d),
+                    max_grad=max_grad,
+                    backend=minpath_backend,
                 )
             return labels, maps, delins.astype(jnp.uint16)
         if apply_fn is not None:

@@ -359,21 +359,6 @@ def build_s2d_apply(
     """
     if output not in ("probs", "labels", "labels_s2d"):
         raise ValueError(f"unknown output mode: {output}")
-    if output == "labels_s2d" and (
-        s2d_levels == 0
-        or (
-            s2d_levels is None
-            and s2d_eligible_levels(
-                model_config.get("start_neurons", 8),
-                model_config.get("pool_layers", 4),
-                model_config.get("conv_layers", 2),
-                tuple(model_config.get("enc_kernel", (3, 3))),
-                tuple(model_config.get("dec_kernel", (2, 2))),
-            )
-            == 0
-        )
-    ):
-        raise ValueError("labels_s2d output requires s2d_levels > 0")
     from ..models.unet import fold_batchnorm_variables
 
     if "batch_stats" in variables:
@@ -391,6 +376,8 @@ def build_s2d_apply(
         s2d_levels = s2d_eligible_levels(
             start_neurons, pool_layers, conv_layers, enc_kernel, dec_kernel
         )
+    if output == "labels_s2d" and s2d_levels == 0:
+        raise ValueError("labels_s2d output requires s2d_levels > 0")
 
     # --- collect folded conv weights in module creation order ---------
     n_blocks = (

@@ -36,6 +36,9 @@ class VolumeSegmenter:
         self.loaded_model = loaded_model
         self.batch_size = batch_size
         container = get_model_class(loaded_model.name)(**model_config)
+        # Divisibility requirement of the conv stack, taken from the
+        # container (which has normalized config defaults applied).
+        self._model_div = 2 ** getattr(container, "pool_layers", 0)
 
         # s2d-transformed conv stack for eligible U-Nets (volumes have
         # fixed B-scan geometry, checked at segment time). The fast path
@@ -59,6 +62,9 @@ class VolumeSegmenter:
                 dtype=jnp.dtype(compute_dtype),
             )
 
+        # No geometry fallback pipeline: any dims passing the
+        # 2**pool_layers validation below also divide the s2d factor
+        # (s2d levels <= pool_layers), so the fast path always applies.
         self._pipeline = make_fused_pipeline(
             loaded_model.module,
             container.get_preprocess_input_fn(),
@@ -67,19 +73,7 @@ class VolumeSegmenter:
             max_grad=max_grad,
             with_graph_search=with_graph_search,
             labels_apply_fn=labels_fn,
-            num_classes=model_config.get("num_classes"),
-        )
-        self._fallback = (
-            make_fused_pipeline(
-                loaded_model.module,
-                container.get_preprocess_input_fn(),
-                bg_ilm=bg_ilm,
-                bg_csi=bg_csi,
-                max_grad=max_grad,
-                with_graph_search=with_graph_search,
-            )
-            if labels_fn is not None
-            else None
+            num_classes=loaded_model.output_classes,
         )
 
     def segment_volume(self, volume: np.ndarray, prefetch: int = 2):
@@ -96,7 +90,7 @@ class VolumeSegmenter:
         # The conv stack downsamples 2**pool_layers times; incompatible
         # dims would otherwise surface as an opaque concat shape error
         # deep inside the traced forward.
-        model_div = 2 ** self.loaded_model.model_config.get("pool_layers", 0)
+        model_div = self._model_div
         if volume.shape[1] % model_div or volume.shape[2] % model_div:
             raise ValueError(
                 f"B-scan spatial dims {volume.shape[1]}x{volume.shape[2]} "
@@ -105,11 +99,6 @@ class VolumeSegmenter:
             )
 
         pipeline = self._pipeline
-        if self._fallback is not None and (
-            volume.shape[1] % self._s2d_div or volume.shape[2] % self._s2d_div
-        ):
-            pipeline = self._fallback
-
         batches = (volume[i : i + b] for i in range(0, len(volume), b))
         labels_out, segs_out = [], []
         for batch in device_prefetch(batches, size=prefetch):

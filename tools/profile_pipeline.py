@@ -7,7 +7,9 @@ prefixes of the pipeline, so per-stage costs come out by subtraction —
 composition effects included.
 
 Usage: python tools/profile_pipeline.py [stage ...]
-Stages: fwd, fwd_convert, full, minpath, convert_int
+Stages: fwd, fwd_convert, full, minpath, convert_int (probability
+forward); fwd_labels, labels_convert, full_labels (labels_s2d fast
+path). Default runs both paths' cumulative prefixes.
 """
 
 from __future__ import annotations
@@ -127,7 +129,15 @@ def build(stage):
 
 
 def main():
-    stages = sys.argv[1:] or ["fwd", "fwd_convert", "full", "minpath"]
+    stages = sys.argv[1:] or [
+        "fwd",
+        "fwd_convert",
+        "full",
+        "minpath",
+        "fwd_labels",
+        "labels_convert",
+        "full_labels",
+    ]
     for stage in stages:
         loop, arg = build(stage)
         out = loop(arg)
