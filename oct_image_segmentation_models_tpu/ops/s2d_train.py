@@ -55,6 +55,37 @@ class _DropoutShim(nn.Module):
         return nn.Dropout(0.5, deterministic=not training)(x)
 
 
+def maybe_build_s2d_train(
+    module, model_config: dict, image_height: int, image_width: int
+):
+    """``S2DTrainForward`` for the train/eval steps when the model and
+    geometry qualify, else ``None`` (use the parity module).
+
+    Single decision point for the training driver: the model must be a
+    ``UNetModule`` with an s2d-eligible config, and the (fixed) training
+    image dims must stay even through every transformed level.
+    """
+    from ..models.unet import UNetModule
+
+    if model_config is None or not isinstance(module, UNetModule):
+        return None
+    levels = s2d_eligible_levels(
+        model_config.get("start_neurons", 8),
+        model_config.get("pool_layers", 4),
+        model_config.get("conv_layers", 2),
+        tuple(model_config.get("enc_kernel", (3, 3))),
+        tuple(model_config.get("dec_kernel", (2, 2))),
+    )
+    if levels == 0:
+        return None
+    div = 2**levels
+    if image_height % div or image_width % div:
+        return None
+    return S2DTrainForward(
+        model_config, dtype=getattr(module, "dtype", jnp.float32)
+    )
+
+
 def _batchnorm(t, bn_params, bn_stats, training, *, phases, real_count=None):
     """flax-BatchNorm-equivalent normalization.
 

@@ -279,12 +279,36 @@ def train_model(
         model_name = model_architecture
 
     state = create_train_state(dict(variables), tx, mesh)
+
+    # Forward used inside the train/eval steps: the space-to-depth
+    # transformed stack (ops/s2d_train.py — same parameter tree and
+    # dropout masks, batch-statistics over real pixels) feeds the MXU
+    # lanes fully on the high-resolution levels; "parity" forces the
+    # plain Flax module (bit-level reference numerics).
+    compute_module = module
+    if training_params.train_forward_impl != "parity":
+        from ..ops.s2d_train import maybe_build_s2d_train
+
+        s2d_fwd = maybe_build_s2d_train(
+            module, model_container.get_config(), image_height, image_width
+        )
+        if s2d_fwd is not None:
+            log.info("Using s2d-transformed training forward")
+            compute_module = s2d_fwd
+        elif training_params.train_forward_impl == "s2d":
+            raise ValueError(
+                "train_forward_impl='s2d' requires an s2d-eligible U-Net "
+                "config and image dims divisible by the transformed-level "
+                "factor"
+            )
+
     train_step = make_train_step(
-        module, tx, loss_fn, metric_fn, mesh,
+        compute_module, tx, loss_fn, metric_fn, mesh,
         impl=training_params.train_step_impl,
     )
     eval_step = make_eval_step(
-        module, loss_fn, metric_fn, mesh, impl=training_params.train_step_impl
+        compute_module, loss_fn, metric_fn, mesh,
+        impl=training_params.train_step_impl,
     )
 
     monitor_name, monitor_mode = training_params.model_save_monitor

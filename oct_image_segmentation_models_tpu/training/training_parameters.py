@@ -48,6 +48,7 @@ class TrainingParams:
         seed: Optional[int] = None,
         profile_dir: Optional[Path] = None,
         train_step_impl: str = "auto",
+        train_forward_impl: str = "auto",
         checkpoint_format: str = "hdf5",
         tensorboard: bool = False,
     ):
@@ -103,6 +104,11 @@ class TrainingParams:
         # Data-parallel step implementation: "auto" | "spmd" | "shard_map"
         # (see parallel/train_step.py).
         self.train_step_impl = train_step_impl
+        if train_forward_impl not in ("auto", "s2d", "parity"):
+            raise ValueError(
+                f"unknown train_forward_impl: {train_forward_impl}"
+            )
+        self.train_forward_impl = train_forward_impl
         # Checkpoint backend: "hdf5" (reference-parity single files) or
         # "orbax" (directory checkpoints via orbax.checkpoint; async-safe
         # and multi-host aware).

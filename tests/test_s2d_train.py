@@ -133,3 +133,50 @@ def test_s2d_train_in_train_step():
         state, loss, _ = step(state, imgs, labels, jax.random.PRNGKey(i))
         losses_seen.append(float(loss))
     assert losses_seen[-1] < losses_seen[0]
+
+
+def test_train_forward_impl_validation(tmp_path):
+    """train_forward_impl='s2d' must fail fast for ineligible configs."""
+    import pytest
+
+    from oct_image_segmentation_models_tpu.training import (
+        TrainingParams,
+        train_model,
+    )
+
+    from synth import make_dataset
+
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=4, n_val=2, n_test=2,
+                      h=16, w=16)
+    params = TrainingParams(
+        model_architecture="unet",
+        training_dataset_path=ds,
+        initial_model=None,
+        results_location=tmp_path,
+        opt_con="adam",
+        loss="dice_loss_macro",
+        metric="dice_coef_macro",
+        epochs=1,
+        batch_size=2,
+        # odd conv_layers -> not s2d eligible
+        model_hyperparameters={"start_neurons": 2, "pool_layers": 2,
+                               "conv_layers": 3},
+        seed=0,
+        train_forward_impl="s2d",
+    )
+    with pytest.raises(ValueError, match="s2d-eligible"):
+        train_model(params, None)
+
+    with pytest.raises(ValueError, match="train_forward_impl"):
+        TrainingParams(
+            model_architecture="unet",
+            training_dataset_path=ds,
+            initial_model=None,
+            results_location=tmp_path,
+            opt_con="adam",
+            loss="dice_loss_macro",
+            metric="dice_coef_macro",
+            epochs=1,
+            batch_size=2,
+            train_forward_impl="nope",
+        )
