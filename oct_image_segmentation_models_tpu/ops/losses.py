@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,11 +101,15 @@ def _sparse_focal_map(y_true, y_pred, gamma, class_weight):
     SparseCategoricalFocalLoss used at reference `custom_losses.py:41-44`)."""
     labels = _squeeze_labels(y_true).astype(jnp.int32)
     p = jnp.clip(y_pred.astype(jnp.float32), _EPS_KERAS, 1.0)
-    p_y = jnp.take_along_axis(p, labels[..., None], axis=-1)[..., 0]
+    # One-hot multiply-sum instead of take_along_axis: a gather along
+    # the minor (lane) axis lowers catastrophically on TPU (measured
+    # ~70 ms per call at (8, 512, 1024, 4) vs ~2 ms for this form).
+    oh = jax.nn.one_hot(labels, p.shape[-1], dtype=jnp.float32)
+    p_y = jnp.sum(p * oh, axis=-1)
     focal = -((1.0 - p_y) ** gamma) * jnp.log(p_y)
     if class_weight is not None:
         w = jnp.asarray(np.asarray(class_weight), jnp.float32)
-        focal = focal * w[labels]
+        focal = focal * jnp.sum(oh * w, axis=-1)
     return focal
 
 
