@@ -45,12 +45,15 @@ class BatchGenerator:
         preprocess_input_fn: Callable,
         shuffle: bool = True,
         seed: Optional[int] = None,
+        aug_device: bool = False,
     ):
         if aug_mode not in AUG_MODES:
             raise ValueError(
                 f"Unrecognized augmentation mode: {aug_mode}. "
                 f"Allowed values: {AUG_MODES}"
             )
+        if aug_device and not aug_fly:
+            raise ValueError("aug_device requires aug_fly=True")
         self.images = np.asarray(images, np.float32) / 255.0
         self.labels = np.asarray(labels)
         self.batch_size = batch_size
@@ -58,6 +61,7 @@ class BatchGenerator:
         self.aug_mode = aug_mode
         self.aug_probs = aug_probs
         self.aug_fly = aug_fly
+        self.aug_device = aug_device
         self.preprocess_input_fn = preprocess_input_fn
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
@@ -114,11 +118,18 @@ class BatchGenerator:
         return self.preprocess_input_fn(np.asarray(image) * 255.0)
 
     def _next_sample(self, sample_ind):
+        """-> (image, label, aug_choice). ``aug_choice`` is the index the
+        mode logic picked (-1 = none); with ``aug_device`` the aug is NOT
+        applied here — the device pipeline applies it from the choice."""
         raw_image = self.images[sample_ind]
         raw_label = self.labels[sample_ind]
+        choice = -1
 
         if self.aug_mode == "all":
-            if self.aug_fly:
+            choice = self.aug_counter
+            if self.aug_device:
+                image, label = raw_image, raw_label
+            elif self.aug_fly:
                 aug_fn, aug_arg = self.aug_fn_args[self.aug_counter]
                 image, label = aug_fn(raw_image, raw_label, aug_arg)
             else:
@@ -129,10 +140,14 @@ class BatchGenerator:
                 self.aug_counter = 0
                 self.full_counter += 1
         elif self.aug_mode == "one":
-            choice = self._rng.choice(
-                np.arange(self.total_augs), p=self.aug_probs or None
+            choice = int(
+                self._rng.choice(
+                    np.arange(self.total_augs), p=self.aug_probs or None
+                )
             )
-            if self.aug_fly:
+            if self.aug_device:
+                image, label = raw_image, raw_label
+            elif self.aug_fly:
                 aug_fn, aug_arg = self.aug_fn_args[choice]
                 image, label = aug_fn(raw_image, raw_label, aug_arg)
             else:
@@ -143,24 +158,36 @@ class BatchGenerator:
             image, label = raw_image, raw_label
             self.full_counter += 1
 
-        return self._finalize(image), label
+        if self.aug_device:
+            # raw [0, 1] image out; finalize runs on device after the aug
+            return image, label, choice
+        return self._finalize(image), label, choice
 
     def get_batch_list(self):
+        """[images, labels] — or [images, labels, aug_choices] with
+        ``aug_device`` (images raw [0, 1], choices (B,) int32)."""
         batch_images = np.zeros(
             (self.batch_size, self.image_height, self.image_width, self.num_channels),
             dtype=np.float32,
         )
         batch_labels = np.zeros(self.batch_labels_shape)
+        batch_choices = np.full((self.batch_size,), -1, np.int32)
 
         for cur in range(self.batch_size):
             sample_ind = self.sample_shuffle[self.full_counter]
-            batch_images[cur], batch_labels[cur] = self._next_sample(sample_ind)
+            (
+                batch_images[cur],
+                batch_labels[cur],
+                batch_choices[cur],
+            ) = self._next_sample(sample_ind)
             if self.full_counter == self.total_full_images:
                 self.full_counter = 0
 
         self.batch_counter += 1
         if self.batch_counter == self.num_batches:
             self.batch_counter = 0
+        if self.aug_device:
+            return [batch_images, batch_labels, batch_choices]
         return [batch_images, batch_labels]
 
     def handle_epoch_end(self):
@@ -188,6 +215,7 @@ class DataGenerator:
         preprocess_input_fn: Callable,
         shuffle: bool = True,
         seed: Optional[int] = None,
+        aug_device: bool = False,
     ):
         self.batch_gen = BatchGenerator(
             images=images,
@@ -200,6 +228,7 @@ class DataGenerator:
             preprocess_input_fn=preprocess_input_fn,
             shuffle=shuffle,
             seed=seed,
+            aug_device=aug_device,
         )
 
     def __len__(self):

@@ -69,20 +69,33 @@ def make_train_step(
     metric_fn: Callable,
     mesh: Mesh,
     impl: str = "auto",
+    input_transform: Callable = None,
 ) -> Callable:
     """Returns ``train_step(state, images, labels, rng) ->
-    (state, loss, metric)`` jitted over the mesh."""
+    (state, loss, metric)`` jitted over the mesh.
+
+    ``input_transform(rng, images, labels, choices) -> (images, labels)``
+    — optional device-side batch preparation (augmentation + model
+    preprocess) run INSIDE the step's jit (one dispatch; XLA fuses it
+    into the forward's input). When set, the step takes an extra
+    per-sample ``choices`` argument: ``train_step(state, images,
+    labels, rng, choices)``."""
     if impl == "auto":
         impl = "spmd" if mesh.devices.size == 1 else "shard_map"
     if impl == "spmd":
-        return _make_train_step_spmd(module, tx, loss_fn, metric_fn, mesh)
+        return _make_train_step_spmd(
+            module, tx, loss_fn, metric_fn, mesh, input_transform
+        )
     if impl != "shard_map":
         raise ValueError(f"unknown train step impl: {impl}")
 
-    def local_step(state: TrainState, images, labels, rng):
+    def local_step(state: TrainState, images, labels, rng, choices=None):
         # Per-device batch shard; fold the data-axis index into the dropout
         # key so replicas draw independent masks.
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        if input_transform is not None:
+            rng, aug_rng = jax.random.split(rng)
+            images, labels = input_transform(aug_rng, images, labels, choices)
 
         def compute_loss(params):
             out, mutated = module.apply(
@@ -111,16 +124,26 @@ def make_train_step(
             metric,
         )
 
-    sharded = _shard_map(
-        local_step,
-        mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P(), P()),
-    )
+    if input_transform is None:
+        sharded = _shard_map(
+            local_step,
+            mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+        )
+    else:
+        sharded = _shard_map(
+            local_step,
+            mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P(DATA_AXIS)),
+            out_specs=(P(), P(), P()),
+        )
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def _make_train_step_spmd(module, tx, loss_fn, metric_fn, mesh: Mesh):
+def _make_train_step_spmd(
+    module, tx, loss_fn, metric_fn, mesh: Mesh, input_transform=None
+):
     # No sharding annotations: the step is a plain jit and the layout
     # follows the input shardings (batch placed sharded by shard_batch,
     # state replicated) — XLA propagates and inserts the gradient
@@ -129,7 +152,11 @@ def _make_train_step_spmd(module, tx, loss_fn, metric_fn, mesh: Mesh):
     # on this TPU stack (~8x slower step).
     del mesh
 
-    def step(state: TrainState, images, labels, rng):
+    def step(state: TrainState, images, labels, rng, choices=None):
+        if input_transform is not None:
+            rng, aug_rng = jax.random.split(rng)
+            images, labels = input_transform(aug_rng, images, labels, choices)
+
         def compute_loss(params):
             out, mutated = module.apply(
                 {"params": params, "batch_stats": state.batch_stats},

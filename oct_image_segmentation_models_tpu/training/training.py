@@ -302,9 +302,75 @@ def train_model(
                 "factor"
             )
 
+    preprocess_fn = model_container.get_preprocess_input_fn()
+    # Device-side augmentation: the generator keeps its mode logic
+    # (which sample gets which aug) but skips the per-sample numpy
+    # transforms — the jitted augmenter applies them batched on device,
+    # where they cost ~1 ms instead of ~60 ms/batch of host time at the
+    # flagship shape. "auto" uses it whenever every requested aug has a
+    # device equivalent and training augments on the fly.
+    device_augmenter = None
+    if (
+        training_params.aug_device in ("auto", "on")
+        and training_params.aug_fly
+        and training_params.aug_mode != "none"
+    ):
+        from ..ops.augment import build_device_augmenter
+
+        device_augmenter = build_device_augmenter(training_params.aug_fn_args)
+        if device_augmenter is None and training_params.aug_device == "on":
+            raise ValueError(
+                "aug_device='on' but an augmentation has no device "
+                "equivalent (only flip and gaussian/speckle noise do)"
+            )
+    use_aug_device = device_augmenter is not None
+
+    # Each process assembles its local slice of the global batch.
+    local_batch_size = training_params.batch_size // proc_count
+
+    input_transform = None
+    if use_aug_device:
+        # Runs INSIDE the train step's jit (one dispatch per step):
+        # per-sample augs from the generator's choices, then the model
+        # preprocess (generator images are raw [0, 1] floats here).
+        def input_transform(r, im, lb, ch):
+            im, lb = device_augmenter(r, im, lb, ch)
+            return preprocess_fn(im * 255.0), lb
+
+        try:
+            jax.eval_shape(
+                input_transform,
+                jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct(
+                    (
+                        local_batch_size,
+                        int(image_height),
+                        int(image_width),
+                        int(input_channels),
+                    ),
+                    np.float32,
+                ),
+                jax.ShapeDtypeStruct(
+                    (local_batch_size,) + tuple(train_labels_model.shape[1:]),
+                    np.float32,
+                ),
+                jax.ShapeDtypeStruct((local_batch_size,), np.int32),
+            )
+            log.info("Applying augmentations on device")
+        except Exception as e:  # e.g. a numpy-only preprocess fn
+            if training_params.aug_device == "on":
+                raise ValueError(
+                    "aug_device='on' but the device augmentation pipeline "
+                    f"does not trace: {e}"
+                )
+            use_aug_device = False
+            input_transform = None
+
+
     train_step = make_train_step(
         compute_module, tx, loss_fn, metric_fn, mesh,
         impl=training_params.train_step_impl,
+        input_transform=input_transform,
     )
     eval_step = make_eval_step(
         compute_module, loss_fn, metric_fn, mesh,
@@ -391,9 +457,6 @@ def train_model(
             opt_config,
         )
 
-    preprocess_fn = model_container.get_preprocess_input_fn()
-    # Each process assembles its local slice of the global batch.
-    local_batch_size = training_params.batch_size // proc_count
     train_gen = data_gen.DataGenerator(
         train_images,
         train_labels_model,
@@ -405,6 +468,7 @@ def train_model(
         preprocess_fn,
         shuffle=training_params.shuffle,
         seed=training_params.seed,
+        aug_device=use_aug_device,
     )
     val_gen = data_gen.DataGenerator(
         val_images,
@@ -450,17 +514,36 @@ def train_model(
         with profile_ctx:
             # Host batch assembly + H2D transfer overlap device compute
             # (double-buffered prefetch onto the mesh).
-            batches = (
-                (np.asarray(bi, np.float32), np.asarray(bl))
-                for bi, bl in train_gen
-            )
-            for images, labels in prefetch_to_mesh(batches, mesh):
-                rng, step_rng = jax.random.split(rng)
-                state, loss_val, metric_val = train_step(
-                    state, images, labels, step_rng
+            if use_aug_device:
+                batches = (
+                    (
+                        np.asarray(bi, np.float32),
+                        np.asarray(bl),
+                        np.asarray(bc, np.int32),
+                    )
+                    for bi, bl, bc in train_gen
                 )
-                train_losses.append(loss_val)
-                train_metrics.append(metric_val)
+                for images, labels, choices in prefetch_to_mesh(
+                    batches, mesh
+                ):
+                    rng, step_rng = jax.random.split(rng)
+                    state, loss_val, metric_val = train_step(
+                        state, images, labels, step_rng, choices
+                    )
+                    train_losses.append(loss_val)
+                    train_metrics.append(metric_val)
+            else:
+                batches = (
+                    (np.asarray(bi, np.float32), np.asarray(bl))
+                    for bi, bl in train_gen
+                )
+                for images, labels in prefetch_to_mesh(batches, mesh):
+                    rng, step_rng = jax.random.split(rng)
+                    state, loss_val, metric_val = train_step(
+                        state, images, labels, step_rng
+                    )
+                    train_losses.append(loss_val)
+                    train_metrics.append(metric_val)
         train_gen.on_epoch_end()
 
         val_losses, val_metrics = [], []

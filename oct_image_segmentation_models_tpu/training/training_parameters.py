@@ -49,6 +49,7 @@ class TrainingParams:
         profile_dir: Optional[Path] = None,
         train_step_impl: str = "auto",
         train_forward_impl: str = "auto",
+        aug_device: str = "auto",
         checkpoint_format: str = "hdf5",
         tensorboard: bool = False,
     ):
@@ -109,6 +110,13 @@ class TrainingParams:
                 f"unknown train_forward_impl: {train_forward_impl}"
             )
         self.train_forward_impl = train_forward_impl
+        if aug_device not in ("auto", "on", "off") and not isinstance(
+            aug_device, bool
+        ):
+            raise ValueError(f"unknown aug_device: {aug_device}")
+        if isinstance(aug_device, bool):
+            aug_device = "on" if aug_device else "off"
+        self.aug_device = aug_device
         # Checkpoint backend: "hdf5" (reference-parity single files) or
         # "orbax" (directory checkpoints via orbax.checkpoint; async-safe
         # and multi-host aware).
