@@ -105,11 +105,15 @@ def _sparse_focal_map(y_true, y_pred, gamma, class_weight):
     # the minor (lane) axis lowers catastrophically on TPU (measured
     # ~70 ms per call at (8, 512, 1024, 4) vs ~2 ms for this form).
     oh = jax.nn.one_hot(labels, p.shape[-1], dtype=jnp.float32)
-    p_y = jnp.sum(p * oh, axis=-1)
+    # Re-clip: an out-of-range label gives an all-zero one-hot row, and
+    # log(0) would poison the whole loss with -inf (labels can exceed
+    # the channel count when e.g. a class appears only in validation).
+    p_y = jnp.clip(jnp.sum(p * oh, axis=-1), _EPS_KERAS, 1.0)
     focal = -((1.0 - p_y) ** gamma) * jnp.log(p_y)
     if class_weight is not None:
         w = jnp.asarray(np.asarray(class_weight), jnp.float32)
-        focal = focal * jnp.sum(oh * w, axis=-1)
+        # tolerate weight lists longer than the prediction channels
+        focal = focal * jnp.sum(oh * w[: p.shape[-1]], axis=-1)
     return focal
 
 

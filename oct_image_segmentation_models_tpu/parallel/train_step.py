@@ -124,20 +124,15 @@ def make_train_step(
             metric,
         )
 
-    if input_transform is None:
-        sharded = _shard_map(
-            local_step,
-            mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-            out_specs=(P(), P(), P()),
-        )
-    else:
-        sharded = _shard_map(
-            local_step,
-            mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P(DATA_AXIS)),
-            out_specs=(P(), P(), P()),
-        )
+    in_specs = (P(), P(DATA_AXIS), P(DATA_AXIS), P())
+    if input_transform is not None:
+        in_specs = in_specs + (P(DATA_AXIS),)
+    sharded = _shard_map(
+        local_step,
+        mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P(), P()),
+    )
     return jax.jit(sharded, donate_argnums=(0,))
 
 

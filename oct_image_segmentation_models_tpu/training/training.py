@@ -310,6 +310,13 @@ def train_model(
     # flagship shape. "auto" uses it whenever every requested aug has a
     # device equivalent and training augments on the fly.
     device_augmenter = None
+    if training_params.aug_device == "on" and (
+        not training_params.aug_fly or training_params.aug_mode == "none"
+    ):
+        raise ValueError(
+            "aug_device='on' requires aug_fly=True and an augmentation "
+            "mode other than 'none'"
+        )
     if (
         training_params.aug_device in ("auto", "on")
         and training_params.aug_fly
@@ -513,7 +520,9 @@ def train_model(
         train_losses, train_metrics = [], []
         with profile_ctx:
             # Host batch assembly + H2D transfer overlap device compute
-            # (double-buffered prefetch onto the mesh).
+            # (double-buffered prefetch onto the mesh). With aug_device
+            # the generator emits a third per-sample aug-choice array
+            # that rides into the step's jit.
             if use_aug_device:
                 batches = (
                     (
@@ -523,27 +532,18 @@ def train_model(
                     )
                     for bi, bl, bc in train_gen
                 )
-                for images, labels, choices in prefetch_to_mesh(
-                    batches, mesh
-                ):
-                    rng, step_rng = jax.random.split(rng)
-                    state, loss_val, metric_val = train_step(
-                        state, images, labels, step_rng, choices
-                    )
-                    train_losses.append(loss_val)
-                    train_metrics.append(metric_val)
             else:
                 batches = (
                     (np.asarray(bi, np.float32), np.asarray(bl))
                     for bi, bl in train_gen
                 )
-                for images, labels in prefetch_to_mesh(batches, mesh):
-                    rng, step_rng = jax.random.split(rng)
-                    state, loss_val, metric_val = train_step(
-                        state, images, labels, step_rng
-                    )
-                    train_losses.append(loss_val)
-                    train_metrics.append(metric_val)
+            for batch in prefetch_to_mesh(batches, mesh):
+                rng, step_rng = jax.random.split(rng)
+                state, loss_val, metric_val = train_step(
+                    state, batch[0], batch[1], step_rng, *batch[2:]
+                )
+                train_losses.append(loss_val)
+                train_metrics.append(metric_val)
         train_gen.on_epoch_end()
 
         val_losses, val_metrics = [], []

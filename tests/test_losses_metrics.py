@@ -138,3 +138,17 @@ def test_surface_distance_basic():
     # empty mask -> inf
     dinf, _ = sd.average_surface_distance(a, np.zeros_like(a), (1.0, 1.0))
     assert np.isinf(dinf)
+
+
+def test_focal_loss_out_of_range_labels_stay_finite():
+    """A label value >= the prediction channel count (e.g. a class only
+    present in validation) must give a finite loss, not log(0)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oct_image_segmentation_models_tpu.ops.losses import focal_dice_loss
+
+    loss_fn = focal_dice_loss(num_classes=3, class_weight=[1.0, 2.0, 1.0, 9.0])
+    y_pred = jnp.full((2, 4, 4, 3), 1.0 / 3)
+    y_true = jnp.asarray(np.full((2, 4, 4, 1), 3, np.int32))  # class 3 of 3
+    assert np.isfinite(float(loss_fn(y_true, y_pred)))
