@@ -157,6 +157,13 @@ def test_streaming_volume(tmp_path):
     with pytest.raises(ValueError, match="pool_layers"):
         seg.segment_volume(volume[:, :14])
 
+    # bfloat16 conv stack: same shapes, labels near-identical at tiny size
+    seg16 = VolumeSegmenter(
+        loaded, config, batch_size=4, compute_dtype="bfloat16"
+    )
+    l16, s16 = seg16.segment_volume(volume)
+    assert l16.shape == labels.shape and s16.shape == segs.shape
+
 
 def test_cli_evaluate(tmp_path):
     from oct_image_segmentation_models_tpu.cli import main
