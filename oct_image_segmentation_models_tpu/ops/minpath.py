@@ -418,7 +418,20 @@ def _delineate_xla(
             return jnp.take_along_axis(x, choice[None].astype(jnp.int32), axis=0)[0]
 
         if exact:
-            rank_new = bitonic_rank(d_new, best_pri * pad + entry_ctr)
+            # A node whose winning entry is a zero-weight edge cannot
+            # settle before its predecessor (the entry is pushed mid-
+            # cohort when the pred settles) NOR before its own key
+            # position — its effective key is the max of the two. Both
+            # orderings share the counter field (the pred's settle
+            # rank, already in entry_ctr), so the max reduces to the
+            # max of the two priority fields.
+            zero_chosen = cgather(zero_edge.astype(jnp.int32)) == 1
+            pri_eff = jnp.where(
+                zero_chosen,
+                jnp.maximum(best_pri, cgather(sh_pp)),
+                best_pri,
+            )
+            rank_new = bitonic_rank(d_new, pri_eff * pad + entry_ctr)
         else:
             rank_new = rank_prev  # unused in fast mode
         c_pack = ((cgather(sh_m) + m_cur) << PB) | (cgather(sh_pp) + 1)

@@ -348,7 +348,16 @@ def _build_kernel(w, h, max_grad, p, groups):
                 choice_ref[ji] = select(cand_idx)
                 d_s[:] = d_new
                 pri_s[:] = best_pri
-                rank_s[:] = rank_of(d_new, best_pri * p + entry_ctr, li, masks)
+                # Zero-edge winners settle no earlier than their pred
+                # nor their own key position (see minpath.py): rank by
+                # the max of the two priority fields.
+                zero_chosen = select(zero_edge.astype(jnp.int32))
+                pri_eff = jnp.where(
+                    zero_chosen == 1,
+                    jnp.maximum(best_pri, select(sh_pp)),
+                    best_pri,
+                )
+                rank_s[:] = rank_of(d_new, pri_eff * p + entry_ctr, li, masks)
                 c_pack = ((select(sh_m) + m_cur) << PB) | (select(sh_pp) + 1)
                 c_gc1 = select(sh_c1)
                 c1_s[:] = (c_pack << LB) | (c_gc1 >> LB)
