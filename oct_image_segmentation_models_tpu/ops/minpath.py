@@ -49,12 +49,16 @@ insertion order (`graph_search.py:85-92`). For this DAG the emulation is:
 - final column: the backtrack climbs the free virtual descent to the
   earliest-settled tied exit row.
 
+Zero-edge winners additionally settle no earlier than their
+predecessor (their entry is pushed mid-cohort), so their rank key takes
+the max of the own and predecessor priority fields.
+
 Verified against a faithful heapq oracle in ``tests/test_minpath.py``:
-bit-exact on realistic (single-ridge) boundary maps, plateaus, gaps and
-flat tails; >99% of adversarial dense-random maps; the residual
-divergences are equal-cost paths whose choice depends on settle races
-deeper than the carried chain (the returned path is always
-cost-optimal).
+bit-exact on realistic (single-ridge) boundary maps, flat tails, gaps,
+large jumps, and on sparse-/dense-random adversarial maps; residual
+divergences (~1% of columns on wide multi-row 255 plateaus) are
+equal-cost paths whose choice depends on cascade pop events deeper than
+the carried state (the returned path is always cost-optimal).
 """
 
 from __future__ import annotations
@@ -130,9 +134,10 @@ def _delineate_xla(
           network per column) plus packed ancestor chains for the
           zero-edge settle races (module docstring) — matches the heap
           bit-for-bit on realistic (single-ridge) boundary maps incl.
-          plateau and flat-tail tie chains, and >99% of adversarial
-          random maps; residual divergences are equal-cost global ties
-          resolved deeper than the carried chain depth;
+          plateau and flat-tail tie chains and sparse-/dense-random
+          maps; residual divergences (~1% of columns on wide multi-row
+          plateaus) are equal-cost ties resolved deeper than the
+          carried state;
         - "fast": no settle ranks — pop choices refine over the packed
           ancestor chains only, with a top-row fallback. Same cost
           guarantee, weaker tie parity, cheaper per column.
