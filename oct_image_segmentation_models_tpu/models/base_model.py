@@ -44,3 +44,14 @@ class BaseModel(abc.ABC):
     @abc.abstractmethod
     def get_preprocess_input_fn(self) -> Callable:
         """Return the input preprocessing function (jnp-compatible)."""
+
+    def apply_pretrained_weights(self, variables: dict) -> dict:
+        """Hook: replace freshly-initialised variables with pretrained ones.
+
+        Called by every surface that builds a model from scratch (e.g.
+        ``train_model``'s non-resume path). The base implementation is a
+        no-op; containers with a pretrained-initialisation story (DeepLabV3+
+        and its ImageNet ResNet50 backbone, reference
+        `models/deeplabv3plus.py:91-95`) override it.
+        """
+        return variables

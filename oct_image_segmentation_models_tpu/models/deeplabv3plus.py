@@ -162,3 +162,38 @@ class DeeplabV3Plus(BaseModel):
         return DeeplabV3PlusModule(
             num_classes=self.num_classes, dtype=jnp.dtype(self.dtype)
         )
+
+    def apply_pretrained_weights(self, variables: dict) -> dict:
+        """Load the Keras-format ResNet50 ``.h5`` named by
+        ``pretrained_weights`` into the backbone (conv kernels, BN
+        scale/offset AND moving statistics), leaving the DSPP/decoder/head
+        randomly initialised — the reference's ``weights="imagenet"``
+        backbone construction (`models/deeplabv3plus.py:91-95`).
+        """
+        if not self.pretrained_weights:
+            return variables
+
+        from pathlib import Path
+
+        import flax
+
+        from ..common.model_io import load_keras_resnet50_weights
+
+        h5_path = Path(self.pretrained_weights)
+        if not h5_path.exists():
+            raise FileNotFoundError(
+                f"pretrained_weights file not found: {h5_path} (this "
+                "zero-egress build loads Keras ResNet50 .h5 files locally "
+                "instead of downloading ImageNet weights)"
+            )
+        variables = flax.core.unfreeze(variables)
+        new_params, new_stats = load_keras_resnet50_weights(
+            variables["params"]["resnet50"], h5_path
+        )
+        variables["params"]["resnet50"] = new_params
+        stats_root = variables.setdefault("batch_stats", {}).setdefault(
+            "resnet50", {}
+        )
+        for layer_name, stats in new_stats.items():
+            stats_root.setdefault(layer_name, {}).update(stats)
+        return variables

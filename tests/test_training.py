@@ -144,6 +144,139 @@ def test_deeplab_training_smoke(tmp_path):
     assert (folder / "model_final.hdf5").exists()
 
 
+def test_deeplab_pretrained_backbone_wiring(tmp_path):
+    """Training DeepLabV3+ with ``pretrained_weights`` demonstrably starts
+    from the file's backbone weights (reference builds its backbone with
+    ``weights="imagenet"``, `models/deeplabv3plus.py:91-95`): one epoch at
+    learning-rate 0 must leave the imported conv kernel / BN scale intact
+    in the final checkpoint."""
+    import jax
+
+    from oct_image_segmentation_models_tpu.common import model_io
+    from oct_image_segmentation_models_tpu.models import get_model_class
+
+    ds_path = tmp_path / "rgb.hdf5"
+    make_dataset(ds_path, n_train=2, n_val=2, n_test=2, h=32, w=32,
+                 num_classes=3, seed=3)
+    with h5py.File(ds_path, "r+") as f:
+        for split in ("train", "val", "test"):
+            imgs = f[f"{split}_images"][:]
+            del f[f"{split}_images"]
+            f[f"{split}_images"] = np.repeat(imgs, 3, axis=-1)
+
+    # Synthetic Keras-format ResNet50 h5 with sentinel conv1 weights,
+    # shaped from a freshly-initialised backbone.
+    container = get_model_class("deeplabv3plus")(
+        input_channels=3, num_classes=3, image_height=32, image_width=32
+    )
+    module = container.build_model()
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32),
+        training=False,
+    )
+    kshape = np.asarray(
+        variables["params"]["resnet50"]["conv1_conv"]["kernel"]
+    ).shape
+    kernel = np.random.default_rng(0).normal(size=kshape).astype(np.float32)
+    h5path = tmp_path / "resnet50_imagenet.h5"
+    with h5py.File(h5path, "w") as f:
+        g = f.create_group("conv1_conv").create_group("conv1_conv")
+        g["kernel:0"] = kernel
+        b = f.create_group("conv1_bn").create_group("conv1_bn")
+        b["gamma:0"] = np.full(kshape[-1], 2.0, np.float32)
+        b["beta:0"] = np.zeros(kshape[-1], np.float32)
+        b["moving_mean:0"] = np.full(kshape[-1], 0.25, np.float32)
+        b["moving_variance:0"] = np.full(kshape[-1], 4.0, np.float32)
+
+    # Direct container hook (fresh container carrying the weights path).
+    container = get_model_class("deeplabv3plus")(
+        input_channels=3, num_classes=3, image_height=32, image_width=32,
+        pretrained_weights=str(h5path),
+    )
+    out = container.apply_pretrained_weights(dict(variables))
+    assert np.allclose(
+        np.asarray(out["params"]["resnet50"]["conv1_conv"]["kernel"]), kernel
+    )
+    assert np.allclose(
+        np.asarray(out["batch_stats"]["resnet50"]["conv1_bn"]["var"]), 4.0
+    )
+
+    # End-to-end through train_model (lr=0 keeps params frozen).
+    folder = train_model(
+        TrainingParams(
+            model_architecture="deeplabv3plus",
+            training_dataset_path=ds_path,
+            initial_model=None,
+            results_location=tmp_path,
+            opt_con="adam",
+            opt_params={"learning_rate": 0.0},
+            loss="dice_loss_macro",
+            metric="dice_coef_macro",
+            epochs=1,
+            batch_size=2,
+            model_hyperparameters={"pretrained_weights": str(h5path)},
+            seed=0,
+        ),
+        None,
+    )
+    _, _, ckpt_vars, _ = model_io.load_model(folder / "model_final.hdf5")
+    assert np.allclose(
+        np.asarray(ckpt_vars["params"]["resnet50"]["conv1_conv"]["kernel"]),
+        kernel,
+    )
+    assert np.allclose(
+        np.asarray(ckpt_vars["params"]["resnet50"]["conv1_bn"]["scale"]), 2.0
+    )
+
+
+def test_unknown_monitor_name_raises(dataset, tmp_path):
+    """An unknown model_save_monitor must fail fast, not silently monitor
+    val_loss with a possibly-inverted mode."""
+    with pytest.raises(ValueError, match="model_save_monitor"):
+        train_model(
+            _params(dataset, tmp_path, model_save_monitor=("val_bogus", "max")),
+            None,
+        )
+
+
+def test_mlflow_model_artifact_round_trip(dataset, tmp_path, monkeypatch):
+    """Reference parity (`training/training.py:140-141` autolog +
+    `common/utils.py:37-51` run-id load): train with an MLflow tracker,
+    then load the model purely by run id and predict. Uses the file-store
+    ``fake_mlflow`` stand-in (the real package is not installable here)."""
+    import sys
+
+    import fake_mlflow
+
+    from oct_image_segmentation_models_tpu.common import model_io
+    from oct_image_segmentation_models_tpu.common.mlflow_parameters import (
+        MLflowParameters,
+    )
+
+    monkeypatch.setitem(sys.modules, "mlflow", fake_mlflow)
+    store = tmp_path / "mlruns"
+    store.mkdir()
+    folder = train_model(
+        _params(dataset, tmp_path, epochs=1),
+        MLflowParameters(tracking_uri=str(store), experiment="exp-e2e"),
+    )
+    run_id = folder.parent.name
+    assert run_id, "run folder is nested under the mlflow run id"
+    run_dir = store / "exp-e2e" / run_id / "artifacts"
+    assert (run_dir / "model" / "model_final.hdf5").exists()
+    assert (run_dir / "model" / "data" / "model_config.json").exists()
+
+    loaded, config = model_io.load_model_and_config(
+        "model/model_final.hdf5",
+        mlflow_tracking_uri=str(store),
+        mlflow_run_uuid=run_id,
+    )
+    assert config["num_classes"] == 3
+    probs = loaded.predict(np.zeros((1, 32, 48, 1), np.uint8))
+    assert probs.shape == (1, 32, 48, 3)
+    assert np.allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
 def test_orbax_checkpoint_and_tensorboard(dataset, tmp_path):
     """Orbax backend writes directory checkpoints that load_model_and_config
     restores; tensorboard=True writes event files."""
