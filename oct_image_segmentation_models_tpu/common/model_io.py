@@ -153,8 +153,16 @@ def load_model_and_config(
 ) -> Tuple[LoadedModel, dict]:
     """Restore a model from a local checkpoint, a *reference Keras U-Net
     checkpoint* (imported weight-for-weight), or an MLflow artifact —
-    reference `common/utils.py:26-70`."""
+    reference `common/utils.py:26-70`.
+
+    With ``mlflow_run_uuid``, ``model_path`` is interpreted relative to
+    that run's artifact root (e.g. ``model/model_final.hdf5``, the path
+    ``train_model`` logs it under) and the sidecar config is read from the
+    run's ``model/data/model_config.json`` artifact — the reference's
+    run-id load path (`common/utils.py:37-51`).
+    """
     model_path = Path(model_path)
+    mlflow_config = None
     if mlflow_tracking_uri:
         try:
             import mlflow
@@ -165,7 +173,24 @@ def load_model_and_config(
                 "checkpoint path"
             ) from exc
         mlflow.set_tracking_uri(mlflow_tracking_uri)
-        local = mlflow.artifacts.download_artifacts(str(model_path))
+        if mlflow_run_uuid:
+            run = mlflow.get_run(mlflow_run_uuid)
+            artifact_uri = run.info.artifact_uri.rstrip("/")
+            local = mlflow.artifacts.download_artifacts(
+                f"{artifact_uri}/{model_path.as_posix()}"
+            )
+            try:
+                mlflow_config = mlflow.artifacts.load_dict(
+                    f"{artifact_uri}/model/data/model_config.json"
+                )
+            except Exception:  # noqa: BLE001 — config falls back to embedded
+                log.warning(
+                    "Run %s has no model/data/model_config.json artifact; "
+                    "using the checkpoint's embedded config",
+                    mlflow_run_uuid,
+                )
+        else:
+            local = mlflow.artifacts.download_artifacts(str(model_path))
         model_path = Path(local)
 
     if _is_orbax_checkpoint(model_path):
@@ -181,14 +206,18 @@ def load_model_and_config(
     else:
         model_name, model_config, variables, _ = load_model(model_path)
 
-    # Parity: prefer the sidecar model_config.json when present.
-    sidecar = model_path.parent / "model_config.json"
-    if sidecar.exists():
-        try:
-            with open(sidecar) as fh:
-                model_config = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            log.warning("Could not read %s; using embedded config", sidecar)
+    # Parity: prefer the run's logged config artifact, then the sidecar
+    # model_config.json next to the checkpoint, then the embedded config.
+    if mlflow_config is not None:
+        model_config = mlflow_config
+    else:
+        sidecar = model_path.parent / "model_config.json"
+        if sidecar.exists():
+            try:
+                with open(sidecar) as fh:
+                    model_config = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                log.warning("Could not read %s; using embedded config", sidecar)
 
     container = _rebuild_container(model_name, model_config)
     module = container.build_model()

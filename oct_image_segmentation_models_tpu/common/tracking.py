@@ -22,7 +22,15 @@ from .mlflow_parameters import MLflowParameters
 class NullTracker:
     run_id = ""
 
-    def start_run(self, save_folder: Path):
+    def start_run(self):
+        """Begin the run (assigns ``run_id`` for backends that have one).
+
+        Called BEFORE the run folder exists — the folder is derived from
+        ``run_id`` (reference nests artifacts under the MLflow run) and
+        attached afterwards via :meth:`set_run_folder`.
+        """
+
+    def set_run_folder(self, save_folder: Path):
         pass
 
     def log_params(self, params: dict):
@@ -34,7 +42,7 @@ class NullTracker:
     def log_metrics(self, metrics: dict, step: int):
         pass
 
-    def log_artifact(self, path):
+    def log_artifact(self, path, artifact_path=None):
         pass
 
     def end_run(self):
@@ -48,7 +56,7 @@ class LocalTracker(NullTracker):
         self._folder: Optional[Path] = None
         self._params: dict = {}
 
-    def start_run(self, save_folder: Path):
+    def set_run_folder(self, save_folder: Path):
         self._folder = Path(save_folder)
 
     def _write_params(self):
@@ -73,6 +81,19 @@ class LocalTracker(NullTracker):
         with open(self._folder / "mlflow_metrics.jsonl", "a") as fh:
             fh.write(json.dumps({"step": step, **metrics}, default=str) + "\n")
 
+    def log_artifact(self, path, artifact_path=None):
+        # Checkpoints already live in the run folder; only copy when an
+        # artifact subfolder (e.g. "model") relocates them.
+        if self._folder is None or artifact_path is None:
+            return
+        import shutil
+
+        dest = self._folder / artifact_path
+        dest.mkdir(parents=True, exist_ok=True)
+        src = Path(path)
+        if src.resolve().parent != dest.resolve():
+            shutil.copy2(src, dest / src.name)
+
 
 class MlflowTracker(NullTracker):
     def __init__(self, params: MLflowParameters):
@@ -91,7 +112,7 @@ class MlflowTracker(NullTracker):
     def run_id(self):
         return self._run.info.run_id if self._run else ""
 
-    def start_run(self, save_folder: Path):
+    def start_run(self):
         self._run = self._mlflow.start_run()
         log.info(f"MLFlow Run ID: {self._run.info.run_id}")
 
@@ -104,8 +125,8 @@ class MlflowTracker(NullTracker):
     def log_metrics(self, metrics: dict, step: int):
         self._mlflow.log_metrics(metrics, step=step)
 
-    def log_artifact(self, path):
-        self._mlflow.log_artifact(str(path))
+    def log_artifact(self, path, artifact_path=None):
+        self._mlflow.log_artifact(str(path), artifact_path=artifact_path)
 
     def end_run(self):
         self._mlflow.end_run()

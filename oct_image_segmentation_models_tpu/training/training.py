@@ -276,6 +276,9 @@ def train_model(
             np.zeros((1, image_height, image_width, input_channels), np.float32),
             training=False,
         )
+        # Pretrained initialisation (DeepLabV3+ ImageNet backbone, reference
+        # `models/deeplabv3plus.py:91-95`); no-op for other containers.
+        variables = model_container.apply_pretrained_weights(dict(variables))
         model_name = model_architecture
 
     state = create_train_state(dict(variables), tx, mesh)
@@ -385,7 +388,23 @@ def train_model(
     )
 
     monitor_name, monitor_mode = training_params.model_save_monitor
+    valid_monitors = {
+        "loss",
+        "val_loss",
+        training_params.metric,
+        "val_" + training_params.metric,
+    }
+    if monitor_name not in valid_monitors:
+        # Fail fast: silently monitoring val_loss while keeping a "max" mode
+        # would invert best-checkpoint selection without warning.
+        raise ValueError(
+            f"Unknown model_save_monitor name {monitor_name!r}; valid names "
+            f"for this run are {sorted(valid_monitors)}"
+        )
     timestamp = utils.get_timestamp()
+    # The run starts first so its id can nest the artifact folder
+    # (reference keys everything on the MLflow run).
+    tracker.start_run()
     save_foldername = (
         training_params.results_location
         / Path(tracker.run_id)
@@ -395,7 +414,7 @@ def train_model(
         # Non-main processes train but write nothing (checkpoints, run
         # artifacts, and tracking are process-0 responsibilities).
         os.makedirs(save_foldername)
-    tracker.start_run(save_foldername)
+    tracker.set_run_folder(save_foldername)
     tb_writer = (
         get_tensorboard_writer(save_foldername / "tensorboard")
         if training_params.tensorboard and is_main_process
@@ -454,10 +473,10 @@ def train_model(
     opt_config = {"learning_rate": training_params.opt_params.get("learning_rate")}
     if is_main_process:
         save_training_params_file(
-        save_foldername,
-        model_summary,
-        model_container.get_config(),
-        training_dataset_md5,
+            save_foldername,
+            model_summary,
+            model_container.get_config(),
+            training_dataset_md5,
             c_weight,
             timestamp,
             training_params,
@@ -574,7 +593,7 @@ def train_model(
         if tb_writer is not None:
             tb_writer.log_metrics(logs, step=epoch + 1)
 
-        monitored = logs.get(monitor_name, logs["val_loss"])
+        monitored = logs[monitor_name]
         improved = _monitor_improved(monitored, best_monitor, monitor_mode)
         # Snapshot to host: the train step donates the state buffers, so a
         # device-side alias would be invalidated next epoch.
@@ -620,12 +639,24 @@ def train_model(
             "batch_stats": jax.device_get(state.batch_stats),
         }
     if is_main_process:
+        final_path = save_foldername / f"model_final{ckpt_suffix}"
         ckpt_save(
-            save_foldername / f"model_final{ckpt_suffix}",
+            final_path,
             model_name,
             model_container.get_config(),
             final_variables,
         )
+        # MLflow model-artifact round trip (reference autologs the trained
+        # model under the run's `model/` artifact path,
+        # `training/training.py:140-141`; `load_model_and_config` resolves
+        # it back by run id, `common/utils.py:37-51`). Orbax checkpoints
+        # are directories, which log_artifact does not take — the HDF5
+        # final checkpoint is the round-trippable artifact.
+        if final_path.is_file():
+            tracker.log_artifact(final_path, artifact_path="model")
+        config_json = save_foldername / "model_config.json"
+        if config_json.is_file():
+            tracker.log_artifact(config_json, artifact_path="model/data")
     if tb_writer is not None:
         tb_writer.close()
     tracker.end_run()

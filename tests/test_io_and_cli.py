@@ -95,7 +95,8 @@ def test_local_tracker(tmp_path):
     from oct_image_segmentation_models_tpu.common.tracking import get_tracker
 
     tracker = get_tracker(None)
-    tracker.start_run(tmp_path)
+    tracker.start_run()
+    tracker.set_run_folder(tmp_path)
     tracker.log_params({"a": 1})
     tracker.log_metrics({"loss": 0.5}, step=1)
     tracker.log_dict({"k": "v"}, "model/data/model_config.json")
