@@ -140,6 +140,54 @@ def test_surface_distance_basic():
     assert np.isinf(dinf)
 
 
+def test_surface_distance_contour_length_weighting():
+    """DeepMind-parity hand-check (reference pins the `surface-distance`
+    package, `custom_metrics.py:103-119`): border elements are 2x2
+    neighbour-code cells weighted by marching-squares contour length —
+    diagonal cuts weigh 0.5*hypot(dy,dx), axis cuts the full spacing —
+    and ASD / robust Hausdorff are contour-length-weighted statistics."""
+    import math
+
+    from oct_image_segmentation_models_tpu.common import surface_distance as sd
+
+    d = 0.5 * math.sqrt(2.0)  # diagonal cut at unit spacing
+
+    # gt: single pixel at (3,3) -> 4 diagonal border cells, perimeter 4d.
+    gt = np.zeros((8, 8), bool)
+    gt[3, 3] = True
+    # pred: 2x2 block at (3..4, 3..4) -> 4 diagonal corner cells + 4 axis
+    # edge cells, perimeter 4d + 4.
+    pred = np.zeros((8, 8), bool)
+    pred[3:5, 3:5] = True
+
+    out = sd.compute_surface_distances(gt, pred, (1.0, 1.0))
+    assert np.isclose(np.sum(out["surfel_areas_gt"]), 4 * d)
+    assert np.isclose(np.sum(out["surfel_areas_pred"]), 4 * d + 4)
+
+    asd_gt, asd_pred = sd.compute_average_surface_distance(out)
+    # gt->pred: three gt cells coincide with pred borders (0), the cell at
+    # (4,4) sits inside pred (nearest border 1 away); uniform diag weights.
+    assert np.isclose(asd_gt, 0.25)
+    # pred->gt by hand: 3 coincident cells, corners (3,5)/(5,3) at 1,
+    # corner (5,5) at sqrt(2), edges (5,4)/(4,5) at 1:
+    #   (d*1 + d*1 + d*sqrt(2) + 1*1 + 1*1) / (4d + 4)
+    expected = (2 * d + d * math.sqrt(2.0) + 2.0) / (4 * d + 4.0)
+    assert np.isclose(asd_pred, expected)
+    # Weighting matters: the uniform mean would differ.
+    uniform = (2 * 1 + math.sqrt(2.0) + 2 * 1) / 8.0
+    assert not np.isclose(asd_pred, uniform)
+
+    h100 = sd.compute_robust_hausdorff(out, 100)
+    assert np.isclose(h100, math.sqrt(2.0))
+
+    # Weighted percentile: cumulative contour length in distance order.
+    # pred->gt sorted distances [0,0,0,1,1,1,1,sqrt(2)] with weights
+    # [d,1,1, d,d,1,1, d]; cumulative/total crosses 0.5 inside the
+    # distance-1 run -> H50 = 1.
+    h50 = sd.compute_robust_hausdorff(out, 50)
+    assert np.isclose(h50, 1.0)
+
+
 def test_focal_loss_out_of_range_labels_stay_finite():
     """A label value >= the prediction channel count (e.g. a class only
     present in validation) must give a finite loss, not log(0)."""
