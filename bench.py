@@ -162,10 +162,36 @@ def time_loop(module, loop_factory, device, images_np, k):
     return (images_np.shape[0] * k) / dt
 
 
+def _cpu_pipeline_hash():
+    """Fingerprint of the parity pipeline the CPU baseline runs, so the
+    cached denominator regenerates whenever its definition changes (a
+    stale cache would silently skew every future ``vs_baseline``)."""
+    import hashlib
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "oct_image_segmentation_models_tpu",
+    )
+    digest = hashlib.md5()
+    digest.update(f"{H}x{W} b{CPU_BATCH} c{NUM_CLASSES}".encode())
+    for rel in (
+        "models/unet.py",
+        "models/base_model.py",
+        "ops/boundary.py",
+        "ops/minpath.py",
+    ):
+        with open(os.path.join(pkg, rel), "rb") as fh:
+            digest.update(fh.read())
+    return digest.hexdigest()
+
+
 def measure_cpu_proxy(images_np):
+    pipeline_hash = _cpu_pipeline_hash()
     if os.path.exists(CPU_CACHE):
         with open(CPU_CACHE) as fh:
-            return json.load(fh)["cpu_bscans_per_s"]
+            cached = json.load(fh)
+        if cached.get("pipeline_hash") == pipeline_hash:
+            return cached["cpu_bscans_per_s"]
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
@@ -173,7 +199,7 @@ def measure_cpu_proxy(images_np):
     module, loop_factory = build_pipeline("float32", "xla", 1, mode="parity")
     tp = time_loop(module, loop_factory, cpu, images_np[:CPU_BATCH], 1)
     with open(CPU_CACHE, "w") as fh:
-        json.dump({"cpu_bscans_per_s": tp}, fh)
+        json.dump({"cpu_bscans_per_s": tp, "pipeline_hash": pipeline_hash}, fh)
     return tp
 
 

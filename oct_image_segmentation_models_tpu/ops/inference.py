@@ -146,6 +146,12 @@ def make_fused_pipeline(
     so the f32 probability tensor is never depth-to-spaced or re-laid-out
     (~5 ms/batch-8 at 512x1024 on v5e). Requires ``num_classes``."""
 
+    if labels_apply_fn is not None and num_classes is None:
+        raise ValueError(
+            "make_fused_pipeline: labels_apply_fn requires num_classes "
+            "(the s2d labels carry no channel axis to infer it from)"
+        )
+
     def pipeline(variables, images):
         x = preprocess_fn(images.astype(jnp.float32))
         if labels_apply_fn is not None:

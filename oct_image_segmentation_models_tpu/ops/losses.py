@@ -112,6 +112,11 @@ def _sparse_focal_map(y_true, y_pred, gamma, class_weight):
     focal = -((1.0 - p_y) ** gamma) * jnp.log(p_y)
     if class_weight is not None:
         w = jnp.asarray(np.asarray(class_weight), jnp.float32)
+        if w.shape[0] < p.shape[-1]:
+            raise ValueError(
+                f"class_weight has {w.shape[0]} entries but predictions "
+                f"have {p.shape[-1]} channels; provide one weight per class"
+            )
         # tolerate weight lists longer than the prediction channels
         focal = focal * jnp.sum(oh * w[: p.shape[-1]], axis=-1)
     return focal

@@ -149,6 +149,15 @@ def _delineate_xla(
     """
     if tie_parity not in ("exact", "fast"):
         raise ValueError(f"unknown tie_parity: {tie_parity}")
+    # Packed ancestor-chain levels are LB = 9 + PB bits, two per int32;
+    # beyond 2*LB = 31 the top level reaches the int32 sign bit and signed
+    # compares would silently mis-order tie races.
+    pb = (3 + 2 * max_grad).bit_length()
+    if 2 * (9 + pb) > 31:
+        raise ValueError(
+            f"max_grad={max_grad} exceeds the ancestor-chain packing limit "
+            "(priority field needs 2*(9+PB) <= 31 bits, i.e. max_grad <= 30)"
+        )
     exact = tie_parity == "exact"
     if maps_u8.ndim < 2:
         raise ValueError("maps must have shape (..., W, H)")

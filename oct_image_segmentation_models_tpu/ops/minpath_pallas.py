@@ -91,6 +91,13 @@ def _build_kernel(w, h, max_grad, p, groups):
     # Packed ancestor-chain constants for the zero-edge settle races —
     # see minpath.py (the XLA path) for the full derivation.
     PB = (3 + 2 * max_grad).bit_length()
+    if 2 * (9 + PB) > 31:
+        # Past this, the top packed level reaches the int32 sign bit and
+        # signed compares silently mis-order tie races.
+        raise ValueError(
+            f"max_grad={max_grad} exceeds the ancestor-chain packing limit "
+            "(needs 2*(9+PB) <= 31 bits, i.e. max_grad <= 30)"
+        )
     LB = 9 + PB
     LMASK = (1 << LB) - 1
     P1M = ((1 << PB) - 1) << LB

@@ -61,6 +61,20 @@ class VolumeSegmenter:
                 output="labels_s2d",
                 dtype=jnp.dtype(compute_dtype),
             )
+        if compute_dtype != "float32" and labels_fn is None:
+            # The probs fallback always runs float32; silently ignoring the
+            # requested dtype would misreport the accuracy/memory tradeoff.
+            reason = (
+                "optimize=False"
+                if not optimize
+                else "the model is not s2d-eligible"
+            )
+            raise ValueError(
+                f"compute_dtype={compute_dtype!r} is only honored by the "
+                f"s2d fast path, which is unavailable here ({reason}); use "
+                "compute_dtype='float32' or an s2d-eligible U-Net with "
+                "optimize=True"
+            )
 
         # No geometry fallback pipeline: any dims passing the
         # 2**pool_layers validation below also divide the s2d factor
