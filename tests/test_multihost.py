@@ -54,6 +54,68 @@ with open(f"{outdir}/result{pid}.json", "w") as fh:
 """
 
 
+_STEP_WORKER = """
+import json, sys
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+coordinator, pid, nprocs, outdir = sys.argv[1:5]
+pid, nprocs = int(pid), int(nprocs)
+jax.distributed.initialize(coordinator, num_processes=nprocs, process_id=pid)
+assert jax.process_count() == nprocs
+
+from oct_image_segmentation_models_tpu.models import get_model_class
+from oct_image_segmentation_models_tpu.ops import losses, metrics
+from oct_image_segmentation_models_tpu.parallel.mesh import (
+    create_mesh, shard_batch,
+)
+from oct_image_segmentation_models_tpu.parallel.train_step import (
+    build_optimizer, create_train_state, make_train_step,
+)
+
+mesh = create_mesh()
+container = get_model_class("unet")(
+    input_channels=1, num_classes=3, image_height=16, image_width=16,
+    start_neurons=2, pool_layers=2,
+)
+module = container.build_model()
+variables = module.init(
+    jax.random.PRNGKey(0), np.zeros((1, 16, 16, 1), np.float32),
+    training=False,
+)
+tx = build_optimizer("adam", {"learning_rate": 1e-3})
+state = create_train_state(dict(variables), tx, mesh)
+loss_fn = losses.custom_loss_objects["dice_loss_macro"]["function"](
+    num_classes=3, is_y_true_sparse=True
+)
+metric_fn = metrics.dice_coef_macro(True, 3)
+step = make_train_step(module, tx, loss_fn, metric_fn, mesh,
+                       impl="shard_map")
+
+# DISTINCT per-process data: weight equality below only holds if the
+# cross-process gradient pmean actually synchronizes every step.
+rng = np.random.default_rng(100 + pid)
+local_bs = jax.local_device_count()
+for i in range(6):
+    imgs = rng.integers(0, 255, (local_bs, 16, 16, 1)).astype(np.float32)
+    labs = rng.integers(0, 3, (local_bs, 16, 16, 1)).astype(np.int32)
+    gi, gl = shard_batch((imgs, labs), mesh)
+    state, loss, metric = step(state, gi, gl, jax.random.PRNGKey(i))
+float(loss)
+
+leaves = jax.tree_util.tree_leaves(
+    {"params": state.params, "batch_stats": state.batch_stats}
+)
+flat = np.concatenate(
+    [np.asarray(x.addressable_data(0)).ravel() for x in leaves]
+)
+np.save(f"{outdir}/weights{pid}.npy", flat)
+"""
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -113,3 +175,50 @@ def test_two_process_training(tmp_path):
     probs = loaded.predict(np.zeros((1, 16, 16, 1), np.uint8))
     assert probs.shape[-1] == config["num_classes"]
     assert np.allclose(probs.sum(-1), 1, atol=1e-5)
+
+
+def test_four_process_weight_sync(tmp_path):
+    """4 processes x 2 devices, each fed DIFFERENT data for 6 sharded
+    train steps: final weights (params AND batch stats) must be bitwise
+    identical across all processes — catches gradient/BN desync bugs the
+    2-process e2e can miss (larger gloo topology, non-adjacent ranks)."""
+    nprocs = 4
+    worker = tmp_path / "step_worker.py"
+    worker.write_text(_STEP_WORKER)
+    coordinator = f"localhost:{_free_port()}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parent.parent)
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(pid), str(nprocs),
+             str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(nprocs)
+    ]
+    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    weights = [
+        np.load(tmp_path / f"weights{pid}.npy") for pid in range(nprocs)
+    ]
+    assert np.isfinite(weights[0]).all()
+    for pid in range(1, nprocs):
+        assert np.array_equal(weights[0], weights[pid]), (
+            f"process {pid} desynced: max |delta| = "
+            f"{np.abs(weights[0] - weights[pid]).max()}"
+        )
