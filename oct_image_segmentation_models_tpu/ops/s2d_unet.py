@@ -331,7 +331,9 @@ def build_s2d_apply(
     dtype=jnp.float32,
     s2d_levels: Optional[int] = None,
     output: str = "probs",
-):
+    fuse_enc_pairs: bool | str = "auto",
+    _fused_interpret: bool = False,
+):  # noqa: D417 — params documented below
     """Build the transformed inference function.
 
     Args:
@@ -344,6 +346,15 @@ def build_s2d_apply(
       s2d_levels: top levels to transform; default auto
         (:func:`s2d_eligible_levels`). 0 falls back to plain block-space
         -free convs (still BN-folded).
+      fuse_enc_pairs: run eligible s2d encoder levels' conv pair + pool
+        as one Pallas kernel (:mod:`.s2d_pallas`), keeping the shifted
+        intermediate in VMEM instead of round-tripping HBM. "auto" is
+        currently OFF everywhere: measured on v5e at the flagship shape,
+        the kernel beats the XLA pair in isolation (2.61 vs 2.90 ms for
+        level 1) but the custom-call boundary costs ~2.4 ms in fusion/
+        layout breaks inside the full forward (8.3 -> 10.7 ms for the
+        enc L0+L1 prefix), a net loss — see PLAN.md. Pass True to force
+        (e.g. to re-measure on other hardware).
       output: "probs" — (B, H, W, num_classes) float32 softmax
         probabilities, matching ``UNetModule.apply(..., training=False)``;
         "labels" — (B, H, W) uint8 argmax class labels, with softmax AND
@@ -505,6 +516,39 @@ def build_s2d_apply(
             return run_plain(x, plan[1], plan[2])
         return run_s2d(x, *plan[1:])
 
+    if fuse_enc_pairs == "auto":
+        # Measured net-negative in composition (docstring above).
+        fuse_enc_pairs = False
+
+    def _try_fused_enc(x, level):
+        """Fused Pallas enc pair when eligible; returns (skip, pooled)
+        or None to fall back to the unfused ops."""
+        if not fuse_enc_pairs or len(level) != 2:
+            return None
+        if jnp.dtype(dtype) != jnp.float32:
+            return None  # the kernel accumulates in f32 only
+        if any(p[0] != "s2d" for p in level):
+            return None
+        # conv pair must be the standard U->S->U alignment walk
+        if (level[0][5], level[0][6]) != (0, 1):
+            return None
+        if (level[1][5], level[1][6]) != (1, 0):
+            return None
+        from .s2d_pallas import enc_pair_supported, fused_enc_pair
+
+        if not enc_pair_supported(
+            x.shape[1], x.shape[2], x.shape[3], level[0][1].shape[-1]
+        ):
+            return None
+        return fused_enc_pair(
+            x,
+            level[0][1],
+            level[0][2],
+            level[1][1],
+            level[1][2],
+            interpret=_fused_interpret,
+        )
+
     def apply_fn(x):
         x = x.astype(dtype)
         skips = []
@@ -515,6 +559,11 @@ def build_s2d_apply(
                     "s2d_levels=0 for odd sizes"
                 )
                 x = s2d(x)
+                fused = _try_fused_enc(x, enc_plan[L])
+                if fused is not None:
+                    skip, x = fused
+                    skips.append(skip)
+                    continue
                 for plan in enc_plan[L]:
                     x = run_conv(x, plan)
                 skips.append(x)  # s2d unshifted form
