@@ -114,10 +114,6 @@ def evaluate_model(eval_params: EvaluationParameters) -> List[EvaluationOutput]:
     )
 
     num_classes = eval_params.num_classes
-    onehot_labels = np.eye(num_classes, dtype=np.float64)[
-        eval_labels[..., 0].astype(np.int64)
-    ]  # (N, H, W, C)
-
     save_eval_config_file(eval_params)
 
     from ..prediction.prediction import run_pipeline
@@ -133,179 +129,243 @@ def evaluate_model(eval_params: EvaluationParameters) -> List[EvaluationOutput]:
         max_grad=eval_params.gsgrad,
     )
 
-    eval_outputs = []
+    # Per-image host work (metrics + artifact writing) is jax-free —
+    # the device pipeline already ran batched above — so it can run in
+    # a process pool (EvaluationParameters.num_workers). Tasks carry
+    # compact arrays (dense labels, binarized predictions); the one-hot
+    # reconstruction in the worker is the exact expression used here,
+    # so results are bitwise-identical to the serial path.
+    ctx = _SaveContext(
+        model_path=str(eval_params.model_path),
+        save_params=eval_params.save_params,
+        metrics=tuple(eval_params.metrics),
+        graph_search=eval_params.graph_search,
+        num_classes=num_classes,
+    )
+    tasks = []
     for ind in range(eval_images.shape[0]):
-        eval_image = eval_images[ind]
-        eval_label = onehot_labels[ind]  # (H, W, C) one-hot
-        eval_image_name = eval_image_names[ind]
-        eval_seg = eval_segments[ind]
         eval_image_output_dir = eval_image_output_dirs[ind]
         os.makedirs(eval_image_output_dir, exist_ok=True)
-
-        print(f"Evaluating image number: {ind + 1} ({eval_image_name})...")
-
-        predicted_labels = results["predicted_labels"][ind]  # (H, W)
-        categorical_pred = results["categorical_pred"][ind]  # (C, H, W)
-        boundary_maps = results["boundary_maps"][ind]  # (C-1, H, W)
-        predict_time = results["predict_times"][ind]
-
-        eval_label_class_first = np.transpose(eval_label, (2, 0, 1))
-
-        dice_classes = (
-            _dice_classes(eval_label_class_first, categorical_pred)
-            if EVALUATION_METRIC_DICE_CLASSES in eval_params.metrics
-            else None
-        )
-        dice_macro = (
-            np.array(_dice_macro(eval_label_class_first, categorical_pred))
-            if EVALUATION_METRIC_DICE_MACRO in eval_params.metrics
-            else None
-        )
-        dice_micro = (
-            np.array(_dice_micro(eval_label_class_first, categorical_pred))
-            if EVALUATION_METRIC_DICE_MICRO in eval_params.metrics
-            else None
-        )
-
-        if EVALUATION_METRIC_AVERAGE_SURFACE_DISTANCE in eval_params.metrics:
-            asd, asd_gt, asd_pred = [], [], []
-            for class_idx in range(1, num_classes):  # skip background
-                gt = eval_label[:, :, class_idx].astype(bool)
-                pr = categorical_pred[class_idx].astype(bool)
-                d_gt, d_pred = sd.average_surface_distance(gt, pr, _SPACING)
-                asd_gt.append(d_gt)
-                asd_pred.append(d_pred)
-                asd.append((d_gt + d_pred) / 2.0)
-            average_surface_distances = np.array(asd)
-            average_surface_distances_gt_to_pred = np.array(asd_gt)
-            average_surface_distances_pred_to_gt = np.array(asd_pred)
-        else:
-            average_surface_distances = None
-            average_surface_distances_gt_to_pred = None
-            average_surface_distances_pred_to_gt = None
-
-        if EVALUATION_METRIC_HAUSDORFF_DISTANCE in eval_params.metrics:
-            hausdorff_distances = np.array(
-                [
-                    sd.hausdorff_distance(
-                        eval_label[:, :, class_idx].astype(bool),
-                        categorical_pred[class_idx].astype(bool),
-                        _SPACING,
-                        percent=95,
-                    )
-                    for class_idx in range(1, num_classes)
-                ]
-            )
-        else:
-            hausdorff_distances = None
-
-        _save_image_evaluation_results(
-            eval_params,
-            eval_image,
-            eval_image_name,
-            eval_seg,
-            predicted_labels,
-            categorical_pred,
-            eval_label,
-            eval_seg,
-            dice_classes,
-            dice_macro,
-            dice_micro,
-            average_surface_distances,
-            average_surface_distances_gt_to_pred,
-            average_surface_distances_pred_to_gt,
-            hausdorff_distances,
-            predict_time,
-            eval_image_output_dir,
-        )
-
+        task = {
+            "ind": ind,
+            "ctx": ctx,
+            "image": eval_images[ind],
+            "labels_dense": eval_labels[ind, ..., 0],
+            "image_name": eval_image_names[ind],
+            "seg": eval_segments[ind],
+            "output_dir": eval_image_output_dir,
+            "predicted_labels": results["predicted_labels"][ind],
+            "categorical_pred": results["categorical_pred"][ind],
+            "predict_time": results["predict_times"][ind],
+        }
         if eval_params.graph_search:
-            print("Running graph search, segmenting boundary maps...")
-            start_graph_time = time.time()
-            gs_pred_segs = results["gs_pred_segs"][ind]  # (C-1, W)
-            gs_eval_label = results["gs_masks"][ind]  # (H, W)
-            errors = np.stack(
-                [
-                    graph_search.calc_errors(gs_pred_segs[m], eval_seg[m])
-                    for m in range(gs_pred_segs.shape[0])
-                ]
-            )
-            reconstructed_cf = np.eye(num_classes, dtype=np.float64)[
-                gs_eval_label.astype(np.int64)
-            ].transpose(2, 0, 1)  # (C, H, W)
+            task["gs_pred_segs"] = results["gs_pred_segs"][ind]
+            task["gs_mask"] = results["gs_masks"][ind]
+            task["graph_time"] = results["graph_times"][ind]
+        tasks.append(task)
 
-            gs_dice_classes = (
-                _dice_classes(eval_label_class_first, reconstructed_cf)
-                if EVALUATION_METRIC_DICE_CLASSES in eval_params.metrics
-                else None
-            )
-            gs_dice_macro = (
-                np.array(_dice_macro(eval_label_class_first, reconstructed_cf))
-                if EVALUATION_METRIC_DICE_MACRO in eval_params.metrics
-                else None
-            )
-            gs_dice_micro = (
-                np.array(_dice_micro(eval_label_class_first, reconstructed_cf))
-                if EVALUATION_METRIC_DICE_MICRO in eval_params.metrics
-                else None
-            )
-            graph_time = results["graph_times"][ind] + (
-                time.time() - start_graph_time
-            )
+    if eval_params.num_workers > 1 and len(tasks) > 1:
+        import multiprocessing
 
-            (mean_abs_err, mean_err, abs_err_sd, err_sd) = (
-                graph_search.calculate_overall_errors(errors)
-            )
+        workers = min(eval_params.num_workers, len(tasks))
+        with multiprocessing.get_context("spawn").Pool(workers) as pool:
+            gs_stats = pool.map(_evaluate_and_save_image, tasks)
+    else:
+        gs_stats = [_evaluate_and_save_image(task) for task in tasks]
 
-            _save_graph_based_evaluation_results(
-                eval_params,
-                eval_image,
-                eval_image_name,
-                eval_seg,
-                gs_eval_label,
-                gs_pred_segs,
-                gs_dice_classes,
-                gs_dice_macro,
-                gs_dice_micro,
-                errors,
-                mean_abs_err,
-                mean_err,
-                abs_err_sd,
-                err_sd,
-                graph_time,
-                eval_image_output_dir,
-            )
-        else:
-            print("Skipping graph search...")
-            gs_pred_segs = None
-            errors = None
-            mean_abs_err = None
-            mean_err = None
-            abs_err_sd = None
-            err_sd = None
-
+    eval_outputs = []
+    for ind, (task, stats) in enumerate(zip(tasks, gs_stats)):
         eval_outputs.append(
             EvaluationOutput(
-                image=eval_image,
-                image_name=eval_image_name,
-                image_segments=eval_seg,
-                image_output_dir=eval_image_output_dir,
-                predicted_labels=predicted_labels,
-                categorical_pred=categorical_pred,
-                boundary_maps=boundary_maps,
-                gs_pred_segs=gs_pred_segs,
-                errors=errors,
-                mean_abs_err=mean_abs_err,
-                mean_err=mean_err,
-                abs_err_sd=abs_err_sd,
-                err_sd=err_sd,
+                image=task["image"],
+                image_name=task["image_name"],
+                image_segments=task["seg"],
+                image_output_dir=task["output_dir"],
+                predicted_labels=task["predicted_labels"],
+                categorical_pred=task["categorical_pred"],
+                boundary_maps=results["boundary_maps"][ind],
+                gs_pred_segs=task.get("gs_pred_segs"),
+                errors=stats.get("errors"),
+                mean_abs_err=stats.get("mean_abs_err"),
+                mean_err=stats.get("mean_err"),
+                abs_err_sd=stats.get("abs_err_sd"),
+                err_sd=stats.get("err_sd"),
             )
         )
-        print(f"DONE image number: {ind + 1} ({eval_image_name})...")
-        print("______________________________")
 
     _calc_overall_dataset_errors(eval_params, eval_image_names)
     return eval_outputs
+
+
+class _SaveContext:
+    """Picklable slice of EvaluationParameters for worker processes."""
+
+    def __init__(self, model_path, save_params, metrics, graph_search,
+                 num_classes):
+        self.model_path = model_path
+        self.save_params = save_params
+        self.metrics = metrics
+        self.graph_search = graph_search
+        self.num_classes = num_classes
+
+
+def _evaluate_and_save_image(task: dict) -> dict:
+    """Metrics + artifacts for one image (numpy/scipy/h5py/matplotlib
+    only — safe in worker processes). Returns the graph-search error
+    statistics for the EvaluationOutput."""
+    ctx = task["ctx"]
+    ind = task["ind"]
+    num_classes = ctx.num_classes
+    eval_image = task["image"]
+    eval_image_name = task["image_name"]
+    eval_seg = task["seg"]
+    eval_image_output_dir = task["output_dir"]
+    predicted_labels = task["predicted_labels"]
+    categorical_pred = task["categorical_pred"]
+
+    print(f"Evaluating image number: {ind + 1} ({eval_image_name})...")
+
+    eval_label = np.eye(num_classes, dtype=np.float64)[
+        task["labels_dense"].astype(np.int64)
+    ]  # (H, W, C) one-hot
+    eval_label_class_first = np.transpose(eval_label, (2, 0, 1))
+
+    dice_classes = (
+        _dice_classes(eval_label_class_first, categorical_pred)
+        if EVALUATION_METRIC_DICE_CLASSES in ctx.metrics
+        else None
+    )
+    dice_macro = (
+        np.array(_dice_macro(eval_label_class_first, categorical_pred))
+        if EVALUATION_METRIC_DICE_MACRO in ctx.metrics
+        else None
+    )
+    dice_micro = (
+        np.array(_dice_micro(eval_label_class_first, categorical_pred))
+        if EVALUATION_METRIC_DICE_MICRO in ctx.metrics
+        else None
+    )
+
+    if EVALUATION_METRIC_AVERAGE_SURFACE_DISTANCE in ctx.metrics:
+        asd, asd_gt, asd_pred = [], [], []
+        for class_idx in range(1, num_classes):  # skip background
+            gt = eval_label[:, :, class_idx].astype(bool)
+            pr = categorical_pred[class_idx].astype(bool)
+            d_gt, d_pred = sd.average_surface_distance(gt, pr, _SPACING)
+            asd_gt.append(d_gt)
+            asd_pred.append(d_pred)
+            asd.append((d_gt + d_pred) / 2.0)
+        average_surface_distances = np.array(asd)
+        average_surface_distances_gt_to_pred = np.array(asd_gt)
+        average_surface_distances_pred_to_gt = np.array(asd_pred)
+    else:
+        average_surface_distances = None
+        average_surface_distances_gt_to_pred = None
+        average_surface_distances_pred_to_gt = None
+
+    if EVALUATION_METRIC_HAUSDORFF_DISTANCE in ctx.metrics:
+        hausdorff_distances = np.array(
+            [
+                sd.hausdorff_distance(
+                    eval_label[:, :, class_idx].astype(bool),
+                    categorical_pred[class_idx].astype(bool),
+                    _SPACING,
+                    percent=95,
+                )
+                for class_idx in range(1, num_classes)
+            ]
+        )
+    else:
+        hausdorff_distances = None
+
+    _save_image_evaluation_results(
+        ctx,
+        eval_image,
+        eval_image_name,
+        eval_seg,
+        predicted_labels,
+        categorical_pred,
+        eval_label,
+        eval_seg,
+        dice_classes,
+        dice_macro,
+        dice_micro,
+        average_surface_distances,
+        average_surface_distances_gt_to_pred,
+        average_surface_distances_pred_to_gt,
+        hausdorff_distances,
+        task["predict_time"],
+        eval_image_output_dir,
+    )
+
+    stats: dict = {}
+    if ctx.graph_search:
+        print("Running graph search, segmenting boundary maps...")
+        start_graph_time = time.time()
+        gs_pred_segs = task["gs_pred_segs"]  # (C-1, W)
+        gs_eval_label = task["gs_mask"]  # (H, W)
+        errors = np.stack(
+            [
+                graph_search.calc_errors(gs_pred_segs[m], eval_seg[m])
+                for m in range(gs_pred_segs.shape[0])
+            ]
+        )
+        reconstructed_cf = np.eye(num_classes, dtype=np.float64)[
+            gs_eval_label.astype(np.int64)
+        ].transpose(2, 0, 1)  # (C, H, W)
+
+        gs_dice_classes = (
+            _dice_classes(eval_label_class_first, reconstructed_cf)
+            if EVALUATION_METRIC_DICE_CLASSES in ctx.metrics
+            else None
+        )
+        gs_dice_macro = (
+            np.array(_dice_macro(eval_label_class_first, reconstructed_cf))
+            if EVALUATION_METRIC_DICE_MACRO in ctx.metrics
+            else None
+        )
+        gs_dice_micro = (
+            np.array(_dice_micro(eval_label_class_first, reconstructed_cf))
+            if EVALUATION_METRIC_DICE_MICRO in ctx.metrics
+            else None
+        )
+        graph_time = task["graph_time"] + (time.time() - start_graph_time)
+
+        (mean_abs_err, mean_err, abs_err_sd, err_sd) = (
+            graph_search.calculate_overall_errors(errors)
+        )
+
+        _save_graph_based_evaluation_results(
+            ctx,
+            eval_image,
+            eval_image_name,
+            eval_seg,
+            gs_eval_label,
+            gs_pred_segs,
+            gs_dice_classes,
+            gs_dice_macro,
+            gs_dice_micro,
+            errors,
+            mean_abs_err,
+            mean_err,
+            abs_err_sd,
+            err_sd,
+            graph_time,
+            eval_image_output_dir,
+        )
+        stats = {
+            "errors": errors,
+            "mean_abs_err": mean_abs_err,
+            "mean_err": mean_err,
+            "abs_err_sd": abs_err_sd,
+            "err_sd": err_sd,
+        }
+    else:
+        print("Skipping graph search...")
+
+    print(f"DONE image number: {ind + 1} ({eval_image_name})...")
+    print("______________________________")
+    return stats
 
 
 
@@ -341,7 +401,7 @@ def _opt(transform, value):
     return None if value is None else transform(value)
 
 def _save_image_evaluation_results(
-    eval_params: EvaluationParameters,
+    eval_params: "_SaveContext",
     eval_image: np.ndarray,
     image_name: Path,
     truth_label_segs: np.ndarray,
@@ -458,7 +518,7 @@ def _save_image_evaluation_results(
 
 
 def _save_graph_based_evaluation_results(
-    eval_params: EvaluationParameters,
+    eval_params: "_SaveContext",
     eval_image: np.ndarray,
     image_name: Path,
     truth_label_segs: np.ndarray,

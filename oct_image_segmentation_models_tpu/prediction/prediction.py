@@ -48,6 +48,17 @@ class PredictionOutput:
         self.gs_pred_segs = gs_pred_segs
 
 
+def _sync(x):
+    """Order the host past a device computation by materializing ONE
+    element of its output. ``block_until_ready`` is unreliable over
+    remote-tunnel transports (returns before the device finishes; see
+    CLAUDE.md), but device ops execute in dispatch order, so a host read
+    of any derived element guarantees the producer completed — without
+    transferring the whole buffer.
+    """
+    np.asarray(x[(0,) * x.ndim])
+
+
 def _batched(n, batch_size):
     for start in range(0, n, batch_size):
         yield start, min(start + batch_size, n)
@@ -92,14 +103,14 @@ def run_pipeline(
 
         t0 = time.time()
         probs = pipeline.predict_probs(chunk)
-        probs.block_until_ready()
+        _sync(probs)
         t1 = time.time()
         argmax_pred, categorical, maps = pipeline.convert(probs)
-        maps.block_until_ready()
+        _sync(maps)
         t2 = time.time()
         if graph_search:
             delins, masks = pipeline.graph_search(maps)
-            delins.block_until_ready()
+            _sync(delins)
         else:
             delins, masks = None, None
         t3 = time.time()

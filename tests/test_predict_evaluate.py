@@ -146,6 +146,52 @@ def test_evaluate_outputs(trained, tmp_path):
         assert np.nanmean(f["mean_dice_coef_macro"][:]) > 0.55
 
 
+def test_evaluate_parallel_workers_match_serial(trained, tmp_path):
+    """num_workers=2 (spawn process pool for the per-image host phase)
+    must produce bitwise-identical per-image and overall artifacts."""
+    root, ds, model_path = trained
+    metrics = [
+        "dice_coef_classes",
+        "dice_coef_macro",
+        "dice_coef_micro",
+        "average_surface_distance",
+        "hausdorff_distance",
+    ]
+
+    def run(folder, workers):
+        evaluate_model(
+            EvaluationParameters(
+                model_path=model_path,
+                mlflow_tracking_uri=None,
+                mlflow_run_uuid=None,
+                test_dataset_path=ds,
+                save_foldername=folder,
+                save_params=EvaluationSaveParams(categorical_pred=True),
+                graph_search=True,
+                metrics=metrics,
+                batch_size=2,
+                num_workers=workers,
+            )
+        )
+
+    run(tmp_path / "serial", 0)
+    run(tmp_path / "par", 2)
+
+    for i in range(3):
+        for fname in ("evaluation_results.hdf5", "gs_evaluation_results.hdf5"):
+            with h5py.File(tmp_path / "serial" / f"image_{i}" / fname) as a, \
+                 h5py.File(tmp_path / "par" / f"image_{i}" / fname) as b:
+                assert set(a.keys()) == set(b.keys())
+                for key in a.keys():
+                    np.testing.assert_array_equal(
+                        a[key][()], b[key][()], err_msg=f"image_{i}/{fname}/{key}"
+                    )
+    with h5py.File(tmp_path / "serial" / "overall_evaluation_results.hdf5") as a, \
+         h5py.File(tmp_path / "par" / "overall_evaluation_results.hdf5") as b:
+        for key in a.keys():
+            np.testing.assert_array_equal(a[key][()], b[key][()], err_msg=key)
+
+
 def test_predict_without_graph_search(trained, tmp_path):
     root, ds, model_path = trained
     with h5py.File(ds, "r") as f:
