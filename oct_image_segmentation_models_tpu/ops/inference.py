@@ -130,6 +130,7 @@ def make_fused_pipeline(
     apply_fn: Callable = None,
     labels_apply_fn: Callable = None,
     num_classes: int = None,
+    return_maps: bool = True,
 ) -> Callable:
     """One-jit end-to-end pipeline:
     ``fn(variables, images_u8) -> (labels u8, boundary maps u8,
@@ -144,7 +145,13 @@ def make_fused_pipeline(
     fast tail: softmax, argmax AND the boundary-map conversion all stay
     in the s2d domain (:func:`.boundary.boundary_maps_from_s2d_labels`),
     so the f32 probability tensor is never depth-to-spaced or re-laid-out
-    (~5 ms/batch-8 at 512x1024 on v5e). Requires ``num_classes``."""
+    (~5 ms/batch-8 at 512x1024 on v5e). Requires ``num_classes``.
+
+    ``return_maps=False`` yields ``None`` in the maps slot: callers that
+    only need labels + delineations (streaming volume inference) skip
+    both the image-layout permutation of the boundary maps and their
+    device->host transfer — ~13 MB/batch-8 at 512x1024, which dominates
+    per-batch latency on remote-tunnel transports."""
 
     if labels_apply_fn is not None and num_classes is None:
         raise ValueError(
@@ -168,7 +175,11 @@ def make_fused_pipeline(
                 bg_csi=bg_csi,
                 transposed="s2d",
             )
-            maps = boundary_ops.s2d_maps_to_image(maps_s2d)
+            maps = (
+                boundary_ops.s2d_maps_to_image(maps_s2d)
+                if return_maps
+                else None
+            )
             if not with_graph_search:
                 return labels, maps, None
             if minpath_ops.resolve_backend(minpath_backend):
@@ -196,11 +207,16 @@ def make_fused_pipeline(
         maps = boundary_ops.boundary_prob_maps(
             categorical, bg_ilm=bg_ilm, bg_csi=bg_csi
         )
+        maps_out = maps if return_maps else None
         if not with_graph_search:
-            return argmax_pred.astype(jnp.uint8), maps, None
+            return argmax_pred.astype(jnp.uint8), maps_out, None
         delins = minpath_ops.delineate_image_maps(
             maps, max_grad=max_grad, backend=minpath_backend
         )
-        return argmax_pred.astype(jnp.uint8), maps, delins.astype(jnp.uint16)
+        return (
+            argmax_pred.astype(jnp.uint8),
+            maps_out,
+            delins.astype(jnp.uint16),
+        )
 
     return jax.jit(pipeline, donate_argnums=(1,) if donate_images else ())
