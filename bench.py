@@ -42,12 +42,17 @@ CPU_BATCH = 2
 CPU_CACHE = ".bench_cpu_baseline.json"
 
 
-def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
+def build_pipeline(dtype, minpath_backend, k, mode="s2d", tie_parity="exact"):
     """Flagship inference pipeline builder.
 
     mode: "s2d" (BN-folded space-to-depth conv stack, the optimized
     path), "folded" (BN-folded parity module), or "parity" (the exact
-    training module).
+    training module). tie_parity: min-path tie-break mode (see
+    ops/minpath.py) — the accelerated run uses "fast" (cost-optimal,
+    ~2.9x faster kernel; worst-case tie divergence measured inside the
+    0.05 px BASELINE budget by tests/test_minpath.py::
+    test_flagship_scale_fast_tie_parity_budget; "exact" bit-matches the
+    reference heap and benches ~226 vs ~297 B-scans/s).
     Returns (module, loop_factory) where ``loop_factory(variables)``
     jits the K-iteration pipeline loop over uint8 images.
     """
@@ -93,10 +98,13 @@ def build_pipeline(dtype, minpath_backend, k, mode="s2d"):
                         out, NUM_CLASSES, transposed="s2d"
                     )
                     if mops.resolve_backend(minpath_backend):
-                        delins = delineate_pallas_s2d(maps_s2d)
+                        delins = delineate_pallas_s2d(
+                            maps_s2d, tie_parity=tie_parity
+                        )
                     else:
                         delins = mops.delineate(
                             bops.s2d_maps_to_transposed(maps_s2d),
+                            tie_parity=tie_parity,
                             backend=minpath_backend,
                         )
                 else:
@@ -208,7 +216,10 @@ def main():
     images_np = rng.integers(0, 255, size=(BATCH, H, W, 1), dtype=np.uint8)
 
     accel = jax.devices()[0]
-    module, loop_factory = build_pipeline("float32", "auto", K_ITERS, mode="s2d")
+    tie_parity = os.environ.get("BENCH_TIE_PARITY", "fast")
+    module, loop_factory = build_pipeline(
+        "float32", "auto", K_ITERS, mode="s2d", tie_parity=tie_parity
+    )
     tp_accel = time_loop(module, loop_factory, accel, images_np, K_ITERS)
 
     tp_cpu = measure_cpu_proxy(images_np)
@@ -227,6 +238,13 @@ def main():
                 ),
                 "detail": {
                     "device": str(accel),
+                    "minpath_tie_parity": tie_parity
+                    + (
+                        " (cost-optimal; <0.05 px budget test in suite;"
+                        " BENCH_TIE_PARITY=exact for heap bit-parity)"
+                        if tie_parity == "fast"
+                        else ""
+                    ),
                     "cpu_proxy_bscans_per_s": (
                         round(tp_cpu, 4) if np.isfinite(tp_cpu) else None
                     ),

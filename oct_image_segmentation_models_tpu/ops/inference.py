@@ -51,6 +51,7 @@ class StagedPipeline:
         model_config: dict = None,
         optimize: bool = True,
         compute_dtype: str = "float32",
+        minpath_tie_parity: str = "exact",
     ):
         self.variables = variables
 
@@ -87,7 +88,9 @@ class StagedPipeline:
 
         @functools.partial(jax.jit, static_argnames=("image_height",))
         def _graph(maps, image_height):
-            delins = minpath_ops.delineate_image_maps(maps, max_grad=max_grad)
+            delins = minpath_ops.delineate_image_maps(
+                maps, max_grad=max_grad, tie_parity=minpath_tie_parity
+            )
             masks = boundary_ops.create_area_mask(
                 delins.astype(jnp.float32), image_height
             )
@@ -127,6 +130,7 @@ def make_fused_pipeline(
     with_graph_search: bool = True,
     donate_images: bool = False,
     minpath_backend: str = "auto",
+    minpath_tie_parity: str = "exact",
     apply_fn: Callable = None,
     labels_apply_fn: Callable = None,
     num_classes: int = None,
@@ -146,6 +150,14 @@ def make_fused_pipeline(
     in the s2d domain (:func:`.boundary.boundary_maps_from_s2d_labels`),
     so the f32 probability tensor is never depth-to-spaced or re-laid-out
     (~5 ms/batch-8 at 512x1024 on v5e). Requires ``num_classes``.
+
+    ``minpath_tie_parity`` selects the min-path tie-break mode
+    (:func:`..ops.minpath.delineate`): "exact" reproduces the reference
+    heap's tie-breaks bit-for-bit on all but wide multi-row plateaus;
+    "fast" keeps cost-optimality with a ~4x cheaper kernel body whose
+    tie choices stay inside the 0.05 px budget even on all-plateau
+    worst cases (tests/test_minpath.py::
+    test_flagship_scale_fast_tie_parity_budget).
 
     ``return_maps=False`` yields ``None`` in the maps slot: callers that
     only need labels + delineations (streaming volume inference) skip
@@ -185,11 +197,16 @@ def make_fused_pipeline(
             if minpath_ops.resolve_backend(minpath_backend):
                 from .minpath_pallas import delineate_pallas_s2d
 
-                delins = delineate_pallas_s2d(maps_s2d, max_grad=max_grad)
+                delins = delineate_pallas_s2d(
+                    maps_s2d,
+                    max_grad=max_grad,
+                    tie_parity=minpath_tie_parity,
+                )
             else:
                 delins = minpath_ops.delineate(
                     boundary_ops.s2d_maps_to_transposed(maps_s2d),
                     max_grad=max_grad,
+                    tie_parity=minpath_tie_parity,
                     backend=minpath_backend,
                 )
             return labels, maps, delins.astype(jnp.uint16)
@@ -211,7 +228,10 @@ def make_fused_pipeline(
         if not with_graph_search:
             return argmax_pred.astype(jnp.uint8), maps_out, None
         delins = minpath_ops.delineate_image_maps(
-            maps, max_grad=max_grad, backend=minpath_backend
+            maps,
+            max_grad=max_grad,
+            tie_parity=minpath_tie_parity,
+            backend=minpath_backend,
         )
         return (
             argmax_pred.astype(jnp.uint8),

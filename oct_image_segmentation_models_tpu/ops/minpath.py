@@ -88,9 +88,10 @@ def _shift_down(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def resolve_backend(backend: str, tie_parity: str = "exact") -> bool:
     """True when the Pallas kernel should run: "auto" picks Pallas on
-    TPU for exact tie parity; "pallas"/"xla" force."""
+    TPU (both tie parities have kernel bodies); "pallas"/"xla" force."""
+    del tie_parity
     if backend == "auto":
-        return tie_parity == "exact" and jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu"
     if backend == "pallas":
         return True
     if backend == "xla":
@@ -112,7 +113,9 @@ def delineate(
     if resolve_backend(backend, tie_parity):
         from .minpath_pallas import delineate_pallas
 
-        return delineate_pallas(maps_u8, max_grad=max_grad)
+        return delineate_pallas(
+            maps_u8, max_grad=max_grad, tie_parity=tie_parity
+        )
     return _delineate_xla(maps_u8, max_grad=max_grad, tie_parity=tie_parity)
 
 

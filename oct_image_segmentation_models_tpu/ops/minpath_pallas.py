@@ -70,8 +70,15 @@ def _butterfly_stages(p):
     return stages
 
 
-def _build_kernel(w, h, max_grad, p, groups):
-    """Kernel over (sublanes=8, lanes=groups*p) packed state."""
+def _build_kernel(w, h, max_grad, p, groups, exact=True):
+    """Kernel over (sublanes=8, lanes=groups*p) packed state.
+
+    ``exact=False`` builds the fast-tie-parity variant: the settle-rank
+    bitonic network (45 forward + 45 replay stages, ~85% of the exact
+    kernel's per-column vector ops) is dropped and pop choices refine
+    over the packed ancestor chains only, bit-matching
+    ``minpath._delineate_xla(..., tie_parity="fast")`` (same cost
+    guarantee, weaker tie parity — see that docstring)."""
     lanes = groups * p
     stages = _butterfly_stages(p)
     # Single-key settle-rank packing: distances are bounded by
@@ -382,7 +389,201 @@ def _build_kernel(w, h, max_grad, p, groups):
 
         jax.lax.fori_loop(0, cw, column, 0)
 
-    return kernel, offsets
+    def kernel_fast(
+        m_ref,  # in: (CW, NB, lanes) int32 — a chunk of packed columns
+        choice_ref,  # out: (CW, NB, lanes) int32
+        dfin_ref,  # out: (NB, lanes) int32 (final column distance)
+        prifin_ref,  # out: (NB, lanes) int32 (final column pop priority)
+        c1fin_ref,  # out: (NB, lanes) int32 (final ancestor chain 1-2)
+        c2fin_ref,  # out: (NB, lanes) int32 (final ancestor chain 3-4)
+        d_s,  # scratch (NB, lanes) int32: distances
+        pri_s,  # scratch: pop priorities
+        c1_s,  # scratch: packed ancestor chain, levels 1-2
+        c2_s,  # scratch: packed ancestor chain, levels 3-4
+        rw_s,  # scratch: packed predecessor-row chain, levels 1-2
+        mprev_s,  # scratch: previous column map values
+    ):
+        """Fast-tie-parity body: no settle ranks — the pop choice refines
+        over (distance, entry priority, ancestor chains, topmost
+        predecessor row), mirroring ``minpath._delineate_xla``'s fast
+        mode op for op (each ``argmin``/``argmax`` there becomes a
+        min-mask + first-candidate refinement here)."""
+        chunk = pl.program_id(0)
+        cw = m_ref.shape[0]
+        li = local_iota()
+        stacked_pri = make_pri(li)
+        is_pad = li >= h  # rows beyond the real map height: hard wall
+
+        def column(ji, _):
+            j = chunk * cw + ji
+            m_cur = m_ref[ji]
+
+            @pl.when(j == 0)
+            def _init():
+                d_s[:] = jnp.where(is_pad, _BIG, 255 - m_cur)
+                pri_s[:] = jnp.ones((nb, lanes), jnp.int32)
+                c1_s[:] = ((((255 + m_cur) << PB) | 1) << LB) | jnp.where(
+                    li >= 1, vlvl, 0
+                )
+                c2_s[:] = (jnp.where(li >= 2, vlvl, 0) << LB) | jnp.where(
+                    li >= 3, vlvl, 0
+                )
+                rw_s[:] = (li << RB) | jnp.maximum(li - 1, 0)
+                choice_ref[ji] = jnp.zeros((nb, lanes), jnp.int32)
+
+            @pl.when(j > 0)
+            def _step():
+                d = d_s[:]
+                m_prev = mprev_s[:]
+                pri_prev = pri_s[:]
+                c1 = c1_s[:]
+                c2 = c2_s[:]
+                rw = rw_s[:]
+
+                q = d - m_prev
+                stacked = shifts(q, li)
+                best = jnp.min(stacked, axis=0)
+                tied = stacked == best[None]
+                d_new = jnp.where(is_pad, _BIG, best + 510 - m_cur)
+
+                sh_d = shifts(d, li)
+                sh_pp = shifts(pri_prev, li)
+                sh_m = shifts(m_prev, li)
+                sh_c1 = shifts(c1, li)
+                sh_c2 = shifts(c2, li)
+                sh_rw = shifts(rw, li)
+                cand_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, stacked.shape, 0
+                )
+
+                zero_edge = (sh_m == 255) & (m_cur == 255)[None]
+                strict = tied & ~zero_edge
+                pri_strict = jnp.where(strict, stacked_pri, _BIG)
+                best_strict_pri = jnp.min(pri_strict, axis=0)
+                # Strict-pop side: pred settle order approximated by the
+                # carried chain; first candidate (offsets order) among
+                # chain ties = the XLA path's argmin.
+                strict_rank_m = jnp.where(
+                    pri_strict == best_strict_pri[None], sh_c1, _BIG
+                )
+                s_min = jnp.min(strict_rank_m, axis=0)
+                s_sel = strict_rank_m == s_min[None]
+                s_ci = jnp.min(jnp.where(s_sel, cand_idx, _BIG), axis=0)
+                s_sel = s_sel & (cand_idx == s_ci[None])
+
+                def sselect(stacked_x):
+                    return jnp.min(jnp.where(s_sel, stacked_x, _BIG), axis=0)
+
+                s_pack = ((sselect(sh_m) + m_cur) << PB) | (
+                    sselect(sh_pp) + 1
+                )
+                s_gc1 = sselect(sh_c1)
+                s_c1 = ((s_pack << LB) | (s_gc1 >> LB))[None]
+                s_c2 = (((s_gc1 & LMASK) << LB) | (sselect(sh_c2) >> LB))[
+                    None
+                ]
+                s_rw = sselect(sh_rw)[None]
+
+                # Cascade suppression of priority fields + ancestor
+                # merges — identical to the exact body (minpath.py).
+                supp1 = (((sh_c1 >> PB) & 511) == 510) | (
+                    ((s_c1 >> PB) & 511) == 510
+                )
+                supp2 = (((sh_c2 >> (LB + PB)) & 511) == 510) | (
+                    ((s_c2 >> (LB + PB)) & 511) == 510
+                )
+                supp3 = (((sh_c2 >> PB) & 511) == 510) | (
+                    ((s_c2 >> PB) & 511) == 510
+                )
+                u_c1 = (
+                    sh_c1
+                    & ~jnp.where(supp1, P1M, 0)
+                    & ~jnp.where(supp2, P2M, 0)
+                )
+                sv_c1 = (
+                    jnp.broadcast_to(s_c1, u_c1.shape)
+                    & ~jnp.where(supp1, P1M, 0)
+                    & ~jnp.where(supp2, P2M, 0)
+                )
+                u_c2 = sh_c2 & ~jnp.where(supp3, P1M, 0) & ~P2M
+                sv_c2 = (
+                    jnp.broadcast_to(s_c2, u_c2.shape)
+                    & ~jnp.where(supp3, P1M, 0)
+                    & ~P2M
+                )
+                m1 = (sh_rw >> RB) == (s_rw >> RB)
+                m2 = (sh_rw & RMASK) == (s_rw & RMASK)
+                u_c1 = u_c1 & ~jnp.where(m1, P1M, 0) & ~jnp.where(m2, P2M, 0)
+                sv_c1 = sv_c1 | jnp.where(m1, P1M, 0) | jnp.where(m2, P2M, 0)
+
+                pu = sh_pp
+                ps = best_strict_pri[None]
+                zero_valid = (
+                    tied
+                    & zero_edge
+                    & (
+                        (pu < ps)
+                        | (
+                            (pu == ps)
+                            & (
+                                (u_c1 < sv_c1)
+                                | ((u_c1 == sv_c1) & (u_c2 <= sv_c2))
+                            )
+                        )
+                    )
+                )
+                valid = strict | zero_valid
+                has_valid = jnp.any(valid, axis=0, keepdims=True)
+                valid = (valid & has_valid) | (tied & ~has_valid)
+
+                best_pri = jnp.min(
+                    jnp.where(valid, stacked_pri, _BIG), axis=0
+                )
+                rows_cand = jnp.stack(
+                    [li + off for off in offsets], axis=0
+                )
+                # Refinement chain over broadcast keys; the last key
+                # (candidate row) is unique per candidate, so the
+                # surviving mask is singleton.
+                for key in (
+                    jnp.broadcast_to(stacked_pri, valid.shape),
+                    sh_d,
+                    sh_pp,
+                    sh_c1,
+                    sh_c2,
+                    rows_cand,
+                ):
+                    kmasked = jnp.where(valid, key, _BIG)
+                    kmin = jnp.min(kmasked, axis=0)
+                    valid = valid & (kmasked == kmin[None])
+                chosen = valid
+
+                def select(stacked_x):
+                    return jnp.min(jnp.where(chosen, stacked_x, _BIG), axis=0)
+
+                choice_ref[ji] = select(cand_idx)
+                d_s[:] = d_new
+                pri_s[:] = best_pri
+                c_pack = ((select(sh_m) + m_cur) << PB) | (select(sh_pp) + 1)
+                c_gc1 = select(sh_c1)
+                c1_s[:] = (c_pack << LB) | (c_gc1 >> LB)
+                c2_s[:] = ((c_gc1 & LMASK) << LB) | (select(sh_c2) >> LB)
+                rw_s[:] = (select(rows_cand) << RB) | (select(sh_rw) >> RB)
+
+            mprev_s[:] = m_cur
+
+            @pl.when(j == w - 1)
+            def _finish():
+                dfin_ref[:] = d_s[:]
+                prifin_ref[:] = pri_s[:]
+                c1fin_ref[:] = c1_s[:]
+                c2fin_ref[:] = c2_s[:]
+
+            return 0
+
+        jax.lax.fori_loop(0, cw, column, 0)
+
+    return (kernel if exact else kernel_fast), offsets
 
 
 def _pack_plan(n: int, h: int):
@@ -397,14 +598,21 @@ def _pack_plan(n: int, h: int):
     return p, nb, groups, n_super, n_super * groups * nb
 
 
-@functools.partial(jax.jit, static_argnames=("max_grad", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("max_grad", "interpret", "tie_parity")
+)
 def delineate_pallas(
-    maps_u8: jnp.ndarray, max_grad: int = 1, interpret: bool = False
+    maps_u8: jnp.ndarray,
+    max_grad: int = 1,
+    interpret: bool = False,
+    tie_parity: str = "exact",
 ) -> jnp.ndarray:
-    """Exact min-path delineation via the Pallas kernel.
+    """Min-path delineation via the Pallas kernel.
 
-    Same contract as ``minpath.delineate(maps, max_grad, "exact")``:
-    ``(..., W, H) uint8 -> (..., W) int32``.
+    Same contract as ``minpath.delineate(maps, max_grad, tie_parity)``:
+    ``(..., W, H) uint8 -> (..., W) int32``. ``tie_parity="fast"`` runs
+    the chains-only kernel body (~4x fewer vector ops per column,
+    bit-matching the XLA fast mode's weaker tie-break guarantee).
     """
     lead = maps_u8.shape[:-2]
     w, h = maps_u8.shape[-2], maps_u8.shape[-1]
@@ -432,13 +640,18 @@ def delineate_pallas(
     )
     m_last = m[:, w - 1, :].astype(jnp.int32)
     return _run_packed(
-        m_packed, m_last, lead, n, w, h, max_grad, interpret
+        m_packed, m_last, lead, n, w, h, max_grad, interpret, tie_parity
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_grad", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("max_grad", "interpret", "tie_parity")
+)
 def delineate_pallas_s2d(
-    maps_s2d_u8: jnp.ndarray, max_grad: int = 1, interpret: bool = False
+    maps_s2d_u8: jnp.ndarray,
+    max_grad: int = 1,
+    interpret: bool = False,
+    tie_parity: str = "exact",
 ) -> jnp.ndarray:
     """:func:`delineate_pallas` taking maps in space-to-depth layout.
 
@@ -485,7 +698,7 @@ def delineate_pallas_s2d(
         .astype(jnp.int32)
     )
     return _run_packed(
-        m_packed, m_last, (B, M), n, w, h, max_grad, interpret
+        m_packed, m_last, (B, M), n, w, h, max_grad, interpret, tie_parity
     )
 
 
@@ -498,8 +711,12 @@ def _run_packed(
     h: int,
     max_grad: int,
     interpret: bool,
+    tie_parity: str = "exact",
 ) -> jnp.ndarray:
     """Run the kernel over packed uint8 columns + backtrack to rows."""
+    if tie_parity not in ("exact", "fast"):
+        raise ValueError(f"unknown tie_parity: {tie_parity}")
+    exact = tie_parity == "exact"
     n_super, _, nb, lanes = m_packed.shape
     p = 1
     while p < h:
@@ -508,8 +725,12 @@ def _run_packed(
     n_pad = n_super * groups * nb
     m_packed = m_packed.astype(jnp.int32)
 
-    kernel, offsets = _build_kernel(w, h, max_grad, p, groups)
+    kernel, offsets = _build_kernel(w, h, max_grad, p, groups, exact=exact)
     cw = next(c for c in (32, 16, 8, 4, 2, 1) if w % c == 0)
+    # Exact: (choices, d_final, rank_final) + 7 scratch. Fast: (choices,
+    # d_final, pri_final, c1_final, c2_final) + 6 scratch (no ranks).
+    n_fin = 2 if exact else 4
+    n_scratch = 7 if exact else 6
 
     def run_super(m_cols):
         return pl.pallas_call(
@@ -526,33 +747,32 @@ def _run_packed(
                     (cw, nb, lanes), lambda j: (j, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
+            ]
+            + [
                 pl.BlockSpec(
                     (nb, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (nb, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM
-                ),
+                )
+                for _ in range(n_fin)
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((w, nb, lanes), jnp.int32),
-                jax.ShapeDtypeStruct((nb, lanes), jnp.int32),
-                jax.ShapeDtypeStruct((nb, lanes), jnp.int32),
+            ]
+            + [
+                jax.ShapeDtypeStruct((nb, lanes), jnp.int32)
+                for _ in range(n_fin)
             ],
             scratch_shapes=[
-                pltpu.VMEM((nb, lanes), jnp.int32) for _ in range(7)
+                pltpu.VMEM((nb, lanes), jnp.int32) for _ in range(n_scratch)
             ],
             interpret=interpret,
         )(m_cols)
 
     if n_super == 1:
-        choices_p, d_final_p, rank_final_p = run_super(m_packed[0])
-        choices_p = choices_p[None]
-        d_final_p = d_final_p[None]
-        rank_final_p = rank_final_p[None]
+        outs = run_super(m_packed[0])
+        outs = tuple(x[None] for x in outs)
     else:
-        choices_p, d_final_p, rank_final_p = jax.lax.map(
-            run_super, m_packed
-        )
+        outs = jax.lax.map(run_super, m_packed)
+    choices_p, fins_p = outs[0], outs[1:]
 
     def unpack(x_packed, has_w):
         # (n_super, [W,] nb, groups*P) -> (n, [W,] H)
@@ -565,15 +785,25 @@ def _run_packed(
         return x.reshape(n_pad, p)[:n, :h]
 
     choices = jnp.moveaxis(unpack(choices_p, True), 1, 0)  # (W, n, H)
-    d_final = unpack(d_final_p, False)
-    rank_final = unpack(rank_final_p, False)
+    fins = [unpack(f, False) for f in fins_p]
+    d_final = fins[0]
 
-    # Exit row: earliest-settled last-column node among exit-distance ties.
+    # Exit row: earliest-settled last-column node among exit-distance
+    # ties — exact ranks when carried, else the fast mode's
+    # (distance, priority, chains) refinement with top-row fallback
+    # (matching minpath._delineate_xla's exit keys).
     exit_dist = d_final + 255 - m_last
     tied = exit_dist == jnp.min(exit_dist, axis=-1, keepdims=True)
-    r_last = jnp.argmin(jnp.where(tied, rank_final, _BIG), axis=-1).astype(
-        jnp.int32
-    )
+    if exact:
+        rank_final = fins[1]
+        r_last = jnp.argmin(
+            jnp.where(tied, rank_final, _BIG), axis=-1
+        ).astype(jnp.int32)
+    else:
+        for key in fins:  # (d_final, pri_final, c1_final, c2_final)
+            masked = jnp.where(tied, key, _BIG)
+            tied = tied & (masked == jnp.min(masked, axis=-1, keepdims=True))
+        r_last = jnp.argmax(tied, axis=-1).astype(jnp.int32)
 
     # Backtrack (cheap XLA scan over the stored choices).
     offsets_arr = jnp.asarray(np.array(offsets, dtype=np.int32))

@@ -73,6 +73,7 @@ def run_pipeline(
     bg_ilm: bool = True,
     bg_csi: bool = False,
     max_grad: int = 1,
+    minpath_tie_parity: str = "exact",
 ):
     """Run the staged device pipeline over all images; returns per-image
     stacked outputs + per-image phase times."""
@@ -87,6 +88,7 @@ def run_pipeline(
         bg_csi=bg_csi,
         max_grad=max_grad,
         model_config=model_config,
+        minpath_tie_parity=minpath_tie_parity,
     )
 
     n = images.shape[0]
@@ -152,6 +154,7 @@ def predict(predict_params: PredictionParams) -> List[PredictionOutput]:
         predict_images,
         predict_params.batch_size,
         predict_params.graph_search,
+        minpath_tie_parity=predict_params.minpath_tie_parity,
     )
 
     prediction_outputs = []

@@ -40,6 +40,7 @@ class PredictionParams:
         trim_window: tuple = (0, 0),
         col_error_range: tuple = None,
         batch_size: int = 8,
+        minpath_tie_parity: str = "exact",
     ) -> None:
         self.model_path = model_path
         self.mlflow_tracking_uri = mlflow_tracking_uri
@@ -60,6 +61,14 @@ class PredictionParams:
         # Device batch size for the fused pipeline (the reference is
         # hardwired to per-image batches, `prediction/prediction.py:75-81`).
         self.batch_size = batch_size
+        # Min-path tie-break mode: "exact" (reference-heap bit parity) or
+        # "fast" (cost-optimal, ~4x cheaper kernel; see ops/minpath.py).
+        if minpath_tie_parity not in ("exact", "fast"):
+            raise ValueError(
+                f"minpath_tie_parity must be 'exact' or 'fast', got "
+                f"{minpath_tie_parity!r}"
+            )
+        self.minpath_tie_parity = minpath_tie_parity
 
         self.col_error_range = col_error_range
         if col_error_range is None:

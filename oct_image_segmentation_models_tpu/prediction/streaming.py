@@ -32,6 +32,7 @@ class VolumeSegmenter:
         with_graph_search: bool = True,
         optimize: bool = True,
         compute_dtype: str = "float32",
+        minpath_tie_parity: str = "exact",
     ):
         self.loaded_model = loaded_model
         self.batch_size = batch_size
@@ -86,6 +87,7 @@ class VolumeSegmenter:
             bg_csi=bg_csi,
             max_grad=max_grad,
             with_graph_search=with_graph_search,
+            minpath_tie_parity=minpath_tie_parity,
             labels_apply_fn=labels_fn,
             num_classes=loaded_model.output_classes,
             # Volume segmentation only consumes labels + delineations;

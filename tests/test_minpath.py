@@ -326,3 +326,68 @@ def test_wide_plateau_ridges_cost_and_near_parity():
                 p[np.arange(w), got].sum() == p[np.arange(w), want].sum()
             )
     assert div <= 0.015 * total, f"{div}/{total}"
+
+
+def test_flagship_scale_fast_tie_parity_budget():
+    """tie_parity="fast" (the cheap chains-only mode both the XLA scan
+    and the Pallas kernel implement) must stay cost-optimal and inside
+    the 0.05 px north-star budget at flagship scale. Worst-case
+    all-plateau maps AND realistic blurred ridges; the Pallas fast body
+    bit-matches this XLA mode (tests/test_minpath_pallas.py), so the
+    numbers measured here bound the kernel too."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(21)
+    w, h = 1024, 512
+
+    # Worst-case: every column on a 2-4-row-wide exact-255 plateau.
+    total = 0
+    err = 0.0
+    div = 0
+    for trial in range(3):
+        rows = _smooth_rows(rng, w, h, max_step=2)
+        m = _ridge_map(w, h, rows)
+        m |= np.roll(m, 1, axis=1)
+        if trial % 2:
+            m |= np.roll(m, 2, axis=1)
+        got = np.asarray(
+            minpath.delineate(m, tie_parity="fast")
+        ).astype(np.int64)
+        want = dijkstra_delineate(m).astype(np.int64)
+        total += w
+        div += int((got != want).sum())
+        err += float(np.abs(got - want).sum())
+        if (got != want).any():
+            p = m.astype(np.int64)
+            assert (
+                p[np.arange(w), got].sum() == p[np.arange(w), want].sum()
+            ), "divergent columns must still be cost-optimal"
+    mae_plateau = err / total
+    rate_plateau = div / total
+
+    # Realistic: blurred noisy ridges (what a trained model emits).
+    total = 0
+    err = 0.0
+    for _ in range(3):
+        rows = _smooth_rows(rng, w, h, max_step=2, margin=4)
+        m = np.zeros((w, h), np.float32)
+        m[np.arange(w), rows] = 1.0
+        m = ndimage.gaussian_filter(m, sigma=(0.8, 1.4))
+        m = np.clip(m / m.max() + rng.normal(0, 0.01, m.shape), 0, 1)
+        m8 = (m * 255).astype(np.uint8)
+        got = np.asarray(
+            minpath.delineate(m8, tie_parity="fast")
+        ).astype(np.int64)
+        want = dijkstra_delineate(m8).astype(np.int64)
+        total += w
+        err += float(np.abs(got - want).sum())
+    mae_real = err / total
+
+    # Measured (seed 21): plateau-suite MAE 0.0424 px / 3.47% columns,
+    # realistic MAE 0.00033 px — fast mode fits the budget even on the
+    # all-plateau worst case; realistic maps are two orders under it.
+    assert mae_plateau < 0.05, (
+        f"fast-mode plateau px-MAE {mae_plateau:.4f}"
+        f" (rate {rate_plateau:.4%})"
+    )
+    assert mae_real < 0.005, f"fast-mode realistic px-MAE {mae_real:.5f}"

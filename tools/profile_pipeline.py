@@ -9,7 +9,9 @@ composition effects included.
 Usage: python tools/profile_pipeline.py [stage ...]
 Stages: fwd, fwd_convert, full, minpath, convert_int (probability
 forward); fwd_labels, labels_convert, full_labels (labels_s2d fast
-path). Default runs both paths' cumulative prefixes.
+path). A ``_fast`` suffix on minpath/full/full_labels selects the
+min-path kernel's tie_parity="fast" body. Default runs both paths'
+cumulative prefixes.
 """
 
 from __future__ import annotations
@@ -26,6 +28,9 @@ K = 10
 
 
 def build(stage):
+    tie = "exact"
+    if stage.endswith("_fast"):
+        stage, tie = stage[: -len("_fast")], "fast"
     from oct_image_segmentation_models_tpu.models import get_model_class
     from oct_image_segmentation_models_tpu.ops import boundary as bops
     from oct_image_segmentation_models_tpu.ops import minpath as mops
@@ -52,7 +57,9 @@ def build(stage):
         def loop(maps_u8):
             def body(carry, _):
                 m = jnp.bitwise_xor(maps_u8, carry)
-                delins = mops.delineate_image_maps(m, backend="pallas")
+                delins = mops.delineate_image_maps(
+                    m, tie_parity=tie, backend="pallas"
+                )
                 return carry ^ 1, delins
 
             carry, delins = jax.lax.scan(
@@ -95,7 +102,9 @@ def build(stage):
                         maps_s2d = bops.boundary_maps_from_s2d_labels(
                             lab_s2d, NUM_CLASSES, transposed="s2d"
                         )
-                        out = delineate_pallas_s2d(maps_s2d).sum()
+                        out = delineate_pallas_s2d(
+                            maps_s2d, tie_parity=tie
+                        ).sum()
                 return (carry + 1) % 2, out
             probs = body_fwd(images_u8, carry)
             if stage == "fwd":
@@ -114,7 +123,7 @@ def build(stage):
                 _, categorical = bops.perform_argmax(probs, bin=True)
                 maps = bops.boundary_prob_maps(categorical)
                 out = mops.delineate_image_maps(
-                    maps, backend="pallas"
+                    maps, tie_parity=tie, backend="pallas"
                 ).sum()
             else:
                 raise ValueError(stage)
