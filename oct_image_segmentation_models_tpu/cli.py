@@ -91,6 +91,7 @@ def cmd_predict(args):
         save_params=PredictionSaveParams(),
         graph_search=args.graph_search,
         batch_size=args.batch_size,
+        minpath_tie_parity=args.minpath_tie_parity,
     )
     predict(params)
     print(f"Prediction complete. Artifacts: {output_dir}")
@@ -114,6 +115,7 @@ def cmd_evaluate(args):
         metrics=args.metrics.split(","),
         gsgrad=args.gsgrad,
         batch_size=args.batch_size,
+        minpath_tie_parity=args.minpath_tie_parity,
     )
     evaluate_model(params)
     print(f"Evaluation complete. Artifacts: {args.output_dir}")
@@ -136,6 +138,14 @@ def main(argv=None):
     p_pred.add_argument("output_dir")
     p_pred.add_argument("--graph-search", action="store_true")
     p_pred.add_argument("--batch-size", type=int, default=8)
+    p_pred.add_argument(
+        "--minpath-tie-parity",
+        choices=("exact", "fast"),
+        default="exact",
+        help="min-path tie-break mode: 'exact' bit-matches the reference "
+        "heap; 'fast' is cost-optimal and ~2.9x faster (<0.05 px "
+        "worst-case divergence)",
+    )
     p_pred.add_argument("--mlflow-tracking-uri", default=None)
     p_pred.add_argument("--mlflow-run-uuid", default=None)
     p_pred.set_defaults(func=cmd_predict)
@@ -153,6 +163,12 @@ def main(argv=None):
     )
     p_eval.add_argument("--gsgrad", type=int, default=1)
     p_eval.add_argument("--batch-size", type=int, default=8)
+    p_eval.add_argument(
+        "--minpath-tie-parity",
+        choices=("exact", "fast"),
+        default="exact",
+        help="min-path tie-break mode (see `octseg predict --help`)",
+    )
     p_eval.add_argument("--mlflow-tracking-uri", default=None)
     p_eval.add_argument("--mlflow-run-uuid", default=None)
     p_eval.set_defaults(func=cmd_evaluate)

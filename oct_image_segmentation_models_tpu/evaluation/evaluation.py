@@ -127,6 +127,7 @@ def evaluate_model(eval_params: EvaluationParameters) -> List[EvaluationOutput]:
         bg_ilm=eval_params.bg_ilm,
         bg_csi=eval_params.bg_csi,
         max_grad=eval_params.gsgrad,
+        minpath_tie_parity=eval_params.minpath_tie_parity,
     )
 
     # Per-image host work (metrics + artifact writing) is jax-free —

@@ -42,6 +42,7 @@ class EvaluationParameters:
         bg_csi: bool = False,
         batch_size: int = 8,
         num_workers: int = 0,
+        minpath_tie_parity: str = "exact",
     ):
         self.model_path = model_path
         self.mlflow_tracking_uri = mlflow_tracking_uri
@@ -71,6 +72,12 @@ class EvaluationParameters:
         # matplotlib + scipy EDT); artifacts are bitwise-identical to
         # the serial path (tests/test_predict_evaluate.py).
         self.num_workers = num_workers
+        if minpath_tie_parity not in ("exact", "fast"):
+            raise ValueError(
+                f"minpath_tie_parity must be 'exact' or 'fast', got "
+                f"{minpath_tie_parity!r}"
+            )
+        self.minpath_tie_parity = minpath_tie_parity
         self.save_foldername = Path(save_foldername)
         self.loaded_model, self.model_config = utils.load_model_and_config(
             model_path,

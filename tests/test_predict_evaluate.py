@@ -252,3 +252,75 @@ def test_invalid_metric_rejected(trained, tmp_path):
             graph_search=False,
             metrics=["nope"],
         )
+
+
+def test_predict_fast_tie_parity(trained, tmp_path):
+    """minpath_tie_parity="fast" runs the whole predict surface and its
+    delineations stay within the tie budget of the exact mode (both are
+    cost-optimal; on non-plateau maps they are usually identical)."""
+    root, ds, model_path = trained
+    with h5py.File(ds, "r") as f:
+        images = f["test_images"][:]
+
+    def run(mode, sub):
+        (tmp_path / sub).mkdir(exist_ok=True)
+        out_dirs = [tmp_path / sub / f"img_{i}" for i in range(len(images))]
+        dataset = Dataset(
+            images=images,
+            image_masks=None,
+            image_names=[p / "x.png" for p in out_dirs],
+            image_output_dirs=out_dirs,
+        )
+        return predict(
+            PredictionParams(
+                model_path=model_path,
+                mlflow_tracking_uri=None,
+                mlflow_run_uuid=None,
+                dataset=dataset,
+                config_output_dir=tmp_path / sub,
+                save_params=PredictionSaveParams(png_images=False),
+                graph_search=True,
+                batch_size=2,
+                minpath_tie_parity=mode,
+            )
+        )
+
+    exact = run("exact", "exact")
+    fast = run("fast", "fast")
+    for e, f_ in zip(exact, fast):
+        assert f_.gs_pred_segs.shape == e.gs_pred_segs.shape
+        mae = np.abs(
+            f_.gs_pred_segs.astype(int) - e.gs_pred_segs.astype(int)
+        ).mean()
+        assert mae < 0.05, mae
+
+
+def test_invalid_tie_parity_rejected(trained, tmp_path):
+    root, ds, model_path = trained
+    with pytest.raises(ValueError, match="minpath_tie_parity"):
+        PredictionParams(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            dataset=Dataset(
+                images=np.zeros((1, 32, 48, 1), np.uint8),
+                image_masks=None,
+                image_names=[tmp_path / "x.png"],
+                image_output_dirs=[tmp_path],
+            ),
+            config_output_dir=tmp_path,
+            save_params=PredictionSaveParams(),
+            minpath_tie_parity="bogus",
+        )
+    with pytest.raises(ValueError, match="minpath_tie_parity"):
+        EvaluationParameters(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            test_dataset_path=ds,
+            save_foldername=tmp_path,
+            save_params=EvaluationSaveParams(),
+            graph_search=False,
+            metrics=["dice_coef_macro"],
+            minpath_tie_parity="bogus",
+        )
