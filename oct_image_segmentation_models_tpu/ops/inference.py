@@ -135,6 +135,7 @@ def make_fused_pipeline(
     labels_apply_fn: Callable = None,
     num_classes: int = None,
     return_maps: bool = True,
+    mesh=None,
 ) -> Callable:
     """One-jit end-to-end pipeline:
     ``fn(variables, images_u8) -> (labels u8, boundary maps u8,
@@ -163,7 +164,17 @@ def make_fused_pipeline(
     only need labels + delineations (streaming volume inference) skip
     both the image-layout permutation of the boundary maps and their
     device->host transfer — ~13 MB/batch-8 at 512x1024, which dominates
-    per-batch latency on remote-tunnel transports."""
+    per-batch latency on remote-tunnel transports.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with a single "data" axis) makes
+    the pipeline data-parallel for serving: the whole chain runs inside
+    ``shard_map`` with the batch axis sharded and the weights
+    replicated, so each device processes ``batch/num_devices`` B-scans
+    with zero collectives (the chain is embarrassingly batch-parallel —
+    the TPU analog of scaling the reference's per-image predict loop
+    across workers). The batch must divide the mesh size; the Pallas
+    min-path kernel runs per-shard, which SPMD auto-partitioning alone
+    can't express."""
 
     if labels_apply_fn is not None and num_classes is None:
         raise ValueError(
@@ -239,4 +250,29 @@ def make_fused_pipeline(
             delins.astype(jnp.uint16),
         )
 
-    return jax.jit(pipeline, donate_argnums=(1,) if donate_images else ())
+    donate = (1,) if donate_images else ()
+    if mesh is None:
+        return jax.jit(pipeline, donate_argnums=donate)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"make_fused_pipeline expects a 1-D data mesh, got axes "
+            f"{mesh.axis_names}"
+        )
+    axis = mesh.axis_names[0]
+    batch_spec = P(axis)
+    sharded = shard_map(
+        pipeline,
+        mesh=mesh,
+        in_specs=(P(), batch_spec),
+        # None slots (maps/delins toggles) are empty subtrees; their
+        # spec entry is unused.
+        out_specs=(batch_spec, batch_spec, batch_spec),
+        # No cross-shard communication; varying-manual-axes checking
+        # would reject the replicated-variables spec needlessly.
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=donate)

@@ -33,9 +33,20 @@ class VolumeSegmenter:
         optimize: bool = True,
         compute_dtype: str = "float32",
         minpath_tie_parity: str = "exact",
+        mesh=None,
     ):
         self.loaded_model = loaded_model
         self.batch_size = batch_size
+        # Data-parallel serving: the fused pipeline runs inside
+        # shard_map over the mesh's "data" axis, each device taking
+        # batch/num_devices B-scans (see make_fused_pipeline). batch
+        # must split evenly across devices.
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size={batch_size} must be a multiple of the mesh "
+                f"size ({mesh.devices.size}) for data-parallel inference"
+            )
         container = get_model_class(loaded_model.name)(**model_config)
         # Divisibility requirement of the conv stack, taken from the
         # container (which has normalized config defaults applied).
@@ -88,6 +99,7 @@ class VolumeSegmenter:
             max_grad=max_grad,
             with_graph_search=with_graph_search,
             minpath_tie_parity=minpath_tie_parity,
+            mesh=mesh,
             labels_apply_fn=labels_fn,
             num_classes=loaded_model.output_classes,
             # Volume segmentation only consumes labels + delineations;
@@ -120,8 +132,16 @@ class VolumeSegmenter:
 
         pipeline = self._pipeline
         batches = (volume[i : i + b] for i in range(0, len(volume), b))
+        if self.mesh is not None:
+            from ..parallel.input_pipeline import prefetch_to_mesh
+
+            batch_iter = prefetch_to_mesh(
+                batches, self.mesh, size=prefetch
+            )
+        else:
+            batch_iter = device_prefetch(batches, size=prefetch)
         labels_out, segs_out = [], []
-        for batch in device_prefetch(batches, size=prefetch):
+        for batch in batch_iter:
             labels, _maps, delins = pipeline(
                 self.loaded_model.variables, batch
             )

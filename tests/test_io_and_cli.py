@@ -165,6 +165,19 @@ def test_streaming_volume(tmp_path):
     l16, s16 = seg16.segment_volume(volume)
     assert l16.shape == labels.shape and s16.shape == segs.shape
 
+    # Data-parallel serving over the 8-device mesh: identical outputs to
+    # the single-device pipeline (each shard runs the full chain).
+    from oct_image_segmentation_models_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    seg_dp = VolumeSegmenter(loaded, config, batch_size=8, mesh=mesh)
+    l_dp, s_dp = seg_dp.segment_volume(volume)
+    assert np.array_equal(l_dp, labels)
+    assert np.array_equal(s_dp, segs)
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        VolumeSegmenter(loaded, config, batch_size=4, mesh=mesh)
+
 
 def test_cli_evaluate(tmp_path):
     from oct_image_segmentation_models_tpu.cli import main
