@@ -163,6 +163,13 @@ def load_model_and_config(
     """
     model_path = Path(model_path)
     mlflow_config = None
+    if mlflow_run_uuid and not mlflow_tracking_uri:
+        # Without this, the run id would be silently dropped and
+        # model_path misread as a local checkpoint path.
+        raise ValueError(
+            "mlflow_run_uuid requires mlflow_tracking_uri (the run can "
+            "only be resolved against a tracking server/store)"
+        )
     if mlflow_tracking_uri:
         try:
             import mlflow

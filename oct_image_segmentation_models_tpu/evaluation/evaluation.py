@@ -169,7 +169,13 @@ def evaluate_model(eval_params: EvaluationParameters) -> List[EvaluationOutput]:
         import multiprocessing
 
         workers = min(eval_params.num_workers, len(tasks))
-        with multiprocessing.get_context("spawn").Pool(workers) as pool:
+        # The per-image work is jax-free, but spawned workers re-import
+        # this package; pin any accidental JAX backend init in a worker
+        # to CPU so N workers can never open N extra TPU clients against
+        # the (single, tunneled) chip the parent is using.
+        with multiprocessing.get_context("spawn").Pool(
+            workers, initializer=_pin_worker_to_cpu
+        ) as pool:
             gs_stats = pool.map(_evaluate_and_save_image, tasks)
     else:
         gs_stats = [_evaluate_and_save_image(task) for task in tasks]
@@ -208,6 +214,20 @@ class _SaveContext:
         self.metrics = metrics
         self.graph_search = graph_search
         self.num_classes = num_classes
+
+
+def _pin_worker_to_cpu() -> None:
+    """Spawn-pool initializer: keep worker-side JAX (if ever imported)
+    off the accelerator. Runs before any task import executes. The
+    config update covers environments whose sitecustomize overrides
+    platform env vars (e.g. the axon TPU plugin)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def _evaluate_and_save_image(task: dict) -> dict:

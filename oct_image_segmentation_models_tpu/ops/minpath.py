@@ -69,7 +69,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BIG = jnp.int32(2**30)
+# Python int, NOT jnp.int32: a module-level device constant would
+# initialize the JAX backend (i.e. open a TPU client) as a side effect of
+# importing this module — which spawned host-side worker processes
+# (evaluation num_workers) must never do on the single tunneled chip.
+_BIG = 2**30
 
 
 def _shift_up(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -97,6 +101,22 @@ def resolve_backend(backend: str, tie_parity: str = "exact") -> bool:
     if backend == "xla":
         return False
     raise ValueError(f"unknown backend: {backend}")
+
+
+def validate_max_grad_packing(max_grad: int) -> int:
+    """Shared XLA/Pallas guard; returns PB (priority-field bit width).
+
+    Packed ancestor-chain levels are LB = 9 + PB bits, two per int32;
+    beyond 2*LB = 31 the top level reaches the int32 sign bit and signed
+    compares would silently mis-order tie races.
+    """
+    pb = (3 + 2 * max_grad).bit_length()
+    if 2 * (9 + pb) > 31:
+        raise ValueError(
+            f"max_grad={max_grad} exceeds the ancestor-chain packing limit "
+            "(priority field needs 2*(9+PB) <= 31 bits, i.e. max_grad <= 30)"
+        )
+    return pb
 
 
 def delineate(
@@ -152,15 +172,7 @@ def _delineate_xla(
     """
     if tie_parity not in ("exact", "fast"):
         raise ValueError(f"unknown tie_parity: {tie_parity}")
-    # Packed ancestor-chain levels are LB = 9 + PB bits, two per int32;
-    # beyond 2*LB = 31 the top level reaches the int32 sign bit and signed
-    # compares would silently mis-order tie races.
-    pb = (3 + 2 * max_grad).bit_length()
-    if 2 * (9 + pb) > 31:
-        raise ValueError(
-            f"max_grad={max_grad} exceeds the ancestor-chain packing limit "
-            "(priority field needs 2*(9+PB) <= 31 bits, i.e. max_grad <= 30)"
-        )
+    validate_max_grad_packing(max_grad)
     exact = tie_parity == "exact"
     if maps_u8.ndim < 2:
         raise ValueError("maps must have shape (..., W, H)")

@@ -37,6 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import minpath
+
 _BIG = 2**30  # python int: pallas kernels cannot capture jnp constants
 _SUBLANES = 8  # maps per sublane block (Mosaic ceiling for these patterns)
 _MAX_LANES = 2048  # cap on packed lane extent per kernel invocation
@@ -97,14 +99,7 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
     nb = _SUBLANES
     # Packed ancestor-chain constants for the zero-edge settle races —
     # see minpath.py (the XLA path) for the full derivation.
-    PB = (3 + 2 * max_grad).bit_length()
-    if 2 * (9 + PB) > 31:
-        # Past this, the top packed level reaches the int32 sign bit and
-        # signed compares silently mis-order tie races.
-        raise ValueError(
-            f"max_grad={max_grad} exceeds the ancestor-chain packing limit "
-            "(needs 2*(9+PB) <= 31 bits, i.e. max_grad <= 30)"
-        )
+    PB = minpath.validate_max_grad_packing(max_grad)
     LB = 9 + PB
     LMASK = (1 << LB) - 1
     P1M = ((1 << PB) - 1) << LB
@@ -198,24 +193,57 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
             pri_list.append(1 + jnp.minimum(max_grad, li - k) + k)
         return jnp.stack(pri_list, axis=0)  # (2g+1, NB, lanes)
 
-    def kernel(
-        m_ref,  # in: (CW, NB, lanes) int32 — a chunk of packed columns
-        choice_ref,  # out: (CW, NB, lanes) int32
-        dfin_ref,  # out: (NB, lanes) int32 (final column distance)
-        rankfin_ref,  # out: (NB, lanes) int32 (final column settle rank)
-        d_s,  # scratch (NB, lanes) int32: distances
-        pri_s,  # scratch: pop priorities
-        rank_s,  # scratch: settle ranks
-        c1_s,  # scratch: packed ancestor chain, levels 1-2
-        c2_s,  # scratch: packed ancestor chain, levels 3-4
-        rw_s,  # scratch: packed predecessor-row chain, levels 1-2
-        mprev_s,  # scratch: previous column map values
-    ):
+    def kernel(*refs):
+        """One body for both tie parities (`exact` resolves at trace
+        time, so each compiled kernel contains only its own ops — the
+        zero-edge race logic below is written once for both).
+
+        Ref layout (matches _run_packed's out_shape/scratch lists):
+        exact:  (m, choice, d_fin, rank_fin) + scratch (d, pri, rank,
+                c1, c2, rw, mprev);
+        fast:   (m, choice, d_fin, pri_fin, c1_fin, c2_fin) + scratch
+                (d, pri, c1, c2, rw, mprev).
+
+        Fast mode drops the settle-rank bitonic network (45 forward +
+        45 replay stages, ~85% of the exact kernel's per-column vector
+        ops); pop choices refine over (distance, entry priority,
+        ancestor chains, topmost predecessor row), bit-matching
+        ``minpath._delineate_xla(..., tie_parity="fast")`` (same cost
+        guarantee, weaker tie parity — see that docstring)."""
+        if exact:
+            (
+                m_ref,  # in: (CW, NB, lanes) int32 — packed columns
+                choice_ref,  # out: (CW, NB, lanes) int32
+                dfin_ref,  # out: (NB, lanes) final column distance
+                rankfin_ref,  # out: (NB, lanes) final settle rank
+                d_s,  # scratch: distances
+                pri_s,  # scratch: pop priorities
+                rank_s,  # scratch: settle ranks
+                c1_s,  # scratch: packed ancestor chain, levels 1-2
+                c2_s,  # scratch: packed ancestor chain, levels 3-4
+                rw_s,  # scratch: packed predecessor-row chain
+                mprev_s,  # scratch: previous column map values
+            ) = refs
+        else:
+            (
+                m_ref,
+                choice_ref,
+                dfin_ref,
+                prifin_ref,  # out: final column pop priority
+                c1fin_ref,  # out: final ancestor chain 1-2
+                c2fin_ref,  # out: final ancestor chain 3-4
+                d_s,
+                pri_s,
+                c1_s,
+                c2_s,
+                rw_s,
+                mprev_s,
+            ) = refs
         chunk = pl.program_id(0)
         cw = m_ref.shape[0]
         li = local_iota()
         stacked_pri = make_pri(li)
-        masks = stage_masks(li)
+        masks = stage_masks(li) if exact else None
         is_pad = li >= h  # rows beyond the real map height: hard wall
 
         def column(ji, _):
@@ -227,7 +255,8 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
                 d0 = jnp.where(is_pad, _BIG, 255 - m_cur)
                 d_s[:] = d0
                 pri_s[:] = jnp.ones((nb, lanes), jnp.int32)
-                rank_s[:] = rank_of(d0, li, li, masks)
+                if exact:
+                    rank_s[:] = rank_of(d0, li, li, masks)
                 # Chains: entry edge 255 - m from the virtual all-ones
                 # column, whose own entries are the pri-0 weight-0
                 # descent down to the source (see minpath.py).
@@ -245,7 +274,6 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
                 d = d_s[:]
                 m_prev = mprev_s[:]
                 pri_prev = pri_s[:]
-                rank_prev = rank_s[:]
                 c1 = c1_s[:]
                 c2 = c2_s[:]
                 rw = rw_s[:]
@@ -256,12 +284,23 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
                 tied = stacked == best[None]
                 d_new = jnp.where(is_pad, _BIG, best + 510 - m_cur)
 
+                # (shift order matches each mode's historical trace:
+                # Mosaic's scheduler is sensitive to emission order, and
+                # reordering these independent ops measurably moved the
+                # fast kernel's latency)
+                if not exact:
+                    sh_d = shifts(d, li)
                 sh_pp = shifts(pri_prev, li)
                 sh_m = shifts(m_prev, li)
                 sh_c1 = shifts(c1, li)
                 sh_c2 = shifts(c2, li)
                 sh_rw = shifts(rw, li)
-                stacked_rank = shifts(rank_prev, li)
+                if exact:
+                    stacked_rank = shifts(rank_s[:], li)
+                else:
+                    cand_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, stacked.shape, 0
+                    )
 
                 # Heap-entry validity for zero-weight edges: see
                 # minpath.py for the full derivation (ancestor chains,
@@ -270,11 +309,19 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
                 strict = tied & ~zero_edge
                 pri_strict = jnp.where(strict, stacked_pri, _BIG)
                 best_strict_pri = jnp.min(pri_strict, axis=0)
+                # Strict-pop representative: exact orders preds by true
+                # settle rank; fast approximates pred order by the
+                # carried chain, first candidate (offsets order) among
+                # chain ties = the XLA fast path's argmin.
+                strict_key = stacked_rank if exact else sh_c1
                 strict_rank_m = jnp.where(
-                    pri_strict == best_strict_pri[None], stacked_rank, _BIG
+                    pri_strict == best_strict_pri[None], strict_key, _BIG
                 )
                 s_min = jnp.min(strict_rank_m, axis=0)
                 s_sel = strict_rank_m == s_min[None]
+                if not exact:
+                    s_ci = jnp.min(jnp.where(s_sel, cand_idx, _BIG), axis=0)
+                    s_sel = s_sel & (cand_idx == s_ci[None])
 
                 def sselect(stacked_x):
                     return jnp.min(jnp.where(s_sel, stacked_x, _BIG), axis=0)
@@ -343,220 +390,40 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
                 has_valid = jnp.any(valid, axis=0, keepdims=True)
                 valid = (valid & has_valid) | (tied & ~has_valid)
 
-                best_pri = jnp.min(jnp.where(valid, stacked_pri, _BIG), axis=0)
-                pri_m = jnp.where(valid, stacked_pri, _BIG)
-                valid = valid & (pri_m == best_pri[None])
-                rank_m = jnp.where(valid, stacked_rank, _BIG)
-                entry_ctr = jnp.min(rank_m, axis=0)
-                chosen = rank_m == entry_ctr[None]
-
-                def select(stacked_x):
-                    return jnp.min(jnp.where(chosen, stacked_x, _BIG), axis=0)
-
-                cand_idx = jax.lax.broadcasted_iota(
-                    jnp.int32, stacked.shape, 0
-                )
-                rows_cand = jnp.stack(
-                    [li + off for off in offsets], axis=0
-                )
-                choice_ref[ji] = select(cand_idx)
-                d_s[:] = d_new
-                pri_s[:] = best_pri
-                # Zero-edge winners settle no earlier than their pred
-                # nor their own key position (see minpath.py): rank by
-                # the max of the two priority fields.
-                zero_chosen = select(zero_edge.astype(jnp.int32))
-                pri_eff = jnp.where(
-                    zero_chosen == 1,
-                    jnp.maximum(best_pri, select(sh_pp)),
-                    best_pri,
-                )
-                rank_s[:] = rank_of(d_new, pri_eff * p + entry_ctr, li, masks)
-                c_pack = ((select(sh_m) + m_cur) << PB) | (select(sh_pp) + 1)
-                c_gc1 = select(sh_c1)
-                c1_s[:] = (c_pack << LB) | (c_gc1 >> LB)
-                c2_s[:] = ((c_gc1 & LMASK) << LB) | (select(sh_c2) >> LB)
-                rw_s[:] = (select(rows_cand) << RB) | (select(sh_rw) >> RB)
-
-            mprev_s[:] = m_cur
-
-            @pl.when(j == w - 1)
-            def _finish():
-                dfin_ref[:] = d_s[:]
-                rankfin_ref[:] = rank_s[:]
-
-            return 0
-
-        jax.lax.fori_loop(0, cw, column, 0)
-
-    def kernel_fast(
-        m_ref,  # in: (CW, NB, lanes) int32 — a chunk of packed columns
-        choice_ref,  # out: (CW, NB, lanes) int32
-        dfin_ref,  # out: (NB, lanes) int32 (final column distance)
-        prifin_ref,  # out: (NB, lanes) int32 (final column pop priority)
-        c1fin_ref,  # out: (NB, lanes) int32 (final ancestor chain 1-2)
-        c2fin_ref,  # out: (NB, lanes) int32 (final ancestor chain 3-4)
-        d_s,  # scratch (NB, lanes) int32: distances
-        pri_s,  # scratch: pop priorities
-        c1_s,  # scratch: packed ancestor chain, levels 1-2
-        c2_s,  # scratch: packed ancestor chain, levels 3-4
-        rw_s,  # scratch: packed predecessor-row chain, levels 1-2
-        mprev_s,  # scratch: previous column map values
-    ):
-        """Fast-tie-parity body: no settle ranks — the pop choice refines
-        over (distance, entry priority, ancestor chains, topmost
-        predecessor row), mirroring ``minpath._delineate_xla``'s fast
-        mode op for op (each ``argmin``/``argmax`` there becomes a
-        min-mask + first-candidate refinement here)."""
-        chunk = pl.program_id(0)
-        cw = m_ref.shape[0]
-        li = local_iota()
-        stacked_pri = make_pri(li)
-        is_pad = li >= h  # rows beyond the real map height: hard wall
-
-        def column(ji, _):
-            j = chunk * cw + ji
-            m_cur = m_ref[ji]
-
-            @pl.when(j == 0)
-            def _init():
-                d_s[:] = jnp.where(is_pad, _BIG, 255 - m_cur)
-                pri_s[:] = jnp.ones((nb, lanes), jnp.int32)
-                c1_s[:] = ((((255 + m_cur) << PB) | 1) << LB) | jnp.where(
-                    li >= 1, vlvl, 0
-                )
-                c2_s[:] = (jnp.where(li >= 2, vlvl, 0) << LB) | jnp.where(
-                    li >= 3, vlvl, 0
-                )
-                rw_s[:] = (li << RB) | jnp.maximum(li - 1, 0)
-                choice_ref[ji] = jnp.zeros((nb, lanes), jnp.int32)
-
-            @pl.when(j > 0)
-            def _step():
-                d = d_s[:]
-                m_prev = mprev_s[:]
-                pri_prev = pri_s[:]
-                c1 = c1_s[:]
-                c2 = c2_s[:]
-                rw = rw_s[:]
-
-                q = d - m_prev
-                stacked = shifts(q, li)
-                best = jnp.min(stacked, axis=0)
-                tied = stacked == best[None]
-                d_new = jnp.where(is_pad, _BIG, best + 510 - m_cur)
-
-                sh_d = shifts(d, li)
-                sh_pp = shifts(pri_prev, li)
-                sh_m = shifts(m_prev, li)
-                sh_c1 = shifts(c1, li)
-                sh_c2 = shifts(c2, li)
-                sh_rw = shifts(rw, li)
-                cand_idx = jax.lax.broadcasted_iota(
-                    jnp.int32, stacked.shape, 0
-                )
-
-                zero_edge = (sh_m == 255) & (m_cur == 255)[None]
-                strict = tied & ~zero_edge
-                pri_strict = jnp.where(strict, stacked_pri, _BIG)
-                best_strict_pri = jnp.min(pri_strict, axis=0)
-                # Strict-pop side: pred settle order approximated by the
-                # carried chain; first candidate (offsets order) among
-                # chain ties = the XLA path's argmin.
-                strict_rank_m = jnp.where(
-                    pri_strict == best_strict_pri[None], sh_c1, _BIG
-                )
-                s_min = jnp.min(strict_rank_m, axis=0)
-                s_sel = strict_rank_m == s_min[None]
-                s_ci = jnp.min(jnp.where(s_sel, cand_idx, _BIG), axis=0)
-                s_sel = s_sel & (cand_idx == s_ci[None])
-
-                def sselect(stacked_x):
-                    return jnp.min(jnp.where(s_sel, stacked_x, _BIG), axis=0)
-
-                s_pack = ((sselect(sh_m) + m_cur) << PB) | (
-                    sselect(sh_pp) + 1
-                )
-                s_gc1 = sselect(sh_c1)
-                s_c1 = ((s_pack << LB) | (s_gc1 >> LB))[None]
-                s_c2 = (((s_gc1 & LMASK) << LB) | (sselect(sh_c2) >> LB))[
-                    None
-                ]
-                s_rw = sselect(sh_rw)[None]
-
-                # Cascade suppression of priority fields + ancestor
-                # merges — identical to the exact body (minpath.py).
-                supp1 = (((sh_c1 >> PB) & 511) == 510) | (
-                    ((s_c1 >> PB) & 511) == 510
-                )
-                supp2 = (((sh_c2 >> (LB + PB)) & 511) == 510) | (
-                    ((s_c2 >> (LB + PB)) & 511) == 510
-                )
-                supp3 = (((sh_c2 >> PB) & 511) == 510) | (
-                    ((s_c2 >> PB) & 511) == 510
-                )
-                u_c1 = (
-                    sh_c1
-                    & ~jnp.where(supp1, P1M, 0)
-                    & ~jnp.where(supp2, P2M, 0)
-                )
-                sv_c1 = (
-                    jnp.broadcast_to(s_c1, u_c1.shape)
-                    & ~jnp.where(supp1, P1M, 0)
-                    & ~jnp.where(supp2, P2M, 0)
-                )
-                u_c2 = sh_c2 & ~jnp.where(supp3, P1M, 0) & ~P2M
-                sv_c2 = (
-                    jnp.broadcast_to(s_c2, u_c2.shape)
-                    & ~jnp.where(supp3, P1M, 0)
-                    & ~P2M
-                )
-                m1 = (sh_rw >> RB) == (s_rw >> RB)
-                m2 = (sh_rw & RMASK) == (s_rw & RMASK)
-                u_c1 = u_c1 & ~jnp.where(m1, P1M, 0) & ~jnp.where(m2, P2M, 0)
-                sv_c1 = sv_c1 | jnp.where(m1, P1M, 0) | jnp.where(m2, P2M, 0)
-
-                pu = sh_pp
-                ps = best_strict_pri[None]
-                zero_valid = (
-                    tied
-                    & zero_edge
-                    & (
-                        (pu < ps)
-                        | (
-                            (pu == ps)
-                            & (
-                                (u_c1 < sv_c1)
-                                | ((u_c1 == sv_c1) & (u_c2 <= sv_c2))
-                            )
-                        )
-                    )
-                )
-                valid = strict | zero_valid
-                has_valid = jnp.any(valid, axis=0, keepdims=True)
-                valid = (valid & has_valid) | (tied & ~has_valid)
-
                 best_pri = jnp.min(
                     jnp.where(valid, stacked_pri, _BIG), axis=0
                 )
-                rows_cand = jnp.stack(
-                    [li + off for off in offsets], axis=0
-                )
-                # Refinement chain over broadcast keys; the last key
-                # (candidate row) is unique per candidate, so the
-                # surviving mask is singleton.
-                for key in (
-                    jnp.broadcast_to(stacked_pri, valid.shape),
-                    sh_d,
-                    sh_pp,
-                    sh_c1,
-                    sh_c2,
-                    rows_cand,
-                ):
-                    kmasked = jnp.where(valid, key, _BIG)
-                    kmin = jnp.min(kmasked, axis=0)
-                    valid = valid & (kmasked == kmin[None])
-                chosen = valid
+                if exact:
+                    pri_m = jnp.where(valid, stacked_pri, _BIG)
+                    valid = valid & (pri_m == best_pri[None])
+                    rank_m = jnp.where(valid, stacked_rank, _BIG)
+                    entry_ctr = jnp.min(rank_m, axis=0)
+                    chosen = rank_m == entry_ctr[None]
+                    cand_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, stacked.shape, 0
+                    )
+                    rows_cand = jnp.stack(
+                        [li + off for off in offsets], axis=0
+                    )
+                else:
+                    rows_cand = jnp.stack(
+                        [li + off for off in offsets], axis=0
+                    )
+                    # Refinement chain over broadcast keys; the last key
+                    # (candidate row) is unique per candidate, so the
+                    # surviving mask is singleton.
+                    for key in (
+                        jnp.broadcast_to(stacked_pri, valid.shape),
+                        sh_d,
+                        sh_pp,
+                        sh_c1,
+                        sh_c2,
+                        rows_cand,
+                    ):
+                        kmasked = jnp.where(valid, key, _BIG)
+                        kmin = jnp.min(kmasked, axis=0)
+                        valid = valid & (kmasked == kmin[None])
+                    chosen = valid
 
                 def select(stacked_x):
                     return jnp.min(jnp.where(chosen, stacked_x, _BIG), axis=0)
@@ -564,6 +431,19 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
                 choice_ref[ji] = select(cand_idx)
                 d_s[:] = d_new
                 pri_s[:] = best_pri
+                if exact:
+                    # Zero-edge winners settle no earlier than their pred
+                    # nor their own key position (see minpath.py): rank
+                    # by the max of the two priority fields.
+                    zero_chosen = select(zero_edge.astype(jnp.int32))
+                    pri_eff = jnp.where(
+                        zero_chosen == 1,
+                        jnp.maximum(best_pri, select(sh_pp)),
+                        best_pri,
+                    )
+                    rank_s[:] = rank_of(
+                        d_new, pri_eff * p + entry_ctr, li, masks
+                    )
                 c_pack = ((select(sh_m) + m_cur) << PB) | (select(sh_pp) + 1)
                 c_gc1 = select(sh_c1)
                 c1_s[:] = (c_pack << LB) | (c_gc1 >> LB)
@@ -575,15 +455,18 @@ def _build_kernel(w, h, max_grad, p, groups, exact=True):
             @pl.when(j == w - 1)
             def _finish():
                 dfin_ref[:] = d_s[:]
-                prifin_ref[:] = pri_s[:]
-                c1fin_ref[:] = c1_s[:]
-                c2fin_ref[:] = c2_s[:]
+                if exact:
+                    rankfin_ref[:] = rank_s[:]
+                else:
+                    prifin_ref[:] = pri_s[:]
+                    c1fin_ref[:] = c1_s[:]
+                    c2fin_ref[:] = c2_s[:]
 
             return 0
 
         jax.lax.fori_loop(0, cw, column, 0)
 
-    return (kernel if exact else kernel_fast), offsets
+    return kernel, offsets
 
 
 def _pack_plan(n: int, h: int):

@@ -62,6 +62,11 @@ def test_load_model_and_config_predict(tmp_path):
     assert probs.shape == (2, 16, 16, 3)
     assert np.allclose(probs.sum(-1), 1.0, atol=1e-5)
 
+    # A run id without a tracking URI cannot be resolved; silently
+    # treating the path as local would fail later with a confusing error.
+    with pytest.raises(ValueError, match="mlflow_tracking_uri"):
+        model_io.load_model_and_config(path, mlflow_run_uuid="abc123")
+
 
 def test_keras_resnet50_weight_import(tmp_path):
     from oct_image_segmentation_models_tpu.models.resnet import ResNet50Backbone
@@ -177,6 +182,14 @@ def test_streaming_volume(tmp_path):
 
     with pytest.raises(ValueError, match="multiple of the mesh"):
         VolumeSegmenter(loaded, config, batch_size=4, mesh=mesh)
+
+    # A non-f32 compute dtype must fail fast when the s2d fast path (the
+    # only surface that honors it) is unavailable, not silently run f32.
+    with pytest.raises(ValueError, match="compute_dtype"):
+        VolumeSegmenter(
+            loaded, config, batch_size=4, compute_dtype="bfloat16",
+            optimize=False,
+        )
 
 
 def test_cli_evaluate(tmp_path):

@@ -1,6 +1,7 @@
 """Losses/metrics vs hand-computed NumPy values (reference formulas)."""
 
 import jax
+import pytest
 import numpy as np
 
 from oct_image_segmentation_models_tpu.ops import losses, metrics
@@ -58,6 +59,13 @@ def test_focal_loss_matches_numpy():
     p_y = np.take_along_axis(probs, lab[..., None], axis=-1)[..., 0]
     want = (-((1 - p_y) ** 2) * np.log(p_y) * cw[lab]).mean()
     assert abs(got - want) < 1e-5
+
+
+def test_focal_loss_short_class_weight_rejected():
+    labels, _, probs = _data(3)  # 3 prediction channels
+    fn = losses.focal_loss(gamma=2.0, class_weight=[1.0, 2.0])
+    with pytest.raises(ValueError, match="class_weight"):
+        jax.jit(fn)(labels, probs)
 
 
 def test_focal_dice_combination():
