@@ -58,6 +58,8 @@ def cmd_train(args):
         restore_best_weights=config.get("restore_best_weights", True),
         patience=config.get("patience", 50),
         seed=config.get("seed"),
+        train_state_checkpoint=config.get("train_state_checkpoint", False),
+        resume_train_state=config.get("resume_train_state"),
     )
     folder = train_model(params, mlflow_params)
     print(f"Training complete. Artifacts: {folder}")

@@ -198,6 +198,32 @@ class BatchGenerator:
             perm = self._rng.permutation(self.total_raw_samples)
             self.sample_shuffle = self.sample_shuffle[perm]
 
+    def get_state(self) -> dict:
+        """JSON-serializable snapshot of the sampling state (RNG stream +
+        shuffle order + counters) — captured at an epoch boundary it is
+        exactly the start-of-next-epoch state, enabling bitwise-exact
+        training resume (training.py::save_train_state)."""
+        return {
+            "rng_state": self._rng.bit_generator.state,
+            "sample_shuffle": np.asarray(self.sample_shuffle).tolist(),
+            "counters": [
+                self.batch_counter,
+                self.full_counter,
+                self.aug_counter,
+            ],
+        }
+
+    def set_state(self, state: dict) -> None:
+        self._rng.bit_generator.state = state["rng_state"]
+        self.sample_shuffle = np.asarray(
+            state["sample_shuffle"], self.sample_shuffle.dtype
+        )
+        (
+            self.batch_counter,
+            self.full_counter,
+            self.aug_counter,
+        ) = state["counters"]
+
 
 class DataGenerator:
     """Epoch-iterable wrapper (the reference subclasses
@@ -243,6 +269,12 @@ class DataGenerator:
 
     def on_epoch_end(self):
         self.batch_gen.handle_epoch_end()
+
+    def get_state(self) -> dict:
+        return self.batch_gen.get_state()
+
+    def set_state(self, state: dict) -> None:
+        self.batch_gen.set_state(state)
 
     def get_total_samples(self) -> int:
         return self.batch_gen.total_samples

@@ -57,6 +57,38 @@ from ..parallel.train_step import (
 from . import training_callbacks
 from .training_parameters import TrainingParams
 
+TRAIN_STATE_FILENAME = "train_state_latest.npz"
+
+
+def save_train_state(path: Path, tree, meta: dict) -> None:
+    """Rolling full-train-state checkpoint for exact resume.
+
+    ``tree`` is the host pytree ``{"state": TrainState, "best":
+    best_variables}``; ``meta`` carries epoch, the host RNG key, the
+    best-monitor bookkeeping, and the model name/config needed to
+    rebuild an identical step function. Written atomically (tmp +
+    rename) so a preemption mid-write can't corrupt the previous
+    checkpoint. The reference has no preemption story at all
+    (SURVEY.md §5: no failure detection/elastic recovery).
+    """
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    tmp = Path(str(path) + ".tmp")
+    with open(tmp, "wb") as fh:
+        np.savez(fh, __meta__=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        ), **arrays)
+    os.replace(tmp, path)
+
+
+def load_train_state(path: Path):
+    """Returns (meta dict, leaf list) saved by :func:`save_train_state`."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        n = sum(1 for k in data.files if k.startswith("leaf_"))
+        leaves = [data[f"leaf_{i}"] for i in range(n)]
+    return meta, leaves
+
 
 def save_training_params_file(
     save_foldername: Path,
@@ -249,7 +281,29 @@ def train_model(
     training_dataset_md5 = utils.md5(training_dataset_path)
     rng = jax.random.PRNGKey(training_params.seed or 0)
 
-    if training_params.initial_model:
+    resume_meta, resume_leaves = None, None
+    if training_params.resume_train_state:
+        log.info(
+            "Resuming full train state from: "
+            f"{training_params.resume_train_state}"
+        )
+        resume_meta, resume_leaves = load_train_state(
+            training_params.resume_train_state
+        )
+        model_name = resume_meta["model_name"]
+        model_config = resume_meta["model_config"]
+        model_class = get_model_class(model_name)
+        model_container = model_class(**model_config)
+        module = model_container.build_model()
+        model_architecture = model_name
+        # Template variables only — every leaf is overwritten from the
+        # checkpoint once the train state exists.
+        variables = module.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, image_height, image_width, input_channels), np.float32),
+            training=False,
+        )
+    elif training_params.initial_model:
         log.info(f"Resuming training from model: {training_params.initial_model}")
         model_name, model_config, variables, _ = model_io.load_checkpoint(
             training_params.initial_model
@@ -282,6 +336,39 @@ def train_model(
         model_name = model_architecture
 
     state = create_train_state(dict(variables), tx, mesh)
+
+    start_epoch = 0
+    resume_best = None
+    if resume_meta is not None:
+        template = {
+            "state": state,
+            "best": {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            },
+        }
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        if len(t_leaves) != len(resume_leaves):
+            raise ValueError(
+                f"train-state checkpoint has {len(resume_leaves)} arrays "
+                f"but this configuration expects {len(t_leaves)} — the "
+                "model/optimizer configuration must match the saved run"
+            )
+        restored = jax.tree_util.tree_unflatten(treedef, resume_leaves)
+        # Dtypes come from the template (the checkpoint stores exact
+        # values; the template fixes structure, dtype, and — via the
+        # replicated device_put below — multi-device placement).
+        state = jax.tree_util.tree_map(
+            lambda t, x: np.asarray(x, t.dtype), state, restored["state"]
+        )
+        if np.prod(mesh.devices.shape) > 1:
+            from ..parallel.mesh import replicated
+
+            state = jax.device_put(state, replicated(mesh))
+        resume_best = restored["best"]
+        start_epoch = int(resume_meta["epoch"])
+        rng = jax.numpy.asarray(np.asarray(resume_meta["rng"], np.uint32))
+        log.info(f"Resumed at epoch {start_epoch} (step {int(state.step)})")
 
     # Forward used inside the train/eval steps: the space-to-depth
     # transformed stack (ops/s2d_train.py — same parameter tree and
@@ -462,7 +549,9 @@ def train_model(
         )
 
     history = training_callbacks.SaveEpochInfo(
-        save_folder=save_foldername, train_params=training_params
+        save_folder=save_foldername,
+        train_params=training_params,
+        start_epoch=start_epoch,
     )
 
     param_count = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -525,10 +614,51 @@ def train_model(
         "batch_stats": jax.device_get(state.batch_stats),
     }
     epochs_since_improvement = 0
+    if resume_meta is not None:
+        # Restore the generators' sampling state (RNG stream + shuffle
+        # order) so the resumed run sees exactly the sample order an
+        # uninterrupted run would from this epoch on — including
+        # aug_mode="one"'s per-sample draws, which epoch-count replay
+        # alone could not reproduce.
+        train_gen.set_state(resume_meta["train_gen_state"])
+        val_gen.set_state(resume_meta["val_gen_state"])
+        best_variables = resume_best
+        best_monitor = resume_meta["best_monitor"]
+        best_es = resume_meta["best_es"]
+        epochs_since_improvement = int(
+            resume_meta["epochs_since_improvement"]
+        )
     if is_main_process:
         history.on_train_begin()
 
-    for epoch in range(training_params.epochs):
+    # Preemption-safe interruption: with train_state_checkpoint on,
+    # SIGTERM/SIGINT finish the current batch, skip remaining epochs, and
+    # fall through to the normal finalization (best-weight restore, final
+    # checkpoint) — the rolling train-state file from the last completed
+    # epoch is the resume point.
+    interrupt_flag = []
+    prev_handlers = {}
+    if training_params.train_state_checkpoint:
+        import signal as _signal
+
+        def _on_signal(signum, frame):
+            log.warning(
+                "Received signal %s — stopping after the current batch; "
+                "resume with resume_train_state=<run>/%s",
+                signum,
+                TRAIN_STATE_FILENAME,
+            )
+            interrupt_flag.append(signum)
+
+        for _sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                prev_handlers[_sig] = _signal.signal(_sig, _on_signal)
+            except ValueError:  # not the main thread
+                break
+
+    for epoch in range(start_epoch, training_params.epochs):
+        if interrupt_flag:
+            break
         if is_main_process:
             history.on_epoch_begin(epoch)
         profile_ctx = (
@@ -557,12 +687,21 @@ def train_model(
                     for bi, bl in train_gen
                 )
             for batch in prefetch_to_mesh(batches, mesh):
+                if interrupt_flag:
+                    break
                 rng, step_rng = jax.random.split(rng)
                 state, loss_val, metric_val = train_step(
                     state, batch[0], batch[1], step_rng, *batch[2:]
                 )
                 train_losses.append(loss_val)
                 train_metrics.append(metric_val)
+        if interrupt_flag:
+            log.warning(
+                "Training interrupted during epoch %d; finalizing with the "
+                "last completed epoch's state",
+                epoch + 1,
+            )
+            break
         train_gen.on_epoch_end()
 
         val_losses, val_metrics = [], []
@@ -621,12 +760,40 @@ def train_model(
                 epochs_since_improvement = 0
             else:
                 epochs_since_improvement += 1
+
+        if training_params.train_state_checkpoint and is_main_process:
+            save_train_state(
+                save_foldername / TRAIN_STATE_FILENAME,
+                {
+                    "state": jax.device_get(state),
+                    "best": best_variables,
+                },
+                {
+                    "epoch": epoch + 1,
+                    "rng": np.asarray(rng).tolist(),
+                    "best_monitor": best_monitor,
+                    "best_es": best_es,
+                    "epochs_since_improvement": epochs_since_improvement,
+                    "model_name": model_name,
+                    "model_config": model_container.get_config(),
+                    "train_gen_state": train_gen.get_state(),
+                    "val_gen_state": val_gen.get_state(),
+                },
+            )
+
+        if training_params.early_stopping:
             if epochs_since_improvement >= training_params.patience:
                 log.info(
                     f"Early stopping at epoch {epoch + 1} "
                     f"(patience {training_params.patience})"
                 )
                 break
+
+    if prev_handlers:
+        import signal as _signal
+
+        for _sig, _h in prev_handlers.items():
+            _signal.signal(_sig, _h)
 
     if is_main_process:
         history.on_train_end()

@@ -18,12 +18,18 @@ from ..common import plotting
 
 
 class SaveEpochInfo:
-    def __init__(self, save_folder: Path, train_params):
-        self.train_losses = []
-        self.train_accs = []
-        self.val_losses = []
-        self.val_accs = []
-        self.epoch_times = []
+    def __init__(self, save_folder: Path, train_params, start_epoch: int = 0):
+        # On exact resume (training.py::resume_train_state) the curves
+        # for the epochs that ran in the previous process are not
+        # re-derivable here; NaN placeholders keep the absolute epoch
+        # alignment of the stats datasets and the curve plot (matplotlib
+        # renders NaN as a gap).
+        nan = [float("nan")] * start_epoch
+        self.train_losses = list(nan)
+        self.train_accs = list(nan)
+        self.val_losses = list(nan)
+        self.val_accs = list(nan)
+        self.epoch_times = list(nan)
         self.start_epoch_time = -1.0
         self.start_time = -1.0
         self.train_time = -1.0

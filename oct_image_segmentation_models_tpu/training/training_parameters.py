@@ -52,11 +52,17 @@ class TrainingParams:
         aug_device: str = "auto",
         checkpoint_format: str = "hdf5",
         tensorboard: bool = False,
+        train_state_checkpoint: bool = False,
+        resume_train_state: Union[Path, str, None] = None,
     ):
-        if (model_architecture is None) == (initial_model is None):
+        n_sources = sum(
+            x is not None
+            for x in (model_architecture, initial_model, resume_train_state)
+        )
+        if n_sources != 1:
             raise ValueError(
-                "Either 'model_architecture' or 'initial_model' needs to be "
-                "provided (exactly one of them)."
+                "Exactly one of 'model_architecture', 'initial_model', or "
+                "'resume_train_state' needs to be provided."
             )
 
         self.model_architecture = model_architecture
@@ -129,6 +135,16 @@ class TrainingParams:
         # Also mirror epoch scalars to TensorBoard event files under
         # <run>/tensorboard (in addition to the MLflow/local tracker).
         self.tensorboard = tensorboard
+        # Preemption-safe training: a rolling full-train-state checkpoint
+        # (params + optimizer state + RNG + epoch + best-monitor state)
+        # after every epoch, plus a SIGTERM/SIGINT handler that finishes
+        # the current batch, writes final artifacts, and exits cleanly.
+        # ``resume_train_state`` continues BITWISE-identically to the
+        # uninterrupted run (see training.py::save_train_state).
+        self.train_state_checkpoint = bool(train_state_checkpoint)
+        self.resume_train_state = (
+            Path(resume_train_state) if resume_train_state else None
+        )
 
         # "val_acc" default is rewritten to the configured metric
         # (reference `training_parameters.py:131-136`).

@@ -3,6 +3,7 @@
 import json
 
 import h5py
+import jax
 import numpy as np
 import pytest
 
@@ -315,3 +316,108 @@ def test_orbax_checkpoint_and_tensorboard(dataset, tmp_path):
         None,
     )
     assert (folder2 / "model_final.hdf5").exists()
+
+
+def _final_params(folder):
+    from oct_image_segmentation_models_tpu.common import model_io
+
+    _, _, variables, _ = model_io.load_model(folder / "model_final.hdf5")
+    return jax.tree_util.tree_leaves(variables["params"])
+
+
+def test_exact_resume_from_train_state(dataset, tmp_path):
+    """resume_train_state continues BITWISE-identically: 2 epochs +
+    resume for 2 more == 4 uninterrupted epochs (same weights, same
+    optimizer state trajectory, same per-epoch shuffles and dropout)."""
+    full = train_model(
+        _params(dataset, tmp_path / "full", epochs=4, seed=11), None
+    )
+
+    part = train_model(
+        _params(
+            dataset,
+            tmp_path / "part",
+            epochs=2,
+            seed=11,
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+    state_file = part / "train_state_latest.npz"
+    assert state_file.exists()
+    resumed = train_model(
+        _params(
+            dataset,
+            tmp_path / "resumed",
+            model_architecture=None,
+            resume_train_state=state_file,
+            epochs=4,
+            seed=11,
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+
+    for a, b in zip(_final_params(full), _final_params(resumed)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # The resumed run continues the epoch numbering (3, 4).
+    stats = sorted(resumed.glob("stats_epoch*.hdf5"))
+    assert stats and stats[-1].name == "stats_epoch04.hdf5"
+
+
+def test_sigterm_interrupt_saves_and_resumes(dataset, tmp_path):
+    """SIGTERM mid-training stops cleanly (final artifacts written) and
+    the rolling train-state file resumes the run."""
+    import os
+    import signal
+    import threading
+    import time
+
+    run_dir = tmp_path / "interrupted"
+
+    def fire_when_epoch2_done():
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            runs = list(run_dir.glob("*/*/stats_epoch*.hdf5"))
+            if any(int(p.name[len("stats_epoch"):-len(".hdf5")]) >= 2
+                   for p in runs):
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.05)
+
+    t = threading.Thread(target=fire_when_epoch2_done, daemon=True)
+    t.start()
+    folder = train_model(
+        _params(
+            dataset,
+            run_dir,
+            epochs=500,
+            seed=3,
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+    t.join(timeout=5)
+    # Stopped early but finalized: final checkpoint + rolling train state.
+    assert (folder / "model_final.hdf5").exists()
+    state_file = folder / "train_state_latest.npz"
+    assert state_file.exists()
+    from oct_image_segmentation_models_tpu.training.training import (
+        load_train_state,
+    )
+
+    meta, _ = load_train_state(state_file)
+    assert 2 <= meta["epoch"] < 500
+
+    resumed = train_model(
+        _params(
+            dataset,
+            tmp_path / "resume2",
+            model_architecture=None,
+            resume_train_state=state_file,
+            epochs=meta["epoch"] + 1,
+        ),
+        None,
+    )
+    assert (resumed / "model_final.hdf5").exists()
