@@ -421,3 +421,41 @@ def test_sigterm_interrupt_saves_and_resumes(dataset, tmp_path):
         None,
     )
     assert (resumed / "model_final.hdf5").exists()
+
+
+def test_exact_resume_with_probabilistic_augs(dataset, tmp_path):
+    """aug_mode="one" draws per-sample aug choices from the generator's
+    RNG stream; exact resume must restore that stream (epoch-count
+    replay alone cannot) for the runs to stay bitwise-identical."""
+    kw = dict(
+        epochs=3,
+        seed=5,
+        aug_mode="one",
+        aug_fly=True,
+        augmentations=[
+            {"name": "flip", "arguments": {"flip_type": "left-right"}},
+            {"name": "flip", "arguments": {"flip_type": "up-down"}},
+        ],
+    )
+    full = train_model(_params(dataset, tmp_path / "full", **kw), None)
+    part = train_model(
+        _params(
+            dataset,
+            tmp_path / "part",
+            train_state_checkpoint=True,
+            **{**kw, "epochs": 1},
+        ),
+        None,
+    )
+    resumed = train_model(
+        _params(
+            dataset,
+            tmp_path / "resumed",
+            model_architecture=None,
+            resume_train_state=part / "train_state_latest.npz",
+            **kw,
+        ),
+        None,
+    )
+    for a, b in zip(_final_params(full), _final_params(resumed)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
