@@ -61,16 +61,18 @@ def save_cur_trainval_plot(
     train_losses = np.asarray(train_losses, dtype=float)
     val_losses = np.asarray(val_losses, dtype=float)
 
+    # nan-aware: resumed runs carry NaN placeholders for the epochs that
+    # ran before the resume point (training_callbacks.SaveEpochInfo).
     f.suptitle(
         f"Network: {network_name}\n\n"
-        f"Best training {acc_name}: {np.max(train_accs) * 100:.2f} at epoch "
-        f"{np.argmax(train_accs) + 1:d} | "
-        f"Best validation {acc_name}: {np.max(val_accs) * 100:.2f} at epoch "
-        f"{np.argmax(val_accs) + 1:d}\n\n"
-        f"Best training {loss_name}: {np.min(train_losses):.4f} at epoch "
-        f"{np.argmin(train_losses) + 1:d} | "
-        f"Best validation {loss_name}: {np.min(val_losses):.4f} at epoch "
-        f"{np.argmin(val_losses) + 1:d}",
+        f"Best training {acc_name}: {np.nanmax(train_accs) * 100:.2f} at "
+        f"epoch {np.nanargmax(train_accs) + 1:d} | "
+        f"Best validation {acc_name}: {np.nanmax(val_accs) * 100:.2f} at "
+        f"epoch {np.nanargmax(val_accs) + 1:d}\n\n"
+        f"Best training {loss_name}: {np.nanmin(train_losses):.4f} at epoch "
+        f"{np.nanargmin(train_losses) + 1:d} | "
+        f"Best validation {loss_name}: {np.nanmin(val_losses):.4f} at epoch "
+        f"{np.nanargmin(val_losses) + 1:d}",
         fontsize=14,
         fontweight="bold",
     )

@@ -65,11 +65,14 @@ def prefetch_to_mesh(
     queue = collections.deque()
     lock = threading.Semaphore(0)
     space = threading.Semaphore(size)
+    cancelled = threading.Event()
     _done = object()
 
     def producer():
         for batch in batches:
             space.acquire()
+            if cancelled.is_set():
+                return
             queue.append(shard_batch(batch, mesh))
             lock.release()
         queue.append(_done)
@@ -78,12 +81,19 @@ def prefetch_to_mesh(
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
-    while True:
-        lock.acquire()
-        item = queue.popleft()
-        if item is _done:
-            break
-        yield item
+    try:
+        while True:
+            lock.acquire()
+            item = queue.popleft()
+            if item is _done:
+                break
+            yield item
+            space.release()
+    finally:
+        # A consumer that stops early (interrupt, exception) must unblock
+        # the producer, or it would hold `size` sharded device batches and
+        # the source generator alive for the rest of the process.
+        cancelled.set()
         space.release()
 
 

@@ -90,6 +90,43 @@ def load_train_state(path: Path):
     return meta, leaves
 
 
+def _resume_run_config(training_params: TrainingParams) -> dict:
+    """The hyperparameters that determine the training trajectory.
+
+    Saved into the train-state meta and compared on resume: a silent
+    mismatch (different learning rate, loss, seed, ...) would break the
+    documented bitwise-identical-resume guarantee while the flattened
+    state arrays still line up.
+    """
+    cfg = {
+        "optimizer": getattr(
+            training_params.opt_con,
+            "__name__",
+            str(training_params.opt_con),
+        ),
+        "opt_params": training_params.opt_params,
+        "loss": training_params.loss,
+        "loss_fn_kwargs": training_params.loss_fn_kwargs,
+        "metric": training_params.metric,
+        "batch_size": training_params.batch_size,
+        "seed": training_params.seed,
+        "class_weight": training_params.class_weight,
+        "augmentations": training_params.augmentations,
+        "aug_mode": training_params.aug_mode,
+        "aug_probs": list(training_params.aug_probs),
+        "aug_fly": training_params.aug_fly,
+        "aug_val": training_params.aug_val,
+        "shuffle": training_params.shuffle,
+        "channels_last": training_params.channels_last,
+        "train_step_impl": training_params.train_step_impl,
+        "train_forward_impl": training_params.train_forward_impl,
+        "aug_device": training_params.aug_device,
+    }
+    # Normalize to JSON-comparable values (tuples vs lists, numpy
+    # scalars, callables already name-projected above).
+    return json.loads(json.dumps(cfg, default=str))
+
+
 def save_training_params_file(
     save_foldername: Path,
     model_summary: str,
@@ -290,6 +327,21 @@ def train_model(
         resume_meta, resume_leaves = load_train_state(
             training_params.resume_train_state
         )
+        saved_cfg = resume_meta.get("run_config", {})
+        current_cfg = _resume_run_config(training_params)
+        mismatched = sorted(
+            k
+            for k in set(saved_cfg) | set(current_cfg)
+            if saved_cfg.get(k) != current_cfg.get(k)
+        )
+        if mismatched:
+            raise ValueError(
+                "resume_train_state run configuration mismatch on "
+                f"{mismatched}: resume must use the hyperparameters the "
+                "checkpoint was trained with (saved="
+                f"{ {k: saved_cfg.get(k) for k in mismatched} }, current="
+                f"{ {k: current_cfg.get(k) for k in mismatched} })"
+            )
         model_name = resume_meta["model_name"]
         model_config = resume_meta["model_config"]
         model_class = get_model_class(model_name)
@@ -643,10 +695,8 @@ def train_model(
 
         def _on_signal(signum, frame):
             log.warning(
-                "Received signal %s — stopping after the current batch; "
-                "resume with resume_train_state=<run>/%s",
+                "Received signal %s — stopping at the next batch boundary",
                 signum,
-                TRAIN_STATE_FILENAME,
             )
             interrupt_flag.append(signum)
 
@@ -656,144 +706,175 @@ def train_model(
             except ValueError:  # not the main thread
                 break
 
-    for epoch in range(start_epoch, training_params.epochs):
-        if interrupt_flag:
-            break
-        if is_main_process:
-            history.on_epoch_begin(epoch)
-        profile_ctx = (
-            profiling.trace(training_params.profile_dir)
-            if epoch == 0
-            else contextlib.nullcontext()
-        )
-        train_losses, train_metrics = [], []
-        with profile_ctx:
-            # Host batch assembly + H2D transfer overlap device compute
-            # (double-buffered prefetch onto the mesh). With aug_device
-            # the generator emits a third per-sample aug-choice array
-            # that rides into the step's jit.
-            if use_aug_device:
-                batches = (
-                    (
-                        np.asarray(bi, np.float32),
-                        np.asarray(bl),
-                        np.asarray(bc, np.int32),
+    try:
+        for epoch in range(start_epoch, training_params.epochs):
+            if is_main_process:
+                history.on_epoch_begin(epoch)
+            profile_ctx = (
+                profiling.trace(training_params.profile_dir)
+                if epoch == 0
+                else contextlib.nullcontext()
+            )
+            train_losses, train_metrics = [], []
+            with profile_ctx:
+                # Host batch assembly + H2D transfer overlap device compute
+                # (double-buffered prefetch onto the mesh). With aug_device
+                # the generator emits a third per-sample aug-choice array
+                # that rides into the step's jit.
+                if use_aug_device:
+                    batches = (
+                        (
+                            np.asarray(bi, np.float32),
+                            np.asarray(bl),
+                            np.asarray(bc, np.int32),
+                        )
+                        for bi, bl, bc in train_gen
                     )
-                    for bi, bl, bc in train_gen
+                else:
+                    batches = (
+                        (np.asarray(bi, np.float32), np.asarray(bl))
+                        for bi, bl in train_gen
+                    )
+                for batch in prefetch_to_mesh(batches, mesh):
+                    # Per-batch stop only in single-process runs: on
+                    # multi-host, uncoordinated breaks would leave the other
+                    # processes blocked in the next step's collectives.
+                    if interrupt_flag and proc_count == 1:
+                        break
+                    rng, step_rng = jax.random.split(rng)
+                    state, loss_val, metric_val = train_step(
+                        state, batch[0], batch[1], step_rng, *batch[2:]
+                    )
+                    train_losses.append(loss_val)
+                    train_metrics.append(metric_val)
+            stop_now = bool(interrupt_flag)
+            if proc_count > 1 and training_params.train_state_checkpoint:
+                # Epoch-boundary agreement: every process reaches this
+                # collective after the same number of steps, so the run stops
+                # on all hosts together (or on none).
+                from jax.experimental import multihost_utils
+
+                stop_now = bool(
+                    np.asarray(
+                        multihost_utils.process_allgather(
+                            np.int32(stop_now)
+                        )
+                    ).any()
                 )
-            else:
-                batches = (
-                    (np.asarray(bi, np.float32), np.asarray(bl))
-                    for bi, bl in train_gen
-                )
-            for batch in prefetch_to_mesh(batches, mesh):
-                if interrupt_flag:
-                    break
-                rng, step_rng = jax.random.split(rng)
-                state, loss_val, metric_val = train_step(
-                    state, batch[0], batch[1], step_rng, *batch[2:]
-                )
-                train_losses.append(loss_val)
-                train_metrics.append(metric_val)
-        if interrupt_flag:
-            log.warning(
-                "Training interrupted during epoch %d; finalizing with the "
-                "last completed epoch's state",
-                epoch + 1,
-            )
-            break
-        train_gen.on_epoch_end()
-
-        val_losses, val_metrics = [], []
-        val_batches = (
-            (np.asarray(bi, np.float32), np.asarray(bl)) for bi, bl in val_gen
-        )
-        for images, labels in prefetch_to_mesh(val_batches, mesh):
-            loss_val, metric_val = eval_step(state, images, labels)
-            val_losses.append(loss_val)
-            val_metrics.append(metric_val)
-        val_gen.on_epoch_end()
-
-        logs = {
-            "loss": float(np.mean([np.asarray(x) for x in train_losses])),
-            training_params.metric: float(
-                np.mean([np.asarray(x) for x in train_metrics])
-            ),
-            "val_loss": float(np.mean([np.asarray(x) for x in val_losses])),
-            "val_"
-            + training_params.metric: float(
-                np.mean([np.asarray(x) for x in val_metrics])
-            ),
-        }
-        log.info(f"Epoch {epoch + 1}/{training_params.epochs}: {logs}")
-        if is_main_process:
-            history.on_epoch_end(epoch, logs)
-        tracker.log_metrics(logs, step=epoch + 1)
-        if tb_writer is not None:
-            tb_writer.log_metrics(logs, step=epoch + 1)
-
-        monitored = logs[monitor_name]
-        improved = _monitor_improved(monitored, best_monitor, monitor_mode)
-        # Snapshot to host: the train step donates the state buffers, so a
-        # device-side alias would be invalidated next epoch.
-        state_host = {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-        }
-        if improved:
-            best_monitor = monitored
-            best_variables = state_host
-        if (improved or not training_params.model_save_best) and is_main_process:
-            ckpt_save(
-                save_foldername / f"model_epoch{epoch + 1:02d}{ckpt_suffix}",
-                model_name,
-                model_container.get_config(),
-                state_host,
-            )
-
-        # Early stopping on val_<metric>, mode max, like the reference
-        # (`training/training.py:335-342`).
-        if training_params.early_stopping:
-            es_value = logs["val_" + training_params.metric]
-            if best_es is None or es_value > best_es:
-                best_es = es_value
-                epochs_since_improvement = 0
-            else:
-                epochs_since_improvement += 1
-
-        if training_params.train_state_checkpoint and is_main_process:
-            save_train_state(
-                save_foldername / TRAIN_STATE_FILENAME,
-                {
-                    "state": jax.device_get(state),
-                    "best": best_variables,
-                },
-                {
-                    "epoch": epoch + 1,
-                    "rng": np.asarray(rng).tolist(),
-                    "best_monitor": best_monitor,
-                    "best_es": best_es,
-                    "epochs_since_improvement": epochs_since_improvement,
-                    "model_name": model_name,
-                    "model_config": model_container.get_config(),
-                    "train_gen_state": train_gen.get_state(),
-                    "val_gen_state": val_gen.get_state(),
-                },
-            )
-
-        if training_params.early_stopping:
-            if epochs_since_improvement >= training_params.patience:
-                log.info(
-                    f"Early stopping at epoch {epoch + 1} "
-                    f"(patience {training_params.patience})"
-                )
+            if stop_now:
+                state_file = save_foldername / TRAIN_STATE_FILENAME
+                if state_file.exists():
+                    log.warning(
+                        "Training interrupted during epoch %d; finalizing. "
+                        "Resume with resume_train_state=%s",
+                        epoch + 1,
+                        state_file,
+                    )
+                else:
+                    log.warning(
+                        "Training interrupted during epoch %d before any "
+                        "epoch completed — no train-state resume point was "
+                        "written; final artifacts reflect the partial run",
+                        epoch + 1,
+                    )
                 break
+            train_gen.on_epoch_end()
 
-    if prev_handlers:
-        import signal as _signal
+            val_losses, val_metrics = [], []
+            val_batches = (
+                (np.asarray(bi, np.float32), np.asarray(bl)) for bi, bl in val_gen
+            )
+            for images, labels in prefetch_to_mesh(val_batches, mesh):
+                loss_val, metric_val = eval_step(state, images, labels)
+                val_losses.append(loss_val)
+                val_metrics.append(metric_val)
+            val_gen.on_epoch_end()
 
-        for _sig, _h in prev_handlers.items():
-            _signal.signal(_sig, _h)
+            logs = {
+                "loss": float(np.mean([np.asarray(x) for x in train_losses])),
+                training_params.metric: float(
+                    np.mean([np.asarray(x) for x in train_metrics])
+                ),
+                "val_loss": float(np.mean([np.asarray(x) for x in val_losses])),
+                "val_"
+                + training_params.metric: float(
+                    np.mean([np.asarray(x) for x in val_metrics])
+                ),
+            }
+            log.info(f"Epoch {epoch + 1}/{training_params.epochs}: {logs}")
+            if is_main_process:
+                history.on_epoch_end(epoch, logs)
+            tracker.log_metrics(logs, step=epoch + 1)
+            if tb_writer is not None:
+                tb_writer.log_metrics(logs, step=epoch + 1)
+
+            monitored = logs[monitor_name]
+            improved = _monitor_improved(monitored, best_monitor, monitor_mode)
+            # Snapshot to host: the train step donates the state buffers, so a
+            # device-side alias would be invalidated next epoch.
+            state_host = {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            }
+            if improved:
+                best_monitor = monitored
+                best_variables = state_host
+            if (improved or not training_params.model_save_best) and is_main_process:
+                ckpt_save(
+                    save_foldername / f"model_epoch{epoch + 1:02d}{ckpt_suffix}",
+                    model_name,
+                    model_container.get_config(),
+                    state_host,
+                )
+
+            # Early stopping on val_<metric>, mode max, like the reference
+            # (`training/training.py:335-342`).
+            if training_params.early_stopping:
+                es_value = logs["val_" + training_params.metric]
+                if best_es is None or es_value > best_es:
+                    best_es = es_value
+                    epochs_since_improvement = 0
+                else:
+                    epochs_since_improvement += 1
+
+            if training_params.train_state_checkpoint and is_main_process:
+                save_train_state(
+                    save_foldername / TRAIN_STATE_FILENAME,
+                    {
+                        "state": jax.device_get(state),
+                        "best": best_variables,
+                    },
+                    {
+                        "epoch": epoch + 1,
+                        "rng": np.asarray(rng).tolist(),
+                        "best_monitor": best_monitor,
+                        "best_es": best_es,
+                        "epochs_since_improvement": epochs_since_improvement,
+                        "model_name": model_name,
+                        "model_config": model_container.get_config(),
+                        "run_config": _resume_run_config(training_params),
+                        "train_gen_state": train_gen.get_state(),
+                        "val_gen_state": val_gen.get_state(),
+                    },
+                )
+
+            if training_params.early_stopping:
+                if epochs_since_improvement >= training_params.patience:
+                    log.info(
+                        f"Early stopping at epoch {epoch + 1} "
+                        f"(patience {training_params.patience})"
+                    )
+                    break
+
+    finally:
+        # Always restore the process's signal handlers — an exception
+        # mid-training must not leave SIGTERM/SIGINT hijacked to a dead
+        # flag for the rest of the process.
+        if prev_handlers:
+            import signal as _signal
+
+            for _sig, _h in prev_handlers.items():
+                _signal.signal(_sig, _h)
 
     if is_main_process:
         history.on_train_end()

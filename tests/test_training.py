@@ -417,10 +417,26 @@ def test_sigterm_interrupt_saves_and_resumes(dataset, tmp_path):
             model_architecture=None,
             resume_train_state=state_file,
             epochs=meta["epoch"] + 1,
+            seed=3,
         ),
         None,
     )
     assert (resumed / "model_final.hdf5").exists()
+
+    # The run-config guard rejects resume under different hyperparameters
+    # (here: a different seed) instead of silently diverging.
+    with pytest.raises(ValueError, match="run configuration mismatch"):
+        train_model(
+            _params(
+                dataset,
+                tmp_path / "resume_bad",
+                model_architecture=None,
+                resume_train_state=state_file,
+                epochs=meta["epoch"] + 1,
+                seed=0,
+            ),
+            None,
+        )
 
 
 def test_exact_resume_with_probabilistic_augs(dataset, tmp_path):

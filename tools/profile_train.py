@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Stage-level device timing of the flagship TRAIN step (batch 8,
-512x1024, s2d forward, focal_dice) — same K-in-one-jit methodology as
-tools/profile_pipeline.py.
+"""Stage-level timing of the flagship TRAIN step (batch 8, 512x1024,
+s2d forward, focal_dice).
 
-Stages: fwd (loss value only), fwdbwd (value_and_grad), step (full
-make_train_step: grads + psum-free single-device update + BN stats).
-A ``_parity`` suffix uses the plain Flax module instead of the s2d
-transform.
+Stages: fwd (loss value only) and fwdbwd (value_and_grad) use the
+K-in-one-jit methodology of tools/profile_pipeline.py — pure device
+time. The step stage deliberately times K SEPARATE make_train_step
+dispatches (grads + single-device update + BN stats), i.e. exactly what
+the real training loop pays per step INCLUDING the per-dispatch tunnel
+RTT (~25-45 ms here) — compare it against fwdbwd to read off the
+dispatch + optimizer overhead. A ``_parity`` suffix uses the plain Flax
+module instead of the s2d transform.
 
 Usage: python tools/profile_train.py [stage ...]
 """
