@@ -136,6 +136,23 @@ def test_sharded_reader_and_prefetch(tmp_path):
     out2 = list(device_prefetch(iter(batches)))
     assert len(out2) == 3
 
+    # A consumer that stops early (interrupt/exception) must unblock the
+    # producer thread instead of leaving it parked on the space
+    # semaphore holding prefetched device batches.
+    import threading
+    import time
+
+    n_before = threading.active_count()
+    many = iter([batches[0]] * 50)
+    gen = prefetch_to_mesh(many, mesh, size=2)
+    next(gen)
+    gen.close()  # what a `break` in a for-loop does
+    deadline = time.time() + 5
+    while threading.active_count() > n_before:
+        if time.time() > deadline:
+            raise AssertionError("prefetch producer thread did not exit")
+        time.sleep(0.01)
+
 
 def test_streaming_volume(tmp_path):
     from oct_image_segmentation_models_tpu.common.model_io import (
