@@ -24,6 +24,7 @@ reference, which downloads ImageNet weights at build time).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -40,13 +41,19 @@ _IMAGENET_MEANS_BGR = (103.939, 116.779, 123.68)
 
 
 class _ConvBlock(nn.Module):
-    """Conv(no bias, He-normal) -> BN -> ReLU (reference `:12-31`)."""
+    """Conv(no bias, He-normal) -> BN -> ReLU (reference `:12-31`).
+
+    ``use_bn=False`` builds the BN-folded inference variant: the BN
+    affine + running stats are pre-merged into the conv weights by
+    :func:`fold_deeplab_batchnorm_variables`, and the conv grows a bias
+    slot to carry the folded shift."""
 
     features: int = 256
     kernel: int = 3
     dilation: int = 1
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, training: bool):
@@ -55,16 +62,17 @@ class _ConvBlock(nn.Module):
             (self.kernel, self.kernel),
             kernel_dilation=(self.dilation, self.dilation),
             padding="SAME",
-            use_bias=self.use_bias,
+            use_bias=self.use_bias or not self.use_bn,
             kernel_init=nn.initializers.he_normal(),
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not training,
-            momentum=0.99,
-            epsilon=1e-3,
-            dtype=self.dtype,
-        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+            )(x)
         return nn.relu(x)
 
 
@@ -76,42 +84,52 @@ class DSPP(nn.Module):
     """Dilated Spatial Pyramid Pooling (reference `:33-60`)."""
 
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, training: bool):
         h, w = x.shape[1], x.shape[2]
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = _ConvBlock(kernel=1, use_bias=True, dtype=self.dtype)(
-            pooled, training
+        block = functools.partial(
+            _ConvBlock, dtype=self.dtype, use_bn=self.use_bn
         )
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = block(kernel=1, use_bias=True)(pooled, training)
         out_pool = _resize_bilinear(pooled, h, w)
-        out_1 = _ConvBlock(kernel=1, dtype=self.dtype)(x, training)
-        out_6 = _ConvBlock(kernel=3, dilation=6, dtype=self.dtype)(x, training)
-        out_12 = _ConvBlock(kernel=3, dilation=12, dtype=self.dtype)(x, training)
-        out_18 = _ConvBlock(kernel=3, dilation=18, dtype=self.dtype)(x, training)
+        out_1 = block(kernel=1)(x, training)
+        out_6 = block(kernel=3, dilation=6)(x, training)
+        out_12 = block(kernel=3, dilation=12)(x, training)
+        out_18 = block(kernel=3, dilation=18)(x, training)
         x = jnp.concatenate([out_pool, out_1, out_6, out_12, out_18], axis=-1)
-        return _ConvBlock(kernel=1, dtype=self.dtype)(x, training)
+        return block(kernel=1)(x, training)
 
 
 class DeeplabV3PlusModule(nn.Module):
     num_classes: int
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         full_h, full_w = x.shape[1], x.shape[2]
-        _, taps = ResNet50Backbone(dtype=self.dtype, name="resnet50")(x, training)
+        block = functools.partial(
+            _ConvBlock, dtype=self.dtype, use_bn=self.use_bn
+        )
+        _, taps = ResNet50Backbone(
+            dtype=self.dtype, use_bn=self.use_bn, name="resnet50"
+        )(x, training)
 
-        y = DSPP(dtype=self.dtype)(taps["conv4_block6_2_relu"], training)
+        y = DSPP(dtype=self.dtype, use_bn=self.use_bn)(
+            taps["conv4_block6_2_relu"], training
+        )
         input_a = _resize_bilinear(y, full_h // 4, full_w // 4)
 
-        input_b = _ConvBlock(features=48, kernel=1, dtype=self.dtype)(
+        input_b = block(features=48, kernel=1)(
             taps["conv2_block3_2_relu"], training
         )
 
         y = jnp.concatenate([input_a, input_b], axis=-1)
-        y = _ConvBlock(dtype=self.dtype)(y, training)
-        y = _ConvBlock(dtype=self.dtype)(y, training)
+        y = block()(y, training)
+        y = block()(y, training)
         y = _resize_bilinear(y, full_h, full_w)
         y = nn.Conv(
             self.num_classes,
@@ -197,3 +215,104 @@ class DeeplabV3Plus(BaseModel):
         for layer_name, stats in new_stats.items():
             stats_root.setdefault(layer_name, {}).update(stats)
         return variables
+
+
+# ---------------------------------------------------------------------------
+# BN-folded inference variant
+# ---------------------------------------------------------------------------
+
+_RESNET_BN_EPS = 1.001e-5  # models/resnet.py _BN_EPS (Keras ResNet50)
+_HEAD_BN_EPS = 1e-3  # _ConvBlock BatchNorm (reference `:24-27`)
+
+
+def _fold_conv_bn(conv: dict, bn: dict, mean, var, eps: float) -> dict:
+    """y = BN(conv(x)) == conv'(x) with ``kernel' = kernel * s/sqrt(v+eps)``
+    per output channel and ``bias' = (bias - m) * s/sqrt(v+eps) + b``."""
+    factor = bn["scale"] / jnp.sqrt(var + eps)
+    out = dict(conv)
+    out["kernel"] = conv["kernel"] * factor
+    out["bias"] = (conv.get("bias", 0.0) - mean) * factor + bn["bias"]
+    return out
+
+
+def fold_deeplab_batchnorm_variables(variables: dict) -> dict:
+    """Fold every eval-mode BatchNorm into its preceding conv.
+
+    Handles both naming schemes in the DeepLabV3+ tree: Keras-named
+    backbone pairs (``{p}_conv`` / ``{p}_bn``, eps 1.001e-5 — see
+    :class:`.resnet.ResNet50Backbone`) and Flax ``_ConvBlock`` children
+    (``Conv_0`` / ``BatchNorm_0``, eps 1e-3). Returns a variables dict
+    for ``DeeplabV3PlusModule(use_bn=False)`` (convs keep their paths and
+    gain a bias; no BatchNorm/batch_stats entries). Inference-only, like
+    :func:`.unet.fold_batchnorm_variables`.
+    """
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+    stats = flax.core.unfreeze(dict(variables.get("batch_stats", {})))
+
+    def walk(p: dict, s: dict) -> dict:
+        out = {}
+        for name, node in p.items():
+            if name.endswith("_bn") or name == "BatchNorm_0":
+                continue  # consumed by its conv below
+            if not isinstance(node, dict):
+                out[name] = node
+            elif "kernel" in node:
+                bn_name = name[: -len("_conv")] + "_bn" if name.endswith(
+                    "_conv"
+                ) else None
+                if bn_name and bn_name in p:
+                    out[name] = _fold_conv_bn(
+                        node,
+                        p[bn_name],
+                        s[bn_name]["mean"],
+                        s[bn_name]["var"],
+                        _RESNET_BN_EPS,
+                    )
+                else:
+                    out[name] = node  # head conv / already-folded leaf
+            elif "Conv_0" in node and "BatchNorm_0" in node:
+                out[name] = {
+                    "Conv_0": _fold_conv_bn(
+                        node["Conv_0"],
+                        node["BatchNorm_0"],
+                        s[name]["BatchNorm_0"]["mean"],
+                        s[name]["BatchNorm_0"]["var"],
+                        _HEAD_BN_EPS,
+                    )
+                }
+            else:
+                out[name] = walk(node, s.get(name, {}))
+        return out
+
+    return {"params": walk(params, stats)}
+
+
+def maybe_build_folded_apply(
+    module, variables: dict, dtype=jnp.float32
+) -> Optional[Callable]:
+    """BN-folded inference forward for a trained DeepLabV3+.
+
+    The single decision point the inference surfaces (staged pipeline,
+    fused pipeline, streaming) use for DeepLab, mirroring
+    :func:`..ops.s2d_unet.maybe_build_s2d_apply` for the U-Net: requires
+    a ``DeeplabV3PlusModule`` with ``batch_stats`` (i.e. a trained
+    checkpoint). ``dtype`` sets the conv-stack compute dtype (the 1x1
+    head + softmax stay float32); parameters remain float32 either way.
+
+    Returns ``apply_fn(x) -> probs`` or None when ineligible.
+    """
+    if not isinstance(module, DeeplabV3PlusModule):
+        return None
+    if "batch_stats" not in variables:
+        return None
+    folded = fold_deeplab_batchnorm_variables(variables)
+    mod = DeeplabV3PlusModule(
+        num_classes=module.num_classes, dtype=jnp.dtype(dtype), use_bn=False
+    )
+
+    def apply_fn(x):
+        return mod.apply(folded, x, training=False)
+
+    return apply_fn

@@ -26,8 +26,14 @@ _STAGES = ((3, 64), (4, 128), (6, 256), (3, 512))
 
 class ResNet50Backbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
 
     def _bn(self, name, training):
+        if not self.use_bn:
+            # BN-folded inference variant: the affine + running stats are
+            # pre-merged into the conv weights by
+            # :func:`..models.deeplabv3plus.fold_deeplab_batchnorm_variables`.
+            return lambda x: x
         return nn.BatchNorm(
             use_running_average=not training,
             momentum=0.99,

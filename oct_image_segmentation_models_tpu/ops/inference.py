@@ -57,7 +57,9 @@ class StagedPipeline:
 
         self._predict_s2d = None
         self._s2d_div = 1
+        fold_fn = None
         if optimize:
+            from ..models.deeplabv3plus import maybe_build_folded_apply
             from .s2d_unet import maybe_build_s2d_apply
 
             s2d_fn, self._s2d_div = maybe_build_s2d_apply(
@@ -72,10 +74,19 @@ class StagedPipeline:
                     return s2d_fn(x)
 
                 self._predict_s2d = _predict_s2d
+            else:
+                # DeepLabV3+ analog of the s2d fast path: BN folded into
+                # the convs, compute_dtype honored on the backbone.
+                fold_fn = maybe_build_folded_apply(
+                    module, variables, dtype=jnp.dtype(compute_dtype)
+                )
+        self._fold_fn = fold_fn
 
         @jax.jit
         def _predict(variables, images):
             x = preprocess_fn(images.astype(jnp.float32))
+            if fold_fn is not None:
+                return fold_fn(x)
             return module.apply(variables, x, training=False)
 
         @jax.jit

@@ -61,9 +61,11 @@ class VolumeSegmenter:
         # shift only where class probabilities are near-tied — see
         # tests/test_s2d_unet.py for the accuracy-tolerance check.
         labels_fn, self._s2d_div = (None, 1)
+        apply_fn = None
         if optimize:
             import jax.numpy as jnp
 
+            from ..models.deeplabv3plus import maybe_build_folded_apply
             from ..ops.s2d_unet import maybe_build_s2d_apply
 
             labels_fn, self._s2d_div = maybe_build_s2d_apply(
@@ -73,18 +75,27 @@ class VolumeSegmenter:
                 output="labels_s2d",
                 dtype=jnp.dtype(compute_dtype),
             )
-        if compute_dtype != "float32" and labels_fn is None:
+            if labels_fn is None:
+                # DeepLabV3+ fast path: BN folded into the convs,
+                # compute_dtype honored on the backbone (head stays f32).
+                apply_fn = maybe_build_folded_apply(
+                    loaded_model.module,
+                    loaded_model.variables,
+                    dtype=jnp.dtype(compute_dtype),
+                )
+        if compute_dtype != "float32" and labels_fn is None and apply_fn is None:
             # The probs fallback always runs float32; silently ignoring the
             # requested dtype would misreport the accuracy/memory tradeoff.
             reason = (
                 "optimize=False"
                 if not optimize
-                else "the model is not s2d-eligible"
+                else "the model has no optimized inference variant"
             )
             raise ValueError(
                 f"compute_dtype={compute_dtype!r} is only honored by the "
-                f"s2d fast path, which is unavailable here ({reason}); use "
-                "compute_dtype='float32' or an s2d-eligible U-Net with "
+                f"optimized fast paths (s2d U-Net / BN-folded DeepLabV3+), "
+                f"which are unavailable here ({reason}); use "
+                "compute_dtype='float32' or an eligible model with "
                 "optimize=True"
             )
 
@@ -100,6 +111,7 @@ class VolumeSegmenter:
             with_graph_search=with_graph_search,
             minpath_tie_parity=minpath_tie_parity,
             mesh=mesh,
+            apply_fn=apply_fn,
             labels_apply_fn=labels_fn,
             num_classes=loaded_model.output_classes,
             # Volume segmentation only consumes labels + delineations;

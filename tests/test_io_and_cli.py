@@ -308,3 +308,72 @@ def test_sharded_reader_remainder(tmp_path):
     counts = [s[0].shape[0] for s in shards]
     assert sum(counts) == 7
     assert max(counts) - min(counts) <= 1
+
+
+def test_streaming_volume_deeplab_folded(tmp_path):
+    """DeepLabV3+ goes through the BN-folded fast path in VolumeSegmenter
+    (labels match the parity module) and honors compute_dtype."""
+    import flax
+    import jax
+
+    from oct_image_segmentation_models_tpu.common.model_io import (
+        load_model_and_config,
+        save_model,
+    )
+    from oct_image_segmentation_models_tpu.models import get_model_class
+    from oct_image_segmentation_models_tpu.prediction.streaming import (
+        VolumeSegmenter,
+    )
+
+    container = get_model_class("deeplabv3plus")(
+        input_channels=3, num_classes=3, image_height=32, image_width=32
+    )
+    module = container.build_model()
+    variables = flax.core.unfreeze(
+        module.init(
+            jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32),
+            training=False,
+        )
+    )
+    path = tmp_path / "dl.hdf5"
+    save_model(path, "deeplabv3plus", container.get_config(), variables)
+    loaded, config = load_model_and_config(path)
+
+    volume = np.random.default_rng(0).integers(
+        0, 255, (4, 32, 32, 3), dtype=np.uint8
+    )
+    seg = VolumeSegmenter(loaded, config, batch_size=4)
+    labels, segs = seg.segment_volume(volume)
+    assert labels.shape == (4, 32, 32)
+    assert segs.shape == (4, 2, 32)
+
+    # parity (unfolded) pipeline: folding may only flip near-tied pixels
+    seg_ref = VolumeSegmenter(loaded, config, batch_size=4, optimize=False)
+    labels_ref, _ = seg_ref.segment_volume(volume)
+    assert (labels != labels_ref).mean() < 0.01
+
+    # compute_dtype now has an honoring surface for DeepLab — no raise
+    seg16 = VolumeSegmenter(
+        loaded, config, batch_size=4, compute_dtype="bfloat16"
+    )
+    l16, s16 = seg16.segment_volume(volume)
+    assert l16.shape == labels.shape and s16.shape == segs.shape
+
+    # the staged (per-phase-timed) pipeline makes the same dispatch
+    from oct_image_segmentation_models_tpu.ops.inference import StagedPipeline
+
+    staged = StagedPipeline(
+        loaded.module,
+        loaded.variables,
+        get_model_class("deeplabv3plus")(**config).get_preprocess_input_fn(),
+        model_config=config,
+    )
+    assert staged._fold_fn is not None
+    staged_off = StagedPipeline(
+        loaded.module,
+        loaded.variables,
+        get_model_class("deeplabv3plus")(**config).get_preprocess_input_fn(),
+        model_config=config,
+        optimize=False,
+    )
+    assert staged_off._fold_fn is None

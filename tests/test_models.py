@@ -126,3 +126,64 @@ def test_batchnorm_folding_matches():
     folded = fold_batchnorm_variables(variables)
     got = folded_module.apply(folded, x, training=False)
     assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def _perturb_batch_stats(tree, rng):
+    """Give every BN leaf non-trivial running stats (in place)."""
+    for key, node in tree.items():
+        if isinstance(node, dict):
+            if "mean" in node and "var" in node:
+                node["mean"] = node["mean"] + rng.normal(
+                    0.0, 0.2, node["mean"].shape
+                ).astype(np.float32)
+                node["var"] = node["var"] * rng.uniform(
+                    0.5, 2.0, node["var"].shape
+                ).astype(np.float32)
+            else:
+                _perturb_batch_stats(node, rng)
+
+
+def test_deeplab_batchnorm_folding_matches():
+    """BN folding covers both naming schemes in the DeepLab tree (Keras
+    ``*_conv``/``*_bn`` backbone pairs and Flax ``_ConvBlock`` children)
+    and reproduces the eval-mode forward."""
+    import flax
+
+    from oct_image_segmentation_models_tpu.models.deeplabv3plus import (
+        DeeplabV3PlusModule,
+        fold_deeplab_batchnorm_variables,
+        maybe_build_folded_apply,
+    )
+
+    module = DeeplabV3PlusModule(num_classes=2)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0.0, 50.0, size=(1, 32, 32, 3)).astype(np.float32)
+    variables = flax.core.unfreeze(
+        module.init(jax.random.PRNGKey(0), x, training=False)
+    )
+    _perturb_batch_stats(variables["batch_stats"], rng)
+    want = np.asarray(module.apply(variables, x, training=False))
+
+    folded_module = DeeplabV3PlusModule(num_classes=2, use_bn=False)
+    folded = fold_deeplab_batchnorm_variables(variables)
+    got = np.asarray(folded_module.apply(folded, x, training=False))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+    # the single decision point the inference surfaces use
+    apply_fn = maybe_build_folded_apply(module, variables)
+    assert apply_fn is not None
+    assert np.allclose(np.asarray(apply_fn(x)), want, atol=1e-4)
+
+    # bfloat16 backbone: same shape, probabilities close at tiny scale
+    apply_bf16 = maybe_build_folded_apply(
+        module, variables, dtype=jnp.bfloat16
+    )
+    out16 = np.asarray(apply_bf16(x))
+    assert out16.shape == want.shape
+    assert out16.dtype == np.float32  # head + softmax stay f32
+    assert np.abs(out16 - want).max() < 0.15
+
+    # ineligible without batch_stats (untrained checkpoint)
+    assert maybe_build_folded_apply(
+        module, {"params": variables["params"]}
+    ) is None
