@@ -208,3 +208,29 @@ def test_focal_loss_out_of_range_labels_stay_finite():
     y_pred = jnp.full((2, 4, 4, 3), 1.0 / 3)
     y_true = jnp.asarray(np.full((2, 4, 4, 1), 3, np.int32))  # class 3 of 3
     assert np.isfinite(float(loss_fn(y_true, y_pred)))
+
+
+def test_reference_import_path_compat():
+    """The reference exposes losses/metrics at common.custom_losses /
+    common.custom_metrics (reference `common/custom_losses.py:230`,
+    `common/custom_metrics.py:80`); the compat shims must keep those
+    import paths working and pointing at the same objects."""
+    from oct_image_segmentation_models_tpu.common import (
+        custom_losses as cl,
+        custom_metrics as cm,
+    )
+    from oct_image_segmentation_models_tpu.common.surface_distance import (
+        average_surface_distance,
+        hausdorff_distance,
+    )
+
+    assert cl.custom_loss_objects is losses.custom_loss_objects
+    assert set(cl.custom_loss_objects) == {
+        "bce_dice_loss", "dice_loss_micro", "dice_loss_macro",
+        "focal_loss", "bce_focal_loss", "focal_dice_loss",
+    }
+    assert cm.training_monitor_metric_objects is (
+        metrics.training_monitor_metric_objects
+    )
+    assert cm.average_surface_distance is average_surface_distance
+    assert cm.hausdorff_distance is hausdorff_distance
