@@ -216,10 +216,52 @@ def measure_cpu_proxy(images_np):
     return tp
 
 
+def wait_for_accelerator(max_wait_s=900, probe_timeout_s=120):
+    """Ride out a tunnel outage before touching jax in this process.
+
+    The axon tunnel drops for stretches (PLAN.md): ``jax.devices()``
+    then either raises or HANGS, so the probe runs in a subprocess with
+    a hard timeout and this process only initialises its backend after
+    a probe succeeds. Returns True when an accelerator answered; False
+    after ``max_wait_s`` (the benchmark then proceeds and fails with
+    the real backend error). Tunable via BENCH_TUNNEL_WAIT_S=0 to skip.
+    """
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.call(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if rc == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(
+            f"bench: accelerator probe {attempt} failed (tunnel down?); "
+            f"retrying for {deadline - time.time():.0f}s more",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(min(30, max(1, deadline - time.time())))
+
+
 def main():
     rng = np.random.default_rng(0)
     images_np = rng.integers(0, 255, size=(BATCH, H, W, 1), dtype=np.uint8)
 
+    wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "900"))
+    if wait_s > 0:
+        wait_for_accelerator(max_wait_s=wait_s)
     accel = jax.devices()[0]
     tie_parity = os.environ.get("BENCH_TIE_PARITY", "fast")
     module, loop_factory = build_pipeline(
