@@ -222,15 +222,19 @@ def wait_for_accelerator(max_wait_s=900, probe_timeout_s=120):
     The axon tunnel drops for stretches (PLAN.md): ``jax.devices()``
     then either raises or HANGS, so the probe runs in a subprocess with
     a hard timeout and this process only initialises its backend after
-    a probe succeeds. Returns True when an accelerator answered; False
-    after ``max_wait_s`` (the benchmark then proceeds and fails with
-    the real backend error). Tunable via BENCH_TUNNEL_WAIT_S=0 to skip.
+    a probe succeeds. Returns "up" when an accelerator answered;
+    "error"/"hang" after ``max_wait_s`` depending on the last probe's
+    failure mode ("error" means this process can proceed and fail fast
+    with the real backend error; "hang" means jax.devices() here would
+    block forever, so the caller must exit instead). Tunable via
+    BENCH_TUNNEL_WAIT_S=0 to skip.
     """
     import subprocess
     import sys
 
     deadline = time.time() + max_wait_s
     attempt = 0
+    last = "error"
     while True:
         attempt += 1
         try:
@@ -241,11 +245,12 @@ def wait_for_accelerator(max_wait_s=900, probe_timeout_s=120):
                 stderr=subprocess.DEVNULL,
             )
             if rc == 0:
-                return True
+                return "up"
+            last = "error"
         except subprocess.TimeoutExpired:
-            pass
+            last = "hang"
         if time.time() >= deadline:
-            return False
+            return last
         print(
             f"bench: accelerator probe {attempt} failed (tunnel down?); "
             f"retrying for {deadline - time.time():.0f}s more",
@@ -260,8 +265,18 @@ def main():
     images_np = rng.integers(0, 255, size=(BATCH, H, W, 1), dtype=np.uint8)
 
     wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "900"))
-    if wait_s > 0:
-        wait_for_accelerator(max_wait_s=wait_s)
+    if wait_s > 0 and wait_for_accelerator(max_wait_s=wait_s) == "hang":
+        # jax.devices() in THIS process would block forever; a bounded,
+        # diagnosable failure beats an indefinite hang for the caller.
+        import sys
+
+        print(
+            "bench: accelerator unreachable (backend init hangs — tunnel "
+            f"outage) after waiting {wait_s:.0f}s; aborting",
+            file=sys.stderr,
+            flush=True,
+        )
+        sys.exit(1)
     accel = jax.devices()[0]
     tie_parity = os.environ.get("BENCH_TIE_PARITY", "fast")
     module, loop_factory = build_pipeline(

@@ -181,6 +181,16 @@ def load_model_and_config(
             ) from exc
         mlflow.set_tracking_uri(mlflow_tracking_uri)
         if mlflow_run_uuid:
+            if model_path.is_absolute():
+                # Joining an absolute path onto the artifact URI would
+                # produce a malformed location and a confusing not-found
+                # error from the artifact store.
+                raise ValueError(
+                    f"model_path must be relative to the run's artifact "
+                    f"root when mlflow_run_uuid is set (e.g. "
+                    f"'model/model_final.hdf5'), got absolute path "
+                    f"{model_path}"
+                )
             run = mlflow.get_run(mlflow_run_uuid)
             artifact_uri = run.info.artifact_uri.rstrip("/")
             local = mlflow.artifacts.download_artifacts(

@@ -62,17 +62,28 @@ def save_cur_trainval_plot(
     val_losses = np.asarray(val_losses, dtype=float)
 
     # nan-aware: resumed runs carry NaN placeholders for the epochs that
-    # ran before the resume point (training_callbacks.SaveEpochInfo).
+    # ran before the resume point (training_callbacks.SaveEpochInfo), and
+    # a diverged run can be all-NaN (nanargmax raises on all-NaN slices —
+    # the plot must render, not crash the training callback).
+    def _best(values, reducer, arg_reducer):
+        if np.all(np.isnan(values)):
+            return float("nan"), 0
+        return reducer(values), arg_reducer(values)
+
+    best_tr_acc, best_tr_acc_ep = _best(train_accs, np.nanmax, np.nanargmax)
+    best_va_acc, best_va_acc_ep = _best(val_accs, np.nanmax, np.nanargmax)
+    best_tr_loss, best_tr_loss_ep = _best(train_losses, np.nanmin, np.nanargmin)
+    best_va_loss, best_va_loss_ep = _best(val_losses, np.nanmin, np.nanargmin)
     f.suptitle(
         f"Network: {network_name}\n\n"
-        f"Best training {acc_name}: {np.nanmax(train_accs) * 100:.2f} at "
-        f"epoch {np.nanargmax(train_accs) + 1:d} | "
-        f"Best validation {acc_name}: {np.nanmax(val_accs) * 100:.2f} at "
-        f"epoch {np.nanargmax(val_accs) + 1:d}\n\n"
-        f"Best training {loss_name}: {np.nanmin(train_losses):.4f} at epoch "
-        f"{np.nanargmin(train_losses) + 1:d} | "
-        f"Best validation {loss_name}: {np.nanmin(val_losses):.4f} at epoch "
-        f"{np.nanargmin(val_losses) + 1:d}",
+        f"Best training {acc_name}: {best_tr_acc * 100:.2f} at "
+        f"epoch {best_tr_acc_ep + 1:d} | "
+        f"Best validation {acc_name}: {best_va_acc * 100:.2f} at "
+        f"epoch {best_va_acc_ep + 1:d}\n\n"
+        f"Best training {loss_name}: {best_tr_loss:.4f} at epoch "
+        f"{best_tr_loss_ep + 1:d} | "
+        f"Best validation {loss_name}: {best_va_loss:.4f} at epoch "
+        f"{best_va_loss_ep + 1:d}",
         fontsize=14,
         fontweight="bold",
     )

@@ -291,7 +291,7 @@ def fold_deeplab_batchnorm_variables(variables: dict) -> dict:
 
 def maybe_build_folded_apply(
     module, variables: dict, dtype=jnp.float32
-) -> Optional[Callable]:
+) -> tuple[Optional[Callable], Optional[dict]]:
     """BN-folded inference forward for a trained DeepLabV3+.
 
     The single decision point the inference surfaces (staged pipeline,
@@ -301,18 +301,24 @@ def maybe_build_folded_apply(
     checkpoint). ``dtype`` sets the conv-stack compute dtype (the 1x1
     head + softmax stay float32); parameters remain float32 either way.
 
-    Returns ``apply_fn(x) -> probs`` or None when ineligible.
+    Returns ``(apply_fn, folded_variables)`` with
+    ``apply_fn(folded_variables, x) -> probs``, or ``(None, None)`` when
+    ineligible. The folded weights are returned separately so callers
+    jit with them as an *argument*: closing the ~108 MB float32 backbone
+    into the jit graph as captured constants exceeds the remote
+    compiler's request limit on tunneled TPU hosts (HTTP 413 — PLAN.md
+    environment gotchas).
     """
     if not isinstance(module, DeeplabV3PlusModule):
-        return None
+        return None, None
     if "batch_stats" not in variables:
-        return None
+        return None, None
     folded = fold_deeplab_batchnorm_variables(variables)
     mod = DeeplabV3PlusModule(
         num_classes=module.num_classes, dtype=jnp.dtype(dtype), use_bn=False
     )
 
-    def apply_fn(x):
-        return mod.apply(folded, x, training=False)
+    def apply_fn(folded_variables, x):
+        return mod.apply(folded_variables, x, training=False)
 
-    return apply_fn
+    return apply_fn, folded

@@ -58,6 +58,7 @@ class StagedPipeline:
         self._predict_s2d = None
         self._s2d_div = 1
         fold_fn = None
+        folded_vars = None
         if optimize:
             from ..models.deeplabv3plus import maybe_build_folded_apply
             from .s2d_unet import maybe_build_s2d_apply
@@ -76,17 +77,20 @@ class StagedPipeline:
                 self._predict_s2d = _predict_s2d
             else:
                 # DeepLabV3+ analog of the s2d fast path: BN folded into
-                # the convs, compute_dtype honored on the backbone.
-                fold_fn = maybe_build_folded_apply(
+                # the convs, compute_dtype honored on the backbone. The
+                # folded weights stay a jit *argument* (captured
+                # constants >~100 MB fail remote compile, PLAN.md).
+                fold_fn, folded_vars = maybe_build_folded_apply(
                     module, variables, dtype=jnp.dtype(compute_dtype)
                 )
         self._fold_fn = fold_fn
+        self._folded_variables = folded_vars
 
         @jax.jit
         def _predict(variables, images):
             x = preprocess_fn(images.astype(jnp.float32))
             if fold_fn is not None:
-                return fold_fn(x)
+                return fold_fn(variables, x)
             return module.apply(variables, x, training=False)
 
         @jax.jit
@@ -120,7 +124,12 @@ class StagedPipeline:
             and images.shape[2] % self._s2d_div == 0
         ):
             return self._predict_s2d(images)
-        return self._predict_fn(self.variables, images)
+        forward_vars = (
+            self._folded_variables
+            if self._fold_fn is not None
+            else self.variables
+        )
+        return self._predict_fn(forward_vars, images)
 
     def convert(self, probs):
         """probs -> (argmax labels u8, one-hot class-first, boundary maps u8)."""
@@ -152,9 +161,12 @@ def make_fused_pipeline(
     ``fn(variables, images_u8) -> (labels u8, boundary maps u8,
     delineations u16 | None)``.
 
-    ``apply_fn`` (preprocessed x -> probs, weights closed over) replaces
-    ``module.apply`` — used to run the s2d-transformed conv stack
-    (:mod:`.s2d_unet`); ``variables`` is then ignored by the forward.
+    ``apply_fn(variables, preprocessed x) -> probs`` replaces
+    ``module.apply`` — used for the BN-folded DeepLabV3+ forward
+    (:func:`..models.deeplabv3plus.maybe_build_folded_apply`); callers
+    then pass the *folded* weights as the pipeline's ``variables``
+    argument (weights stay jit arguments because captured constants
+    >~100 MB fail remote compile, PLAN.md).
 
     ``labels_apply_fn`` (preprocessed x -> uint8 argmax labels in s2d
     layout, from ``build_s2d_apply(..., output="labels_s2d")``) is the
@@ -233,7 +245,7 @@ def make_fused_pipeline(
                 )
             return labels, maps, delins.astype(jnp.uint16)
         if apply_fn is not None:
-            probs = apply_fn(x)
+            probs = apply_fn(variables, x)
         else:
             probs = module.apply(variables, x, training=False)
         # NB: with a probability forward, the f32 one-hot conversion

@@ -62,6 +62,7 @@ class VolumeSegmenter:
         # tests/test_s2d_unet.py for the accuracy-tolerance check.
         labels_fn, self._s2d_div = (None, 1)
         apply_fn = None
+        forward_variables = loaded_model.variables
         if optimize:
             import jax.numpy as jnp
 
@@ -78,11 +79,15 @@ class VolumeSegmenter:
             if labels_fn is None:
                 # DeepLabV3+ fast path: BN folded into the convs,
                 # compute_dtype honored on the backbone (head stays f32).
-                apply_fn = maybe_build_folded_apply(
+                # The folded weights become the pipeline's variables
+                # argument (not jit constants — see make_fused_pipeline).
+                apply_fn, folded_vars = maybe_build_folded_apply(
                     loaded_model.module,
                     loaded_model.variables,
                     dtype=jnp.dtype(compute_dtype),
                 )
+                if folded_vars is not None:
+                    forward_variables = folded_vars
         if compute_dtype != "float32" and labels_fn is None and apply_fn is None:
             # The probs fallback always runs float32; silently ignoring the
             # requested dtype would misreport the accuracy/memory tradeoff.
@@ -99,6 +104,7 @@ class VolumeSegmenter:
                 "optimize=True"
             )
 
+        self._forward_variables = forward_variables
         # No geometry fallback pipeline: any dims passing the
         # 2**pool_layers validation below also divide the s2d factor
         # (s2d levels <= pool_layers), so the fast path always applies.
@@ -154,9 +160,7 @@ class VolumeSegmenter:
             batch_iter = device_prefetch(batches, size=prefetch)
         labels_out, segs_out = [], []
         for batch in batch_iter:
-            labels, _maps, delins = pipeline(
-                self.loaded_model.variables, batch
-            )
+            labels, _maps, delins = pipeline(self._forward_variables, batch)
             labels_out.append(labels)
             if delins is not None:
                 segs_out.append(delins)

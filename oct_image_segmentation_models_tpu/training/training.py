@@ -121,10 +121,23 @@ def _resume_run_config(training_params: TrainingParams) -> dict:
         "train_step_impl": training_params.train_step_impl,
         "train_forward_impl": training_params.train_forward_impl,
         "aug_device": training_params.aug_device,
+        # get_config() intentionally omits extension knobs (dtype,
+        # pretrained_weights) for reference parity, so they must be
+        # checked — and re-applied at rebuild — through here.
+        "model_hyperparameters": training_params.model_hyperparameters,
     }
+
     # Normalize to JSON-comparable values (tuples vs lists, numpy
-    # scalars, callables already name-projected above).
-    return json.loads(json.dumps(cfg, default=str))
+    # scalars). Callables project to their qualified name: str() would
+    # embed the memory address, which never matches across processes.
+    def _stable(v):
+        if callable(v):
+            return getattr(
+                v, "__qualname__", getattr(v, "__name__", type(v).__name__)
+            )
+        return str(v)
+
+    return json.loads(json.dumps(cfg, default=_stable))
 
 
 def save_training_params_file(
@@ -345,7 +358,13 @@ def train_model(
         model_name = resume_meta["model_name"]
         model_config = resume_meta["model_config"]
         model_class = get_model_class(model_name)
-        model_container = model_class(**model_config)
+        # get_config() keeps reference parity and so drops extension
+        # knobs (dtype, pretrained_weights); restore them from the
+        # (mismatch-checked) hyperparameters so e.g. a bfloat16 run
+        # does not silently resume in float32.
+        model_container = model_class(
+            **{**model_config, **training_params.model_hyperparameters}
+        )
         module = model_container.build_model()
         model_architecture = model_name
         # Template variables only — every leaf is overwritten from the
@@ -361,7 +380,12 @@ def train_model(
             training_params.initial_model
         )
         model_class = get_model_class(model_name)
-        model_container = model_class(**model_config)
+        # Saved model_config.json mirrors the reference's get_config and
+        # so has no extension knobs; let fine-tuning set them (e.g. a
+        # bfloat16 compute dtype) via model_hyperparameters.
+        model_container = model_class(
+            **{**model_config, **training_params.model_hyperparameters}
+        )
         module = model_container.build_model()
         model_architecture = model_name
     else:

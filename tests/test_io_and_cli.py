@@ -377,3 +377,8 @@ def test_streaming_volume_deeplab_folded(tmp_path):
         optimize=False,
     )
     assert staged_off._fold_fn is None
+    # ... and the folded forward (weights as jit arguments, not captured
+    # constants — PLAN.md's ~100 MB remote-compile limit) matches parity
+    probs_fold = np.asarray(staged.predict_probs(volume))
+    probs_ref = np.asarray(staged_off.predict_probs(volume))
+    assert np.allclose(probs_fold, probs_ref, atol=1e-3)

@@ -169,16 +169,18 @@ def test_deeplab_batchnorm_folding_matches():
     got = np.asarray(folded_module.apply(folded, x, training=False))
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
 
-    # the single decision point the inference surfaces use
-    apply_fn = maybe_build_folded_apply(module, variables)
+    # the single decision point the inference surfaces use; weights come
+    # back separately so callers pass them as jit arguments (not
+    # captured constants — the folded backbone is ~108 MB f32)
+    apply_fn, fold_vars = maybe_build_folded_apply(module, variables)
     assert apply_fn is not None
-    assert np.allclose(np.asarray(apply_fn(x)), want, atol=1e-4)
+    assert np.allclose(np.asarray(apply_fn(fold_vars, x)), want, atol=1e-4)
 
     # bfloat16 backbone: same shape, probabilities close at tiny scale
-    apply_bf16 = maybe_build_folded_apply(
+    apply_bf16, fold16_vars = maybe_build_folded_apply(
         module, variables, dtype=jnp.bfloat16
     )
-    out16 = np.asarray(apply_bf16(x))
+    out16 = np.asarray(apply_bf16(fold16_vars, x))
     assert out16.shape == want.shape
     assert out16.dtype == np.float32  # head + softmax stay f32
     assert np.abs(out16 - want).max() < 0.15
@@ -186,4 +188,4 @@ def test_deeplab_batchnorm_folding_matches():
     # ineligible without batch_stats (untrained checkpoint)
     assert maybe_build_folded_apply(
         module, {"params": variables["params"]}
-    ) is None
+    ) == (None, None)

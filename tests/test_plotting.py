@@ -27,6 +27,28 @@ def test_trainval_plot_with_nan_prefix(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+def test_trainval_plot_all_nan_renders(tmp_path):
+    """Epoch-1 divergence (all-NaN losses) must render a plot, not crash
+    the training callback (nanargmin raises on all-NaN slices)."""
+    from oct_image_segmentation_models_tpu.common import plotting
+
+    out = tmp_path / "nan_curves.png"
+    nans = [float("nan")] * 2
+    plotting.save_cur_trainval_plot(
+        "dice_coef_macro",
+        "dice_loss_macro",
+        "unet",
+        4,
+        1,
+        nans,
+        nans,
+        nans,
+        nans,
+        out,
+    )
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_setup_image_plot_pixel_exact(tmp_path):
     """Figure sizing matches the reference's 100-dpi pixel-exact
     construction (`plotting.py:169-185`): saved PNG equals the image

@@ -278,6 +278,102 @@ def test_mlflow_model_artifact_round_trip(dataset, tmp_path, monkeypatch):
     assert np.allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
 
 
+def test_mlflow_run_load_rejects_absolute_model_path(tmp_path, monkeypatch):
+    """With ``mlflow_run_uuid``, ``model_path`` must be artifact-relative;
+    an absolute path would join into a malformed artifact URI and fail
+    with an opaque not-found deep in the store."""
+    import sys
+
+    import fake_mlflow
+
+    from oct_image_segmentation_models_tpu.common import model_io
+
+    monkeypatch.setitem(sys.modules, "mlflow", fake_mlflow)
+    with pytest.raises(ValueError, match="relative to the run's artifact"):
+        model_io.load_model_and_config(
+            tmp_path / "model_final.hdf5",
+            mlflow_tracking_uri=str(tmp_path),
+            mlflow_run_uuid="some-run",
+        )
+
+
+def test_resume_checks_and_restores_extension_hyperparameters(
+    dataset, tmp_path
+):
+    """``get_config()`` keeps reference parity and drops extension knobs
+    (e.g. ``dtype``), so resume must (a) reject a run whose
+    ``model_hyperparameters`` differ from the checkpoint's and (b) rebuild
+    the container with the original knobs — a bfloat16 run must not
+    silently resume in float32."""
+    hp = {"start_neurons": 2, "pool_layers": 2, "dtype": "bfloat16"}
+    part = train_model(
+        _params(
+            dataset,
+            tmp_path / "part",
+            epochs=1,
+            model_hyperparameters=hp,
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+    state_file = part / "train_state_latest.npz"
+    assert state_file.exists()
+
+    # dropping the dtype knob on resume is a config mismatch, not a
+    # silent float32 continuation
+    with pytest.raises(ValueError, match="model_hyperparameters"):
+        train_model(
+            _params(
+                dataset,
+                tmp_path / "bad",
+                model_architecture=None,
+                resume_train_state=state_file,
+                epochs=2,
+                model_hyperparameters={"start_neurons": 2, "pool_layers": 2},
+                train_state_checkpoint=True,
+            ),
+            None,
+        )
+
+    resumed = train_model(
+        _params(
+            dataset,
+            tmp_path / "resumed",
+            model_architecture=None,
+            resume_train_state=state_file,
+            epochs=2,
+            model_hyperparameters=hp,
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+    assert (resumed / "model_final.hdf5").exists()
+
+
+def test_resume_run_config_is_address_stable_for_callables(dataset, tmp_path):
+    """Callables in opt_params normalize to their qualified name, not
+    ``str()`` (which embeds the memory address and can never match across
+    processes, spuriously rejecting valid resumes)."""
+    from oct_image_segmentation_models_tpu.training.training import (
+        _resume_run_config,
+    )
+
+    def make_schedule():
+        def schedule(step):
+            return 1e-3
+
+        return schedule
+
+    cfg_a = _resume_run_config(
+        _params(dataset, tmp_path, opt_params={"learning_rate": make_schedule()})
+    )
+    cfg_b = _resume_run_config(
+        _params(dataset, tmp_path, opt_params={"learning_rate": make_schedule()})
+    )
+    assert cfg_a == cfg_b
+    assert "0x" not in json.dumps(cfg_a["opt_params"])
+
+
 def test_orbax_checkpoint_and_tensorboard(dataset, tmp_path):
     """Orbax backend writes directory checkpoints that load_model_and_config
     restores; tensorboard=True writes event files."""

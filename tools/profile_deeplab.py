@@ -47,18 +47,20 @@ def main():
         training=False,
     )
 
-    def parity_apply(x):
-        return module.apply(variables, x, training=False)
+    def parity_apply(v, x):
+        return module.apply(v, x, training=False)
 
+    # Weights always travel as jit arguments: the folded backbone is
+    # ~108 MB f32 and captured constants >~100 MB fail remote compile
+    # (HTTP 413, PLAN.md).
+    fold_fn, folded_vars = maybe_build_folded_apply(module, dict(variables))
+    fold16_fn, folded16_vars = maybe_build_folded_apply(
+        module, dict(variables), dtype=jnp.bfloat16
+    )
     variants = [
-        ("parity", parity_apply),
-        ("folded", maybe_build_folded_apply(module, dict(variables))),
-        (
-            "folded_bf16",
-            maybe_build_folded_apply(
-                module, dict(variables), dtype=jnp.bfloat16
-            ),
-        ),
+        ("parity", parity_apply, variables),
+        ("folded", fold_fn, folded_vars),
+        ("folded_bf16", fold16_fn, folded16_vars),
     ]
 
     rng = np.random.default_rng(0)
@@ -68,10 +70,10 @@ def main():
 
     def make_loop(apply_fn):
         @jax.jit
-        def loop(images_u8):
+        def loop(v, images_u8):
             def body(carry, _):
                 x = preprocess(images_u8.astype(jnp.float32) + carry)
-                probs = apply_fn(x)
+                probs = apply_fn(v, x)
                 return (carry + 1) % 2, probs.sum()
 
             return jax.lax.scan(body, jnp.float32(0), None, length=k)
@@ -79,11 +81,11 @@ def main():
         return loop
 
     results = {}
-    for name, apply_fn in variants + [("parity#2", parity_apply)]:
+    for name, apply_fn, v in variants + [("parity#2", parity_apply, variables)]:
         loop = make_loop(apply_fn)
-        np.asarray(loop(images)[0])  # compile + warm
+        np.asarray(loop(v, images)[0])  # compile + warm
         t0 = time.perf_counter()
-        np.asarray(loop(images)[0])
+        np.asarray(loop(v, images)[0])
         dt = (time.perf_counter() - t0) / k
         results[name] = dt
         print(
