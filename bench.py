@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from oct_image_segmentation_models_tpu.common.tunnel import probe_backend
+
 H, W, BATCH, NUM_CLASSES = 512, 1024, 8, 4
 K_ITERS = 10
 CPU_BATCH = 2
@@ -220,35 +222,25 @@ def wait_for_accelerator(max_wait_s=900, probe_timeout_s=120):
     """Ride out a tunnel outage before touching jax in this process.
 
     The axon tunnel drops for stretches (PLAN.md): ``jax.devices()``
-    then either raises or HANGS, so the probe runs in a subprocess with
-    a hard timeout and this process only initialises its backend after
-    a probe succeeds. Returns "up" when an accelerator answered;
-    "error"/"hang" after ``max_wait_s`` depending on the last probe's
-    failure mode ("error" means this process can proceed and fail fast
-    with the real backend error; "hang" means jax.devices() here would
-    block forever, so the caller must exit instead). Tunable via
-    BENCH_TUNNEL_WAIT_S=0 to skip.
+    then either raises or HANGS, so each probe runs in a subprocess
+    with a hard timeout (:func:`...common.tunnel.probe_backend`) and
+    this process only initialises its backend after a probe succeeds.
+    Returns "up" when an accelerator answered; "error"/"hang" after
+    ``max_wait_s`` depending on the last probe's failure mode ("error"
+    means this process can proceed and fail fast with the real backend
+    error; "hang" means jax.devices() here would block forever, so the
+    caller must exit instead). Tunable via BENCH_TUNNEL_WAIT_S=0 to
+    skip.
     """
-    import subprocess
     import sys
 
     deadline = time.time() + max_wait_s
     attempt = 0
-    last = "error"
     while True:
         attempt += 1
-        try:
-            rc = subprocess.call(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=probe_timeout_s,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-            if rc == 0:
-                return "up"
-            last = "error"
-        except subprocess.TimeoutExpired:
-            last = "hang"
+        last, _n_devices = probe_backend(probe_timeout_s)
+        if last == "up":
+            return "up"
         if time.time() >= deadline:
             return last
         print(

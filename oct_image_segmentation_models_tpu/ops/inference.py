@@ -84,7 +84,13 @@ class StagedPipeline:
                     module, variables, dtype=jnp.dtype(compute_dtype)
                 )
         self._fold_fn = fold_fn
-        self._folded_variables = folded_vars
+        # Resolved once: the weights the forward actually consumes —
+        # folded (BN into convs) when the fast path applies, the
+        # checkpoint variables otherwise. They stay a jit *argument*
+        # (captured constants >~100 MB fail remote compile, PLAN.md).
+        self._forward_variables = (
+            folded_vars if fold_fn is not None else variables
+        )
 
         @jax.jit
         def _predict(variables, images):
@@ -124,12 +130,7 @@ class StagedPipeline:
             and images.shape[2] % self._s2d_div == 0
         ):
             return self._predict_s2d(images)
-        forward_vars = (
-            self._folded_variables
-            if self._fold_fn is not None
-            else self.variables
-        )
-        return self._predict_fn(forward_vars, images)
+        return self._predict_fn(self._forward_variables, images)
 
     def convert(self, probs):
         """probs -> (argmax labels u8, one-hot class-first, boundary maps u8)."""

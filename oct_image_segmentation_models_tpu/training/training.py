@@ -127,17 +127,80 @@ def _resume_run_config(training_params: TrainingParams) -> dict:
         "model_hyperparameters": training_params.model_hyperparameters,
     }
 
-    # Normalize to JSON-comparable values (tuples vs lists, numpy
-    # scalars). Callables project to their qualified name: str() would
-    # embed the memory address, which never matches across processes.
-    def _stable(v):
+    return _stable_json(cfg)
+
+
+def _stable_json(value):
+    """Normalize to JSON-comparable values (tuples vs lists, numpy
+    scalars). Callables project to qualified name PLUS their bound data
+    (partial args/keywords, closure cells, defaults): ``str()`` would
+    embed the memory address, which never matches across processes,
+    while a bare qualname would collapse e.g. two learning-rate
+    schedules from the same factory with different rates — silently
+    passing the resume mismatch check with a different trajectory."""
+    import functools
+
+    def _project(v):
+        if isinstance(v, functools.partial):
+            return {
+                "partial": _project(v.func),
+                "args": [_coerce(a) for a in v.args],
+                "keywords": {k: _coerce(a) for k, a in sorted(v.keywords.items())},
+            }
+        name = getattr(v, "__qualname__", getattr(v, "__name__", type(v).__name__))
+        cells = getattr(v, "__closure__", None) or ()
+        closure = []
+        for cell in cells:
+            try:
+                closure.append(_coerce(cell.cell_contents))
+            except ValueError:  # empty cell
+                closure.append("<empty cell>")
+        defaults = [_coerce(d) for d in (getattr(v, "__defaults__", None) or ())]
+        if closure or defaults:
+            return {"fn": name, "closure": closure, "defaults": defaults}
+        return name
+
+    def _coerce(v):
+        # round-trip nested values through the same projection
+        return json.loads(json.dumps(v, default=_default))
+
+    def _default(v):
         if callable(v):
-            return getattr(
-                v, "__qualname__", getattr(v, "__name__", type(v).__name__)
-            )
+            return _project(v)
         return str(v)
 
-    return json.loads(json.dumps(cfg, default=_stable))
+    return _coerce(value)
+
+
+def _check_hyperparameter_conflicts(
+    model_config: dict, hyperparameters: dict, context: str
+) -> None:
+    """Reject ``model_hyperparameters`` that contradict a loaded model.
+
+    When training continues from a checkpoint (``resume_train_state`` /
+    ``initial_model``), the architecture comes from the saved
+    ``model_config``; ``model_hyperparameters`` may only add extension
+    knobs the config doesn't record (dtype, pretrained_weights) or
+    restate saved values unchanged. Overriding a structural key (e.g.
+    ``start_neurons``) would rebuild a module the checkpoint's weights
+    don't describe — a shape error at best, silent corruption at worst.
+    """
+    conflicts = {
+        k: (model_config[k], v)
+        for k, v in hyperparameters.items()
+        if k in model_config
+        and _stable_json(model_config[k]) != _stable_json(v)
+    }
+    if conflicts:
+        raise ValueError(
+            f"model_hyperparameters conflict with the {context} model's "
+            f"saved architecture on {sorted(conflicts)} "
+            f"(saved={ {k: s for k, (s, _) in conflicts.items()} }, "
+            f"requested={ {k: r for k, (_, r) in conflicts.items()} }); "
+            "continued training must keep the architecture the checkpoint "
+            "was built with — only extension knobs absent from the saved "
+            "config (e.g. dtype) may be set"
+        )
 
 
 def save_training_params_file(
@@ -342,10 +405,18 @@ def train_model(
         )
         saved_cfg = resume_meta.get("run_config", {})
         current_cfg = _resume_run_config(training_params)
+        # Checkpoints written before a run-config key existed can't be
+        # checked on it — tolerate (with a warning) rather than making
+        # every older train state permanently unresumable.
+        unchecked = sorted(set(current_cfg) - set(saved_cfg))
+        if unchecked:
+            log.warning(
+                "resume_train_state predates run-config keys %s; these "
+                "cannot be checked against the checkpoint",
+                unchecked,
+            )
         mismatched = sorted(
-            k
-            for k in set(saved_cfg) | set(current_cfg)
-            if saved_cfg.get(k) != current_cfg.get(k)
+            k for k in saved_cfg if saved_cfg[k] != current_cfg.get(k)
         )
         if mismatched:
             raise ValueError(
@@ -362,6 +433,9 @@ def train_model(
         # knobs (dtype, pretrained_weights); restore them from the
         # (mismatch-checked) hyperparameters so e.g. a bfloat16 run
         # does not silently resume in float32.
+        _check_hyperparameter_conflicts(
+            model_config, training_params.model_hyperparameters, "resume"
+        )
         model_container = model_class(
             **{**model_config, **training_params.model_hyperparameters}
         )
@@ -382,7 +456,11 @@ def train_model(
         model_class = get_model_class(model_name)
         # Saved model_config.json mirrors the reference's get_config and
         # so has no extension knobs; let fine-tuning set them (e.g. a
-        # bfloat16 compute dtype) via model_hyperparameters.
+        # bfloat16 compute dtype) via model_hyperparameters — but never
+        # override a structural key the loaded weights were built with.
+        _check_hyperparameter_conflicts(
+            model_config, training_params.model_hyperparameters, "initial_model"
+        )
         model_container = model_class(
             **{**model_config, **training_params.model_hyperparameters}
         )

@@ -374,6 +374,122 @@ def test_resume_run_config_is_address_stable_for_callables(dataset, tmp_path):
     assert "0x" not in json.dumps(cfg_a["opt_params"])
 
 
+def test_resume_run_config_detects_changed_callable_parameters(
+    dataset, tmp_path
+):
+    """The callable projection must include bound data, not just the
+    qualified name: two schedules from the same factory with different
+    rates (closure cells) or two partials with different keyword args
+    must NOT compare equal — that would silently pass the resume
+    mismatch check while training a different trajectory."""
+    import functools
+
+    from oct_image_segmentation_models_tpu.training.training import (
+        _resume_run_config,
+    )
+
+    def make_schedule(lr):
+        def schedule(step):
+            return lr
+
+        return schedule
+
+    def base_schedule(step, lr=1e-3):
+        return lr
+
+    def cfg(fn):
+        return _resume_run_config(
+            _params(dataset, tmp_path, opt_params={"learning_rate": fn})
+        )
+
+    # different closure-captured rates differ; same rate matches
+    assert cfg(make_schedule(1e-3)) != cfg(make_schedule(1e-4))
+    assert cfg(make_schedule(1e-3)) == cfg(make_schedule(1e-3))
+    # different partial bindings differ; same binding matches
+    assert cfg(functools.partial(base_schedule, lr=1e-3)) != cfg(
+        functools.partial(base_schedule, lr=1e-4)
+    )
+    assert cfg(functools.partial(base_schedule, lr=1e-3)) == cfg(
+        functools.partial(base_schedule, lr=1e-3)
+    )
+    # and a partial never collapses to the bare function it wraps
+    assert cfg(functools.partial(base_schedule)) != cfg(base_schedule)
+
+
+def test_resume_tolerates_checkpoints_missing_new_config_keys(
+    dataset, tmp_path
+):
+    """A train state written before a run-config key existed must stay
+    resumable (the key is skipped with a warning), not become
+    permanently rejected by the mismatch check."""
+    part = train_model(
+        _params(
+            dataset, tmp_path / "part", epochs=1, train_state_checkpoint=True
+        ),
+        None,
+    )
+    state_file = part / "train_state_latest.npz"
+    with np.load(state_file) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        arrays = {k: data[k] for k in data.files if k != "__meta__"}
+    # simulate an older checkpoint lacking a newer run-config key
+    del meta["run_config"]["model_hyperparameters"]
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(state_file, **arrays)
+
+    resumed = train_model(
+        _params(
+            dataset,
+            tmp_path / "resumed",
+            model_architecture=None,
+            resume_train_state=state_file,
+            epochs=2,
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+    assert (resumed / "model_final.hdf5").exists()
+
+
+def test_finetune_rejects_structural_hyperparameter_override(
+    dataset, tmp_path
+):
+    """``initial_model`` fine-tuning must not rebuild the architecture
+    with hyperparameters that contradict the checkpoint's saved config
+    (the loaded weights would not describe the new module); extension
+    knobs absent from the saved config remain allowed."""
+    folder = train_model(_params(dataset, tmp_path / "base", epochs=1), None)
+
+    with pytest.raises(ValueError, match="conflict.*start_neurons"):
+        train_model(
+            _params(
+                dataset,
+                tmp_path / "bad",
+                model_architecture=None,
+                initial_model=folder / "model_final.hdf5",
+                model_hyperparameters={"start_neurons": 4, "pool_layers": 2},
+                epochs=1,
+            ),
+            None,
+        )
+
+    # extension knob (not in the saved config) is fine
+    ok = train_model(
+        _params(
+            dataset,
+            tmp_path / "ok",
+            model_architecture=None,
+            initial_model=folder / "model_final.hdf5",
+            model_hyperparameters={"dtype": "bfloat16"},
+            epochs=1,
+        ),
+        None,
+    )
+    assert (ok / "model_final.hdf5").exists()
+
+
 def test_orbax_checkpoint_and_tensorboard(dataset, tmp_path):
     """Orbax backend writes directory checkpoints that load_model_and_config
     restores; tensorboard=True writes event files."""
