@@ -90,20 +90,26 @@ def load_train_state(path: Path):
     return meta, leaves
 
 
-def _resume_run_config(training_params: TrainingParams) -> dict:
+def _resume_run_config(
+    training_params: TrainingParams, dataset_md5: str
+) -> dict:
     """The hyperparameters that determine the training trajectory.
 
     Saved into the train-state meta and compared on resume: a silent
-    mismatch (different learning rate, loss, seed, ...) would break the
-    documented bitwise-identical-resume guarantee while the flattened
-    state arrays still line up.
+    mismatch (different learning rate, loss, seed, dataset, ...) would
+    break the documented bitwise-identical-resume guarantee while the
+    flattened state arrays still line up. ``dataset_md5`` identifies
+    the training data — the restored generator sampling state
+    (``sample_shuffle`` permutation, counters) is only meaningful
+    against the exact dataset it was drawn from.
     """
     cfg = {
-        "optimizer": getattr(
-            training_params.opt_con,
-            "__name__",
-            str(training_params.opt_con),
-        ),
+        # opt_con may be a name, an optax factory, a functools.partial,
+        # or a ready GradientTransformation (a NamedTuple of closures) —
+        # all projected address-stably by _stable_json below. A bare
+        # getattr(__name__)/str() here would embed memory addresses for
+        # the transformation case and reject every legitimate resume.
+        "optimizer": training_params.opt_con,
         "opt_params": training_params.opt_params,
         "loss": training_params.loss,
         "loss_fn_kwargs": training_params.loss_fn_kwargs,
@@ -125,6 +131,11 @@ def _resume_run_config(training_params: TrainingParams) -> dict:
         # pretrained_weights) for reference parity, so they must be
         # checked — and re-applied at rebuild — through here.
         "model_hyperparameters": training_params.model_hyperparameters,
+        # best_monitor/best_variables are restored on resume; comparing
+        # them against a different monitored quantity (or direction)
+        # silently corrupts best-checkpoint selection.
+        "model_save_monitor": list(training_params.model_save_monitor),
+        "training_dataset_md5": dataset_md5,
     }
 
     return _stable_json(cfg)
@@ -167,7 +178,13 @@ def _stable_json(value):
     def _default(v):
         if callable(v):
             return _project(v)
-        return str(v)
+        # Default reprs embed per-process memory addresses
+        # ("<object at 0x7f...>"), which never match across processes;
+        # scrub them so the projection stays address-stable while
+        # keeping the rest of the repr as distinguishing content.
+        import re
+
+        return re.sub(r"0x[0-9a-fA-F]+", "0x", str(v))
 
     return _coerce(value)
 
@@ -404,7 +421,9 @@ def train_model(
             training_params.resume_train_state
         )
         saved_cfg = resume_meta.get("run_config", {})
-        current_cfg = _resume_run_config(training_params)
+        current_cfg = _resume_run_config(
+            training_params, training_dataset_md5
+        )
         # Checkpoints written before a run-config key existed can't be
         # checked on it — tolerate (with a warning) rather than making
         # every older train state permanently unresumable.
@@ -954,7 +973,9 @@ def train_model(
                         "epochs_since_improvement": epochs_since_improvement,
                         "model_name": model_name,
                         "model_config": model_container.get_config(),
-                        "run_config": _resume_run_config(training_params),
+                        "run_config": _resume_run_config(
+                            training_params, training_dataset_md5
+                        ),
                         "train_gen_state": train_gen.get_state(),
                         "val_gen_state": val_gen.get_state(),
                     },

@@ -365,13 +365,36 @@ def test_resume_run_config_is_address_stable_for_callables(dataset, tmp_path):
         return schedule
 
     cfg_a = _resume_run_config(
-        _params(dataset, tmp_path, opt_params={"learning_rate": make_schedule()})
+        _params(dataset, tmp_path, opt_params={"learning_rate": make_schedule()}),
+        "md5",
     )
     cfg_b = _resume_run_config(
-        _params(dataset, tmp_path, opt_params={"learning_rate": make_schedule()})
+        _params(dataset, tmp_path, opt_params={"learning_rate": make_schedule()}),
+        "md5",
     )
     assert cfg_a == cfg_b
     assert "0x" not in json.dumps(cfg_a["opt_params"])
+
+
+def test_resume_run_config_stable_for_optax_transformations(dataset, tmp_path):
+    """``opt_con`` may be a ready ``optax.GradientTransformation`` (a
+    NamedTuple of closures whose ``str()`` embeds per-process function
+    addresses); the projection must match across constructions with the
+    same hyperparameters — and still distinguish different rates."""
+    import optax
+
+    from oct_image_segmentation_models_tpu.training.training import (
+        _resume_run_config,
+    )
+
+    def cfg(tx):
+        return _resume_run_config(
+            _params(dataset, tmp_path, opt_con=tx, opt_params={}), "md5"
+        )
+
+    assert cfg(optax.adam(1e-3)) == cfg(optax.adam(1e-3))
+    assert cfg(optax.adam(1e-3)) != cfg(optax.adam(1e-4))
+    assert "0x7" not in json.dumps(cfg(optax.adam(1e-3))["optimizer"])
 
 
 def test_resume_run_config_detects_changed_callable_parameters(
@@ -399,7 +422,8 @@ def test_resume_run_config_detects_changed_callable_parameters(
 
     def cfg(fn):
         return _resume_run_config(
-            _params(dataset, tmp_path, opt_params={"learning_rate": fn})
+            _params(dataset, tmp_path, opt_params={"learning_rate": fn}),
+            "md5",
         )
 
     # different closure-captured rates differ; same rate matches
@@ -451,6 +475,52 @@ def test_resume_tolerates_checkpoints_missing_new_config_keys(
         None,
     )
     assert (resumed / "model_final.hdf5").exists()
+
+
+def test_resume_rejects_dataset_and_monitor_changes(dataset, tmp_path):
+    """The run-config guard must cover the training data identity (the
+    restored sample_shuffle permutation is only meaningful against the
+    dataset it was drawn from) and the best-checkpoint monitor (the
+    restored best_monitor value is only comparable under the same
+    quantity and direction)."""
+    from synth import make_dataset
+
+    part = train_model(
+        _params(
+            dataset, tmp_path / "part", epochs=1, train_state_checkpoint=True
+        ),
+        None,
+    )
+    state_file = part / "train_state_latest.npz"
+
+    other_dataset = make_dataset(tmp_path / "other.hdf5", seed=1)
+    with pytest.raises(ValueError, match="training_dataset_md5"):
+        train_model(
+            _params(
+                dataset,
+                tmp_path / "swapped",
+                training_dataset_path=other_dataset,
+                model_architecture=None,
+                resume_train_state=state_file,
+                epochs=2,
+                train_state_checkpoint=True,
+            ),
+            None,
+        )
+
+    with pytest.raises(ValueError, match="model_save_monitor"):
+        train_model(
+            _params(
+                dataset,
+                tmp_path / "monitor",
+                model_architecture=None,
+                resume_train_state=state_file,
+                epochs=2,
+                model_save_monitor=("val_loss", "min"),
+                train_state_checkpoint=True,
+            ),
+            None,
+        )
 
 
 def test_finetune_rejects_structural_hyperparameter_override(
