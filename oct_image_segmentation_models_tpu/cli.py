@@ -58,8 +58,21 @@ def cmd_train(args):
         restore_best_weights=config.get("restore_best_weights", True),
         patience=config.get("patience", 50),
         seed=config.get("seed"),
+        model_save_monitor=tuple(
+            config.get("model_save_monitor", ("val_acc", "max"))
+        ),
+        channels_last=config.get("channels_last", True),
+        profile_dir=(
+            Path(config["profile_dir"]) if config.get("profile_dir") else None
+        ),
+        train_step_impl=config.get("train_step_impl", "auto"),
+        train_forward_impl=config.get("train_forward_impl", "auto"),
+        aug_device=config.get("aug_device", "auto"),
+        checkpoint_format=config.get("checkpoint_format", "hdf5"),
+        tensorboard=config.get("tensorboard", False),
         train_state_checkpoint=config.get("train_state_checkpoint", False),
         resume_train_state=config.get("resume_train_state"),
+        resume_config_check=config.get("resume_config_check", "strict"),
     )
     folder = train_model(params, mlflow_params)
     print(f"Training complete. Artifacts: {folder}")

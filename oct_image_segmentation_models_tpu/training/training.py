@@ -160,6 +160,16 @@ def _stable_json(value):
             }
         name = getattr(v, "__qualname__", getattr(v, "__name__", type(v).__name__))
         cells = getattr(v, "__closure__", None) or ()
+        if not cells:
+            # A module-level factory carries no call-site state: its
+            # bound data arrives via opt_params / partial keywords
+            # (checked separately) and its ``__defaults__`` are
+            # library-version noise — embedding them would falsely
+            # reject resume after e.g. an optax upgrade that appends a
+            # behavior-preserving keyword. The bare name also matches
+            # run configs written by older framework versions, which
+            # stored just ``__name__``.
+            return name
         closure = []
         for cell in cells:
             try:
@@ -167,9 +177,7 @@ def _stable_json(value):
             except ValueError:  # empty cell
                 closure.append("<empty cell>")
         defaults = [_coerce(d) for d in (getattr(v, "__defaults__", None) or ())]
-        if closure or defaults:
-            return {"fn": name, "closure": closure, "defaults": defaults}
-        return name
+        return {"fn": name, "closure": closure, "defaults": defaults}
 
     def _coerce(v):
         # round-trip nested values through the same projection
@@ -178,13 +186,34 @@ def _stable_json(value):
     def _default(v):
         if callable(v):
             return _project(v)
-        # Default reprs embed per-process memory addresses
-        # ("<object at 0x7f...>"), which never match across processes;
-        # scrub them so the projection stays address-stable while
-        # keeping the rest of the repr as distinguishing content.
+        # Reprs may embed per-process memory addresses ("<Foo object at
+        # 0x7f...>"), which never match across processes. Scrub ONLY the
+        # address pattern (a bare "0x[hex]" scrub would also collapse
+        # legitimate hex-literal state like "flags=0x10" vs "0x20").
         import re
 
-        return re.sub(r"0x[0-9a-fA-F]+", "0x", str(v))
+        text = re.sub(r"\bat 0x[0-9a-fA-F]+", "at 0x", str(v))
+        # qualnames of nested classes contain "<locals>", so match any
+        # "<... object at 0x>" default-repr shape, not just dotted names
+        if re.fullmatch(r"<.+ object at 0x>", text):
+            # A default repr carries no state at all: after the scrub,
+            # two DIFFERENT values would compare equal (fail-open,
+            # silently voiding the bitwise-identical-resume guarantee).
+            # Project the instance attributes instead; if none are
+            # introspectable, stay fail-closed with a process-unique
+            # marker (the mismatch error shows it, and the fix is to
+            # use plain data in the config).
+            state = dict(getattr(v, "__dict__", None) or {})
+            for slot in getattr(type(v), "__slots__", ()) or ():
+                if hasattr(v, slot):
+                    state[slot] = getattr(v, slot)
+            if state:
+                return {
+                    "type": type(v).__qualname__,
+                    "state": {k: _coerce(x) for k, x in sorted(state.items())},
+                }
+            return {"type": type(v).__qualname__, "opaque": id(v)}
+        return text
 
     return _coerce(value)
 
@@ -438,13 +467,21 @@ def train_model(
             k for k in saved_cfg if saved_cfg[k] != current_cfg.get(k)
         )
         if mismatched:
-            raise ValueError(
+            detail = (
                 "resume_train_state run configuration mismatch on "
                 f"{mismatched}: resume must use the hyperparameters the "
                 "checkpoint was trained with (saved="
                 f"{ {k: saved_cfg.get(k) for k in mismatched} }, current="
                 f"{ {k: current_cfg.get(k) for k in mismatched} })"
             )
+            if training_params.resume_config_check == "warn":
+                log.warning(
+                    "%s — continuing anyway (resume_config_check='warn'); "
+                    "the bitwise-identical-resume guarantee does not hold",
+                    detail,
+                )
+            else:
+                raise ValueError(detail)
         model_name = resume_meta["model_name"]
         model_config = resume_meta["model_config"]
         model_class = get_model_class(model_name)

@@ -54,6 +54,7 @@ class TrainingParams:
         tensorboard: bool = False,
         train_state_checkpoint: bool = False,
         resume_train_state: Union[Path, str, None] = None,
+        resume_config_check: str = "strict",
     ):
         n_sources = sum(
             x is not None
@@ -145,6 +146,19 @@ class TrainingParams:
         self.resume_train_state = (
             Path(resume_train_state) if resume_train_state else None
         )
+        # Run-config mismatch handling on resume: "strict" raises (the
+        # default — a changed hyperparameter silently voids the
+        # bitwise-identical-resume guarantee), "warn" logs and
+        # continues. The escape hatch exists for false rejections the
+        # structural callable projection can't see through, e.g. a
+        # library upgrade that reshapes the internal closures of a
+        # ready optax.GradientTransformation passed as ``opt_con``.
+        if resume_config_check not in ("strict", "warn"):
+            raise ValueError(
+                "resume_config_check must be 'strict' or 'warn', "
+                f"got {resume_config_check!r}"
+            )
+        self.resume_config_check = resume_config_check
 
         # "val_acc" default is rewritten to the configured metric
         # (reference `training_parameters.py:131-136`).

@@ -272,6 +272,13 @@ def test_cli_train(tmp_path):
         "batch_size": 2,
         "model_hyperparameters": {"start_neurons": 2, "pool_layers": 2},
         "seed": 0,
+        # full TrainingParams pass-through surface (JSON lists become
+        # tuples where the params expect them)
+        "model_save_monitor": ["val_loss", "min"],
+        "train_forward_impl": "parity",
+        "aug_device": "off",
+        "tensorboard": False,
+        "resume_config_check": "strict",
     }
     cfg_path = tmp_path / "config.json"
     cfg_path.write_text(json.dumps(config))

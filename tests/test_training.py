@@ -523,6 +523,108 @@ def test_resume_rejects_dataset_and_monitor_changes(dataset, tmp_path):
         )
 
 
+def test_resume_run_config_factory_projects_to_legacy_bare_name(
+    dataset, tmp_path
+):
+    """A module-level optimizer factory projects to its bare name: the
+    library's ``__defaults__`` are version noise (embedding them would
+    falsely reject resume across an optax upgrade with zero trajectory
+    change — user hyperparameters travel in ``opt_params``, which stays
+    fully checked), and the bare name matches run configs written by
+    older framework versions, which stored just ``__name__``."""
+    import optax
+
+    from oct_image_segmentation_models_tpu.training.training import (
+        _resume_run_config,
+    )
+
+    cfg = _resume_run_config(
+        _params(dataset, tmp_path, opt_con=optax.adam), "md5"
+    )
+    assert cfg["optimizer"] == "adam"
+    # opt_params remains the user-facing guard for factory kwargs
+    a = _resume_run_config(
+        _params(dataset, tmp_path, opt_con=optax.adam), "md5"
+    )
+    b = _resume_run_config(
+        _params(
+            dataset,
+            tmp_path,
+            opt_con=optax.adam,
+            opt_params={"learning_rate": 1e-4},
+        ),
+        "md5",
+    )
+    assert a != b
+
+
+def test_stable_json_distinguishes_default_repr_object_state(
+    dataset, tmp_path
+):
+    """Objects whose default repr carries no state must not compare
+    equal after address scrubbing (fail-open would silently void the
+    bitwise-identical-resume guarantee): instance attributes are
+    projected instead, hex-literal repr content is preserved, and a
+    fully opaque object stays fail-closed."""
+    from oct_image_segmentation_models_tpu.training.training import (
+        _stable_json,
+    )
+
+    class Spec:
+        def __init__(self, v):
+            self.v = v
+
+    assert _stable_json(Spec(1)) == _stable_json(Spec(1))
+    assert _stable_json(Spec(1)) != _stable_json(Spec(2))
+
+    class Flags:
+        def __init__(self, f):
+            self.f = f
+
+        def __repr__(self):
+            return f"Flags(0x{self.f:x})"
+
+    assert _stable_json(Flags(0x10)) != _stable_json(Flags(0x20))
+
+    class Opaque:
+        __slots__ = ()
+
+    a, b = Opaque(), Opaque()
+    assert _stable_json(a) != _stable_json(b)
+
+
+def test_resume_config_check_warn_allows_mismatch(dataset, tmp_path):
+    """``resume_config_check='warn'`` is the escape hatch for false
+    rejections the structural projection can't see through (e.g. a
+    library upgrade reshaping optax closures): the mismatch is logged
+    and training continues."""
+    part = train_model(
+        _params(
+            dataset, tmp_path / "part", epochs=1, train_state_checkpoint=True
+        ),
+        None,
+    )
+    state_file = part / "train_state_latest.npz"
+
+    resumed = train_model(
+        _params(
+            dataset,
+            tmp_path / "resumed",
+            model_architecture=None,
+            resume_train_state=state_file,
+            epochs=2,
+            opt_params={"learning_rate": 5e-4},
+            resume_config_check="warn",
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+    assert (resumed / "model_final.hdf5").exists()
+
+    with pytest.raises(ValueError, match="resume_config_check"):
+        _params(dataset, tmp_path, resume_config_check="bogus")
+
+
 def test_finetune_rejects_structural_hyperparameter_override(
     dataset, tmp_path
 ):
