@@ -173,6 +173,91 @@ def bce_focal_loss(*, num_classes: int, gamma: float = 2, **kwargs):
     return _bce_focal_loss
 
 
+def weighted_categorical_crossentropy(weights):
+    """Class-weighted categorical cross-entropy — reference
+    `custom_losses.py:11-37` (off-registry, importable API). ``weights`` is
+    a ``(C,)`` per-class weight vector; predictions are renormalized across
+    the channel axis and clipped with the Keras epsilon before the log."""
+    w = jnp.asarray(np.asarray(weights), jnp.float32)
+
+    def loss(y_true, y_pred):
+        p = y_pred.astype(jnp.float32)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.clip(p, _EPS_KERAS, 1.0 - _EPS_KERAS)
+        ce = -jnp.sum(y_true.astype(jnp.float32) * jnp.log(p) * w, axis=-1)
+        return jnp.mean(ce)
+
+    return loss
+
+
+def bce_logdice_loss(y_true, y_pred):
+    """BCE − log(1 − micro-Dice) — reference `custom_losses.py:181-184`.
+    The reference calls the ``dice_loss_micro`` factory as if it were the
+    loss itself (a crash at call time, like ``bce_focal_loss``); this is
+    the evident intent: the inner micro-Dice on dense one-hot labels."""
+    dice = dice_loss_micro(is_y_true_sparse=False, num_classes=None)
+    bce = jnp.mean(_binary_crossentropy(y_true, y_pred))
+    return bce - jnp.log(1.0 - dice(y_true, y_pred))
+
+
+def weighted_bce_loss(y_true, y_pred, weight):
+    """Per-element-weighted BCE in the numerically-stable logit form,
+    normalized by the weight mass — reference `custom_losses.py:187-196`."""
+    t = y_true.astype(jnp.float32)
+    p = jnp.clip(y_pred.astype(jnp.float32), _EPS_KERAS, 1.0 - _EPS_KERAS)
+    logit = jnp.log(p / (1.0 - p))
+    loss = weight * (
+        logit * (1.0 - t)
+        + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+        + jnp.maximum(-logit, 0.0)
+    )
+    return jnp.sum(loss) / jnp.sum(weight)
+
+
+def weighted_dice_loss(y_true, y_pred, weight):
+    """Weight-mass soft Dice — reference `custom_losses.py:199-207`."""
+    w = weight
+    m1 = y_true.astype(jnp.float32)
+    m2 = y_pred.astype(jnp.float32)
+    smooth = 1.0
+    score = (2.0 * jnp.sum(w * m1 * m2) + smooth) / (
+        jnp.sum(w * m1) + jnp.sum(w * m2) + smooth
+    )
+    return 1.0 - score
+
+
+def _same_avg_pool_hw(x, size):
+    """Average pool over the two spatial axes of ``(B, H, W, C)`` with
+    stride 1 and SAME padding, averaging only the valid (non-padded)
+    window elements — TF's ``tf.nn.pool(pooling_type='AVG')`` semantics
+    behind Keras ``K.pool2d`` at reference `custom_losses.py:214-220`."""
+    window = (1, size, size, 1)
+    ones = (1, 1, 1, 1)
+    sums = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, window, ones, "SAME"
+    )
+    counts = jax.lax.reduce_window(
+        jnp.ones_like(x, jnp.float32), 0.0, jax.lax.add, window, ones, "SAME"
+    )
+    return sums / counts
+
+
+def weighted_bce_dice_loss(y_true, y_pred):
+    """Border-emphasizing weighted BCE + micro Dice — reference
+    `custom_losses.py:210-226`: weights peak (×5, renormalized to unit
+    mean) where a 50×50 local average of the binary mask is near 0.5,
+    i.e. along class borders. Same factory-called-as-loss repair as
+    :func:`bce_logdice_loss` for the Dice term."""
+    t = y_true.astype(jnp.float32)
+    p = y_pred.astype(jnp.float32)
+    averaged_mask = _same_avg_pool_hw(t, 50)
+    weight = 5.0 * jnp.exp(-5.0 * jnp.abs(averaged_mask - 0.5))
+    w0 = jnp.asarray(averaged_mask.size, jnp.float32)
+    weight = weight * (w0 / jnp.sum(weight))
+    dice = dice_loss_micro(is_y_true_sparse=False, num_classes=None)
+    return weighted_bce_loss(t, p, weight) + dice(t, p)
+
+
 def compute_balanced_class_weight(labels: np.ndarray) -> np.ndarray:
     """``sklearn class_weight='balanced'``: n / (num_classes * bincount) —
     used at reference `training/training.py:200-206`."""

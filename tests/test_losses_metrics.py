@@ -210,6 +210,103 @@ def test_focal_loss_out_of_range_labels_stay_finite():
     assert np.isfinite(float(loss_fn(y_true, y_pred)))
 
 
+def test_weighted_categorical_crossentropy_matches_numpy():
+    """Reference `custom_losses.py:11-37`: renormalize, clip with the
+    Keras epsilon, -sum(t * log(p) * w) over channels, mean-reduced."""
+    _, onehot, probs = _data()
+    w = np.array([0.5, 2.0, 10.0], np.float32)
+    fn = losses.weighted_categorical_crossentropy(w)
+    got = float(jax.jit(fn)(onehot, probs))
+    p = probs / probs.sum(-1, keepdims=True)
+    p = np.clip(p, 1e-7, 1 - 1e-7)
+    want = float(np.mean(-(onehot * np.log(p) * w).sum(-1)))
+    assert abs(got - want) < 1e-5
+
+
+def test_weighted_bce_and_dice_losses_match_numpy():
+    """Reference `custom_losses.py:187-207`: stable-logit weighted BCE
+    normalized by weight mass; weight-mass soft Dice with smooth=1."""
+    rng = np.random.default_rng(3)
+    t = rng.integers(0, 2, (2, 6, 5, 1)).astype(np.float32)
+    p = rng.uniform(0.01, 0.99, (2, 6, 5, 1)).astype(np.float32)
+    w = rng.uniform(0.1, 2.0, (2, 6, 5, 1)).astype(np.float32)
+
+    got = float(jax.jit(losses.weighted_bce_loss)(t, p, w))
+    pc = np.clip(p, 1e-7, 1 - 1e-7)
+    logit = np.log(pc / (1 - pc))
+    elem = w * (
+        logit * (1 - t) + np.log1p(np.exp(-np.abs(logit)))
+        + np.maximum(-logit, 0.0)
+    )
+    want = float(elem.sum() / w.sum())
+    assert abs(got - want) < 1e-5
+    # the stable form IS elementwise BCE: -w*(t*log(p)+(1-t)*log(1-p))
+    plain = -(w * (t * np.log(pc) + (1 - t) * np.log(1 - pc))).sum() / w.sum()
+    assert abs(got - plain) < 1e-5
+
+    got_d = float(jax.jit(losses.weighted_dice_loss)(t, p, w))
+    want_d = 1.0 - (2 * (w * t * p).sum() + 1.0) / (
+        (w * t).sum() + (w * p).sum() + 1.0
+    )
+    assert abs(got_d - want_d) < 1e-6
+
+
+def test_bce_logdice_loss_matches_numpy():
+    """Reference `custom_losses.py:181-184` with the factory-call repair:
+    mean BCE − log(1 − micro-Dice)."""
+    _, onehot, probs = _data(seed=5)
+    got = float(jax.jit(losses.bce_logdice_loss)(onehot, probs))
+    pc = np.clip(probs, 1e-7, 1 - 1e-7)
+    bce = np.mean(
+        -(onehot * np.log(pc) + (1 - onehot) * np.log(1 - pc)).mean(-1)
+    )
+    t, p = onehot.ravel(), probs.ravel()
+    dice = 1.0 - (2 * (t * p).sum() + 1e-5) / (t.sum() + p.sum() + 1e-5)
+    want = bce - np.log(1.0 - dice)
+    assert abs(got - want) < 1e-5
+
+
+def _np_same_avg_pool(x, size):
+    """Valid-elements-only SAME average pooling (TF pad split: lo = (size-1)//2)."""
+    b, h, w, c = x.shape
+    lo = (size - 1) // 2
+    out = np.zeros_like(x, np.float64)
+    for i in range(h):
+        for j in range(w):
+            r0, r1 = max(0, i - lo), min(h, i - lo + size)
+            c0, c1 = max(0, j - lo), min(w, j - lo + size)
+            out[:, i, j, :] = x[:, r0:r1, c0:c1, :].mean(axis=(1, 2))
+    return out
+
+
+def test_weighted_bce_dice_loss_matches_numpy():
+    """Reference `custom_losses.py:210-226`: border weights from a 50×50
+    SAME average pool of the mask (valid-element averaging), ×5 peak at
+    0.5, renormalized to unit mean; plus micro Dice."""
+    from oct_image_segmentation_models_tpu.ops.losses import (
+        _same_avg_pool_hw,
+    )
+
+    rng = np.random.default_rng(7)
+    # First check the pooling primitive on a window smaller than the image.
+    x = rng.uniform(size=(1, 7, 9, 1)).astype(np.float32)
+    got_pool = np.asarray(_same_avg_pool_hw(jax.numpy.asarray(x), 4))
+    assert np.allclose(got_pool, _np_same_avg_pool(x, 4), atol=1e-6)
+
+    t = rng.integers(0, 2, (1, 8, 7, 1)).astype(np.float32)
+    p = rng.uniform(0.01, 0.99, (1, 8, 7, 1)).astype(np.float32)
+    got = float(jax.jit(losses.weighted_bce_dice_loss)(t, p))
+    avg = _np_same_avg_pool(t, 50)
+    weight = 5.0 * np.exp(-5.0 * np.abs(avg - 0.5))
+    weight *= avg.size / weight.sum()
+    pc = np.clip(p, 1e-7, 1 - 1e-7)
+    bce = -(weight * (t * np.log(pc) + (1 - t) * np.log(1 - pc))).sum()
+    bce /= weight.sum()
+    tf_, pf = t.ravel(), p.ravel()
+    dice = 1.0 - (2 * (tf_ * pf).sum() + 1e-5) / (tf_.sum() + pf.sum() + 1e-5)
+    assert abs(got - (bce + dice)) < 1e-5
+
+
 def test_reference_import_path_compat():
     """The reference exposes losses/metrics at common.custom_losses /
     common.custom_metrics (reference `common/custom_losses.py:230`,
@@ -225,6 +322,13 @@ def test_reference_import_path_compat():
     )
 
     assert cl.custom_loss_objects is losses.custom_loss_objects
+    # off-registry reference losses remain importable (reference
+    # `custom_losses.py:11,181,187,199,210`)
+    for name in (
+        "weighted_categorical_crossentropy", "bce_logdice_loss",
+        "weighted_bce_loss", "weighted_dice_loss", "weighted_bce_dice_loss",
+    ):
+        assert getattr(cl, name) is getattr(losses, name)
     assert set(cl.custom_loss_objects) == {
         "bce_dice_loss", "dice_loss_micro", "dice_loss_macro",
         "focal_loss", "bce_focal_loss", "focal_dice_loss",
