@@ -256,7 +256,10 @@ def main():
     rng = np.random.default_rng(0)
     images_np = rng.integers(0, 255, size=(BATCH, H, W, 1), dtype=np.uint8)
 
-    wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "900"))
+    # Outages last an hour+ (PLAN.md); default to riding out most of one
+    # so a driver-invoked bench still records a number. BENCH_TUNNEL_WAIT_S
+    # tunes/disables the wait.
+    wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "2400"))
     if wait_s > 0 and wait_for_accelerator(max_wait_s=wait_s) == "hang":
         # jax.devices() in THIS process would block forever; a bounded,
         # diagnosable failure beats an indefinite hang for the caller.

@@ -23,10 +23,13 @@ reference):
 from __future__ import annotations
 
 import contextlib
+import functools
 import json
 import logging as log
 import math
 import os
+import re
+import types
 from pathlib import Path
 from typing import Optional
 
@@ -149,7 +152,26 @@ def _stable_json(value):
     while a bare qualname would collapse e.g. two learning-rate
     schedules from the same factory with different rates — silently
     passing the resume mismatch check with a different trajectory."""
-    import functools
+
+    def _object_state(v):
+        """Project a stateful object to its type plus instance
+        attributes; with no introspectable state, stay fail-closed with
+        a process-unique marker (two distinct opaque objects must never
+        compare equal — the fix is plain data in the config)."""
+        state = dict(getattr(v, "__dict__", None) or {})
+        for slot in getattr(type(v), "__slots__", ()) or ():
+            if hasattr(v, slot):
+                state[slot] = getattr(v, slot)
+        if state:
+            try:
+                return {
+                    "type": type(v).__qualname__,
+                    "state": {k: _coerce(x) for k, x in sorted(state.items())},
+                }
+            except (TypeError, ValueError):
+                # unserializable / circular attribute graph
+                pass
+        return {"type": type(v).__qualname__, "opaque": id(v)}
 
     def _project(v):
         if isinstance(v, functools.partial):
@@ -158,17 +180,38 @@ def _stable_json(value):
                 "args": [_coerce(a) for a in v.args],
                 "keywords": {k: _coerce(a) for k, a in sorted(v.keywords.items())},
             }
+        if isinstance(v, types.MethodType):
+            # a bound method's state lives on its receiver
+            return {
+                "method": _project(v.__func__),
+                "self": _object_state(v.__self__),
+            }
+        if not isinstance(
+            v, (types.FunctionType, types.BuiltinFunctionType)
+        ):
+            # A callable INSTANCE (a class with __call__) carries its
+            # call-site state in instance attributes, not closure
+            # cells — a bare class-name projection would collapse e.g.
+            # Sched(1e-3) and Sched(1e-4), failing open.
+            state = _object_state(v)
+            if "opaque" in state and hasattr(v, "__name__"):
+                # a NAMED stateless C callable (e.g. a numpy ufunc) is a
+                # module-level singleton — bare name, like any factory
+                return getattr(v, "__qualname__", v.__name__)
+            return state
         name = getattr(v, "__qualname__", getattr(v, "__name__", type(v).__name__))
         cells = getattr(v, "__closure__", None) or ()
-        if not cells:
-            # A module-level factory carries no call-site state: its
+        if not cells and "<locals>" not in str(name):
+            # A MODULE-LEVEL factory carries no call-site state: its
             # bound data arrives via opt_params / partial keywords
             # (checked separately) and its ``__defaults__`` are
             # library-version noise — embedding them would falsely
             # reject resume after e.g. an optax upgrade that appends a
             # behavior-preserving keyword. The bare name also matches
             # run configs written by older framework versions, which
-            # stored just ``__name__``.
+            # stored just ``__name__``. Nested functions ("<locals>" in
+            # the qualname) are call-site-created, so their defaults ARE
+            # state and fall through to the full projection.
             return name
         closure = []
         for cell in cells:
@@ -177,7 +220,15 @@ def _stable_json(value):
             except ValueError:  # empty cell
                 closure.append("<empty cell>")
         defaults = [_coerce(d) for d in (getattr(v, "__defaults__", None) or ())]
-        return {"fn": name, "closure": closure, "defaults": defaults}
+        out = {"fn": name, "closure": closure, "defaults": defaults}
+        kwdefaults = getattr(v, "__kwdefaults__", None)
+        if kwdefaults:
+            # only when present, so projections of ordinary closures stay
+            # byte-identical to configs saved by earlier versions
+            out["kwdefaults"] = {
+                k: _coerce(x) for k, x in sorted(kwdefaults.items())
+            }
+        return out
 
     def _coerce(v):
         # round-trip nested values through the same projection
@@ -190,8 +241,6 @@ def _stable_json(value):
         # 0x7f...>"), which never match across processes. Scrub ONLY the
         # address pattern (a bare "0x[hex]" scrub would also collapse
         # legitimate hex-literal state like "flags=0x10" vs "0x20").
-        import re
-
         text = re.sub(r"\bat 0x[0-9a-fA-F]+", "at 0x", str(v))
         # qualnames of nested classes contain "<locals>", so match any
         # "<... object at 0x>" default-repr shape, not just dotted names
@@ -199,20 +248,8 @@ def _stable_json(value):
             # A default repr carries no state at all: after the scrub,
             # two DIFFERENT values would compare equal (fail-open,
             # silently voiding the bitwise-identical-resume guarantee).
-            # Project the instance attributes instead; if none are
-            # introspectable, stay fail-closed with a process-unique
-            # marker (the mismatch error shows it, and the fix is to
-            # use plain data in the config).
-            state = dict(getattr(v, "__dict__", None) or {})
-            for slot in getattr(type(v), "__slots__", ()) or ():
-                if hasattr(v, slot):
-                    state[slot] = getattr(v, slot)
-            if state:
-                return {
-                    "type": type(v).__qualname__,
-                    "state": {k: _coerce(x) for k, x in sorted(state.items())},
-                }
-            return {"type": type(v).__qualname__, "opaque": id(v)}
+            # Project the instance attributes instead.
+            return _object_state(v)
         return text
 
     return _coerce(value)

@@ -593,6 +593,41 @@ def test_stable_json_distinguishes_default_repr_object_state(
     assert _stable_json(a) != _stable_json(b)
 
 
+def test_stable_json_projects_callable_instance_state(dataset, tmp_path):
+    """Callable INSTANCES carry their call-site state in instance
+    attributes, not closure cells — a bare class-name projection would
+    collapse Sched(1e-3) and Sched(1e-4) and fail open. Bound methods
+    project their receiver's state; keyword-only defaults of closures
+    are part of a function's bound data."""
+    from oct_image_segmentation_models_tpu.training.training import (
+        _stable_json,
+    )
+
+    class Sched:
+        def __init__(self, rate):
+            self.rate = rate
+
+        def __call__(self, step):
+            return self.rate
+
+        def method(self):
+            return self.rate
+
+    assert _stable_json(Sched(1e-3)) == _stable_json(Sched(1e-3))
+    assert _stable_json(Sched(1e-3)) != _stable_json(Sched(1e-4))
+    assert _stable_json(Sched(1).method) == _stable_json(Sched(1).method)
+    assert _stable_json(Sched(1).method) != _stable_json(Sched(2).method)
+
+    def make(rate):
+        def sched(step, *, scale=rate):
+            return scale
+
+        return sched
+
+    assert _stable_json(make(0.1)) == _stable_json(make(0.1))
+    assert _stable_json(make(0.1)) != _stable_json(make(0.2))
+
+
 def test_resume_config_check_warn_allows_mismatch(dataset, tmp_path):
     """``resume_config_check='warn'`` is the escape hatch for false
     rejections the structural projection can't see through (e.g. a
