@@ -136,6 +136,26 @@ def cmd_evaluate(args):
     print(f"Evaluation complete. Artifacts: {args.output_dir}")
 
 
+def cmd_export(args):
+    from .common.export import export_inference_pipeline
+
+    out = export_inference_pipeline(
+        Path(args.model),
+        Path(args.output),
+        image_height=args.height,
+        image_width=args.width,
+        batch_size=args.batch_size,
+        with_graph_search=not args.no_graph_search,
+        return_maps=not args.no_maps,
+        minpath_tie_parity=args.minpath_tie_parity,
+        optimize=not args.no_optimize,
+        platforms=tuple(args.platforms.split(",")),
+        mlflow_tracking_uri=args.mlflow_tracking_uri,
+        mlflow_run_uuid=args.mlflow_run_uuid,
+    )
+    print(f"Exported StableHLO inference artifact: {out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="octseg", description="TPU-native OCT image segmentation"
@@ -187,6 +207,31 @@ def main(argv=None):
     p_eval.add_argument("--mlflow-tracking-uri", default=None)
     p_eval.add_argument("--mlflow-run-uuid", default=None)
     p_eval.set_defaults(func=cmd_evaluate)
+
+    p_exp = sub.add_parser(
+        "export",
+        help="export a trained model's fused inference pipeline to a "
+        "self-contained StableHLO deployment artifact",
+    )
+    p_exp.add_argument("model")
+    p_exp.add_argument("output")
+    p_exp.add_argument("--height", type=int, default=None)
+    p_exp.add_argument("--width", type=int, default=None)
+    p_exp.add_argument("--batch-size", type=int, default=8)
+    p_exp.add_argument("--no-graph-search", action="store_true")
+    p_exp.add_argument("--no-maps", action="store_true")
+    p_exp.add_argument("--no-optimize", action="store_true")
+    p_exp.add_argument(
+        "--minpath-tie-parity", choices=("exact", "fast"), default="exact"
+    )
+    p_exp.add_argument(
+        "--platforms",
+        default="cpu,tpu",
+        help="comma-separated jax platforms the artifact targets",
+    )
+    p_exp.add_argument("--mlflow-tracking-uri", default=None)
+    p_exp.add_argument("--mlflow-run-uuid", default=None)
+    p_exp.set_defaults(func=cmd_export)
 
     args = parser.parse_args(argv)
     return args.func(args)

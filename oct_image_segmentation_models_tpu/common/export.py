@@ -1,0 +1,227 @@
+"""Ahead-of-time deployment artifacts for the inference pipeline.
+
+Serializes the full fused segmentation chain — preprocess -> model
+forward -> softmax/argmax -> boundary maps -> min-path delineation
+(:func:`..ops.inference.make_fused_pipeline`) — to a self-contained
+StableHLO artifact via ``jax.export``, with the trained weights embedded
+as constants. The artifact runs with NO model source, Flax modules, or
+checkpoint files at serving time: ``load_exported_pipeline`` needs only
+jax and the bytes.
+
+This is a beyond-reference capability: the reference ships Keras HDF5
+checkpoints (`common/utils.py:26-70`) that require the full TF/Keras
+stack plus the package's model classes to serve. A StableHLO artifact is
+the TPU-native deployment unit — versioned, hermetic, and loadable on
+any jax platform the artifact was lowered for.
+
+The exported chain pins ``minpath_backend="xla"`` (the pure-XLA DP scan,
+bit-identical to the Pallas kernel's "exact" mode on supported maps): a
+serialized Pallas custom call would tie the artifact to one TPU
+generation and be rejected by ``jax.export``'s portability checks,
+while the XLA path is plain StableHLO and can target several platforms
+in one artifact (default cpu+tpu).
+
+Container format: HDF5 (the framework's idiom) with one ``stablehlo``
+byte dataset and a JSON metadata attribute (format version, model
+name/config, input spec, pipeline flags).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+EXPORT_FORMAT_VERSION = 1
+
+_METADATA_KEY = "octseg_export"
+
+
+def export_inference_pipeline(
+    model_path,
+    out_path,
+    *,
+    image_height: int = None,
+    image_width: int = None,
+    batch_size: int = 8,
+    with_graph_search: bool = True,
+    return_maps: bool = True,
+    bg_ilm: bool = True,
+    bg_csi: bool = False,
+    max_grad: int = 1,
+    minpath_tie_parity: str = "exact",
+    optimize: bool = True,
+    platforms=("cpu", "tpu"),
+    mlflow_tracking_uri=None,
+    mlflow_run_uuid=None,
+) -> Path:
+    """Export a trained model's fused inference pipeline to ``out_path``.
+
+    ``image_height``/``image_width`` default to the geometry recorded in
+    the model config. ``optimize=True`` exports the s2d-transformed conv
+    stack for eligible U-Nets (or the BN-folded DeepLabV3+ forward) —
+    the same fast paths :class:`..prediction.streaming.VolumeSegmenter`
+    serves. Returns the written path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import get_model_class
+    from ..ops.inference import make_fused_pipeline
+    from .model_io import load_model_and_config
+
+    loaded, model_config = load_model_and_config(
+        model_path,
+        mlflow_tracking_uri=mlflow_tracking_uri,
+        mlflow_run_uuid=mlflow_run_uuid,
+    )
+    container = get_model_class(loaded.name)(**model_config)
+    height = image_height or model_config.get("image_height")
+    width = image_width or model_config.get("image_width")
+    channels = model_config.get("input_channels", 1)
+    if not height or not width:
+        raise ValueError(
+            "image_height/image_width must be given when the model config "
+            "records no geometry"
+        )
+    model_div = 2 ** getattr(container, "pool_layers", 0)
+    if height % model_div or width % model_div:
+        raise ValueError(
+            f"export geometry {height}x{width} must be a multiple of "
+            f"{model_div} (the model's 2**pool_layers downsampling factor)"
+        )
+
+    labels_fn = None
+    apply_fn = None
+    forward_variables = loaded.variables
+    if optimize:
+        from ..models.deeplabv3plus import maybe_build_folded_apply
+        from ..ops.s2d_unet import maybe_build_s2d_apply
+
+        labels_fn, _s2d_div = maybe_build_s2d_apply(
+            loaded.module,
+            loaded.variables,
+            model_config,
+            output="labels_s2d",
+        )
+        if labels_fn is None:
+            apply_fn, folded_vars = maybe_build_folded_apply(
+                loaded.module, loaded.variables
+            )
+            if folded_vars is not None:
+                forward_variables = folded_vars
+
+    pipeline = make_fused_pipeline(
+        loaded.module,
+        container.get_preprocess_input_fn(),
+        bg_ilm=bg_ilm,
+        bg_csi=bg_csi,
+        max_grad=max_grad,
+        with_graph_search=with_graph_search,
+        return_maps=return_maps,
+        minpath_backend="xla",
+        minpath_tie_parity=minpath_tie_parity,
+        apply_fn=apply_fn,
+        labels_apply_fn=labels_fn,
+        num_classes=loaded.output_classes,
+    )
+
+    # Weights close over the traced function -> embedded as StableHLO
+    # constants: the artifact is self-contained. (The >~100 MB captured-
+    # constant limit documented in PLAN.md is a REMOTE-COMPILE transport
+    # bound; export only lowers locally and never compiles.)
+    host_variables = jax.device_get(forward_variables)
+
+    def run(images_u8):
+        return pipeline(host_variables, images_u8)
+
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, height, width, channels), jnp.uint8
+    )
+    exported = jax.export.export(jax.jit(run), platforms=list(platforms))(
+        spec
+    )
+    blob = exported.serialize()
+
+    metadata = {
+        "format_version": EXPORT_FORMAT_VERSION,
+        "model_name": loaded.name,
+        "model_config": model_config,
+        "input_shape": [batch_size, height, width, channels],
+        "input_dtype": "uint8",
+        "platforms": list(platforms),
+        "with_graph_search": with_graph_search,
+        "return_maps": return_maps,
+        "bg_ilm": bg_ilm,
+        "bg_csi": bg_csi,
+        "max_grad": max_grad,
+        "minpath_tie_parity": minpath_tie_parity,
+        "optimized_forward": (
+            "s2d" if labels_fn is not None
+            else "folded" if apply_fn is not None
+            else "parity"
+        ),
+        "jax_version": jax.__version__,
+    }
+    out_path = Path(out_path)
+    with h5py.File(out_path, "w") as fh:
+        fh.create_dataset(
+            "stablehlo", data=np.frombuffer(blob, dtype=np.uint8)
+        )
+        fh.attrs[_METADATA_KEY] = json.dumps(metadata)
+    return out_path
+
+
+class ExportedPipeline:
+    """A deserialized deployment artifact.
+
+    Calling it with a ``(B, H, W, C)`` uint8 batch (the exact exported
+    shape) returns ``(labels u8, boundary maps u8 | None,
+    delineations u16 | None)`` — the :func:`make_fused_pipeline`
+    contract. ``metadata`` carries the export-time record.
+    """
+
+    def __init__(self, exported, metadata: dict):
+        import jax
+
+        self.metadata = metadata
+        self._exported = exported
+        self._call = jax.jit(exported.call)
+
+    @property
+    def input_shape(self):
+        return tuple(self.metadata["input_shape"])
+
+    def __call__(self, images_u8):
+        images_u8 = np.asarray(images_u8)
+        if images_u8.shape != self.input_shape:
+            raise ValueError(
+                f"exported pipeline was lowered for input shape "
+                f"{self.input_shape}, got {images_u8.shape}; re-export "
+                "with the desired batch/geometry"
+            )
+        return self._call(images_u8.astype(np.uint8))
+
+
+def load_exported_pipeline(path) -> ExportedPipeline:
+    """Load an artifact written by :func:`export_inference_pipeline`."""
+    import jax
+
+    with h5py.File(path, "r") as fh:
+        if _METADATA_KEY not in fh.attrs or "stablehlo" not in fh:
+            raise ValueError(
+                f"{path} is not an octseg export artifact (missing "
+                f"{_METADATA_KEY!r} metadata or 'stablehlo' payload)"
+            )
+        metadata = json.loads(fh.attrs[_METADATA_KEY])
+        blob = bytes(np.asarray(fh["stablehlo"]).tobytes())
+    version = metadata.get("format_version")
+    if version != EXPORT_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported export format version {version} "
+            f"(this build reads version {EXPORT_FORMAT_VERSION})"
+        )
+    exported = jax.export.deserialize(bytearray(blob))
+    return ExportedPipeline(exported, metadata)

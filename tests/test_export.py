@@ -1,0 +1,160 @@
+"""StableHLO deployment artifacts (common/export.py): round trip,
+bit-parity with the live pipeline, validation errors, CLI surface.
+
+Beyond-reference capability (the reference serves from Keras HDF5 +
+the full TF stack, `common/utils.py:26-70`); exports pin the portable
+XLA min-path backend so the artifact contains no Pallas custom calls.
+"""
+
+import json
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from oct_image_segmentation_models_tpu.common.export import (
+    EXPORT_FORMAT_VERSION,
+    export_inference_pipeline,
+    load_exported_pipeline,
+)
+from oct_image_segmentation_models_tpu.common.model_io import (
+    load_model_and_config,
+    save_model,
+)
+from oct_image_segmentation_models_tpu.models import get_model_class
+from oct_image_segmentation_models_tpu.ops.inference import (
+    make_fused_pipeline,
+)
+
+H = W = 32
+
+
+@pytest.fixture(scope="module")
+def unet_checkpoint(tmp_path_factory):
+    root = tmp_path_factory.mktemp("export_model")
+    cfg = dict(
+        input_channels=1, num_classes=3, image_height=H, image_width=W,
+        start_neurons=2, pool_layers=2,
+    )
+    container = get_model_class("unet")(**cfg)
+    module = container.build_model()
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, H, W, 1), np.float32),
+        training=False,
+    )
+    path = root / "model.hdf5"
+    save_model(path, "unet", container.get_config(), dict(variables))
+    return path
+
+
+def _images(batch=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (batch, H, W, 1), np.uint8)
+
+
+def test_export_round_trip_bit_matches_live_pipeline(
+    unet_checkpoint, tmp_path
+):
+    out = export_inference_pipeline(
+        unet_checkpoint, tmp_path / "exported.hdf5", batch_size=2
+    )
+    ep = load_exported_pipeline(out)
+    assert ep.metadata["model_name"] == "unet"
+    assert ep.metadata["optimized_forward"] == "s2d"
+    assert ep.metadata["platforms"] == ["cpu", "tpu"]
+    assert ep.input_shape == (2, H, W, 1)
+
+    imgs = _images()
+    labels, maps, delins = ep(imgs)
+
+    loaded, cfg = load_model_and_config(unet_checkpoint)
+    from oct_image_segmentation_models_tpu.ops.s2d_unet import (
+        maybe_build_s2d_apply,
+    )
+
+    labels_fn, _ = maybe_build_s2d_apply(
+        loaded.module, loaded.variables, cfg, output="labels_s2d"
+    )
+    container = get_model_class("unet")(**cfg)
+    direct = make_fused_pipeline(
+        loaded.module,
+        container.get_preprocess_input_fn(),
+        minpath_backend="xla",
+        labels_apply_fn=labels_fn,
+        num_classes=loaded.output_classes,
+    )
+    dl, dm, dd = direct(loaded.variables, imgs)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(dl))
+    np.testing.assert_array_equal(np.asarray(maps), np.asarray(dm))
+    np.testing.assert_array_equal(np.asarray(delins), np.asarray(dd))
+
+
+def test_export_parity_forward_and_toggles(unet_checkpoint, tmp_path):
+    out = export_inference_pipeline(
+        unet_checkpoint,
+        tmp_path / "parity.hdf5",
+        batch_size=1,
+        optimize=False,
+        with_graph_search=False,
+        return_maps=False,
+        platforms=("cpu",),
+    )
+    ep = load_exported_pipeline(out)
+    assert ep.metadata["optimized_forward"] == "parity"
+    labels, maps, delins = ep(_images(1))
+    assert np.asarray(labels).shape == (1, H, W)
+    assert maps is None and delins is None
+
+
+def test_export_input_validation(unet_checkpoint, tmp_path):
+    out = export_inference_pipeline(
+        unet_checkpoint, tmp_path / "exported.hdf5", batch_size=2
+    )
+    ep = load_exported_pipeline(out)
+    with pytest.raises(ValueError, match="lowered for input shape"):
+        ep(_images(1))
+
+    with pytest.raises(ValueError, match="multiple of"):
+        export_inference_pipeline(
+            unet_checkpoint,
+            tmp_path / "bad_geom.hdf5",
+            image_height=30,  # not divisible by 2**pool_layers
+            image_width=W,
+        )
+
+
+def test_export_artifact_format_checks(unet_checkpoint, tmp_path):
+    not_artifact = tmp_path / "not_artifact.hdf5"
+    with h5py.File(not_artifact, "w") as fh:
+        fh.create_dataset("x", data=np.zeros(3))
+    with pytest.raises(ValueError, match="not an octseg export artifact"):
+        load_exported_pipeline(not_artifact)
+
+    out = export_inference_pipeline(
+        unet_checkpoint, tmp_path / "exported.hdf5", batch_size=1
+    )
+    with h5py.File(out, "r+") as fh:
+        meta = json.loads(fh.attrs["octseg_export"])
+        meta["format_version"] = EXPORT_FORMAT_VERSION + 1
+        fh.attrs["octseg_export"] = json.dumps(meta)
+    with pytest.raises(ValueError, match="unsupported export format"):
+        load_exported_pipeline(out)
+
+
+def test_export_cli(unet_checkpoint, tmp_path, capsys):
+    from oct_image_segmentation_models_tpu.cli import main
+
+    out = tmp_path / "cli_export.hdf5"
+    main(
+        [
+            "export", str(unet_checkpoint), str(out),
+            "--batch-size", "1", "--platforms", "cpu",
+            "--minpath-tie-parity", "fast",
+        ]
+    )
+    assert "Exported StableHLO" in capsys.readouterr().out
+    ep = load_exported_pipeline(out)
+    assert ep.metadata["minpath_tie_parity"] == "fast"
+    labels, maps, delins = ep(_images(1))
+    assert np.asarray(delins).shape == (1, 2, W)
