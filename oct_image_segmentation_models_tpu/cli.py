@@ -144,7 +144,7 @@ def cmd_export(args):
         Path(args.output),
         image_height=args.height,
         image_width=args.width,
-        batch_size=args.batch_size,
+        batch_size=None if args.dynamic_batch else args.batch_size,
         with_graph_search=not args.no_graph_search,
         return_maps=not args.no_maps,
         minpath_tie_parity=args.minpath_tie_parity,
@@ -218,6 +218,12 @@ def main(argv=None):
     p_exp.add_argument("--height", type=int, default=None)
     p_exp.add_argument("--width", type=int, default=None)
     p_exp.add_argument("--batch-size", type=int, default=8)
+    p_exp.add_argument(
+        "--dynamic-batch",
+        action="store_true",
+        help="lower with a symbolic batch dimension: one artifact "
+        "serves any batch size",
+    )
     p_exp.add_argument("--no-graph-search", action="store_true")
     p_exp.add_argument("--no-maps", action="store_true")
     p_exp.add_argument("--no-optimize", action="store_true")

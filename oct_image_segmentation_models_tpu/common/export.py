@@ -63,7 +63,10 @@ def export_inference_pipeline(
     the model config. ``optimize=True`` exports the s2d-transformed conv
     stack for eligible U-Nets (or the BN-folded DeepLabV3+ forward) —
     the same fast paths :class:`..prediction.streaming.VolumeSegmenter`
-    serves. Returns the written path.
+    serves. ``batch_size=None`` lowers with a SYMBOLIC batch dimension
+    (``jax.export.symbolic_args_specs``): one artifact then serves any
+    batch size, at the cost of shape-specialized compilation happening
+    at serving time per distinct batch. Returns the written path.
     """
     import jax
     import jax.numpy as jnp
@@ -137,9 +140,15 @@ def export_inference_pipeline(
     def run(images_u8):
         return pipeline(host_variables, images_u8)
 
-    spec = jax.ShapeDtypeStruct(
-        (batch_size, height, width, channels), jnp.uint8
-    )
+    if batch_size is None:
+        abstract = jax.ShapeDtypeStruct((1, height, width, channels), jnp.uint8)
+        (spec,) = jax.export.symbolic_args_specs(
+            (abstract,), f"b, {height}, {width}, {channels}"
+        )
+    else:
+        spec = jax.ShapeDtypeStruct(
+            (batch_size, height, width, channels), jnp.uint8
+        )
     exported = jax.export.export(jax.jit(run), platforms=list(platforms))(
         spec
     )
@@ -196,11 +205,22 @@ class ExportedPipeline:
 
     def __call__(self, images_u8):
         images_u8 = np.asarray(images_u8)
-        if images_u8.shape != self.input_shape:
+        expected = self.input_shape
+        got = images_u8.shape
+        fixed_ok = got == expected
+        # symbolic-batch artifacts record a null batch entry: any
+        # batch >= 1 with the exported geometry is valid
+        symbolic_ok = (
+            expected[0] is None
+            and len(got) == len(expected)
+            and got[0] >= 1
+            and got[1:] == expected[1:]
+        )
+        if not (fixed_ok or symbolic_ok):
             raise ValueError(
                 f"exported pipeline was lowered for input shape "
-                f"{self.input_shape}, got {images_u8.shape}; re-export "
-                "with the desired batch/geometry"
+                f"{expected}, got {got}; re-export with the desired "
+                "batch/geometry"
             )
         return self._call(images_u8.astype(np.uint8))
 

@@ -107,6 +107,42 @@ def test_export_parity_forward_and_toggles(unet_checkpoint, tmp_path):
     assert maps is None and delins is None
 
 
+def test_export_symbolic_batch(unet_checkpoint, tmp_path):
+    """batch_size=None lowers a symbolic batch dim: one artifact serves
+    any batch size, bit-identical to the live pipeline at each."""
+    out = export_inference_pipeline(
+        unet_checkpoint, tmp_path / "dyn.hdf5", batch_size=None
+    )
+    ep = load_exported_pipeline(out)
+    assert ep.input_shape == (None, H, W, 1)
+
+    loaded, cfg = load_model_and_config(unet_checkpoint)
+    from oct_image_segmentation_models_tpu.ops.s2d_unet import (
+        maybe_build_s2d_apply,
+    )
+
+    labels_fn, _ = maybe_build_s2d_apply(
+        loaded.module, loaded.variables, cfg, output="labels_s2d"
+    )
+    container = get_model_class("unet")(**cfg)
+    direct = make_fused_pipeline(
+        loaded.module,
+        container.get_preprocess_input_fn(),
+        minpath_backend="xla",
+        labels_apply_fn=labels_fn,
+        num_classes=loaded.output_classes,
+    )
+    for batch in (1, 3):
+        imgs = _images(batch, seed=batch)
+        labels, _maps, delins = ep(imgs)
+        dl, _dm, dd = direct(loaded.variables, imgs)
+        np.testing.assert_array_equal(np.asarray(labels), np.asarray(dl))
+        np.testing.assert_array_equal(np.asarray(delins), np.asarray(dd))
+
+    with pytest.raises(ValueError, match="lowered for input shape"):
+        ep(np.zeros((2, H, W // 2, 1), np.uint8))
+
+
 def test_export_input_validation(unet_checkpoint, tmp_path):
     out = export_inference_pipeline(
         unet_checkpoint, tmp_path / "exported.hdf5", batch_size=2
