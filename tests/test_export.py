@@ -143,6 +143,57 @@ def test_export_symbolic_batch(unet_checkpoint, tmp_path):
         ep(np.zeros((2, H, W // 2, 1), np.uint8))
 
 
+def test_export_deeplab_folded_forward(tmp_path):
+    """DeepLabV3+ exports through the BN-folded fast path and the
+    artifact's labels match the live folded pipeline."""
+    cfg = dict(
+        input_channels=3, num_classes=3, image_height=64, image_width=64
+    )
+    container = get_model_class("deeplabv3plus")(**cfg)
+    module = container.build_model()
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        training=False,
+    )
+    path = tmp_path / "deeplab.hdf5"
+    save_model(path, "deeplabv3plus", container.get_config(), dict(variables))
+
+    out = export_inference_pipeline(
+        path,
+        tmp_path / "deeplab_exported.hdf5",
+        batch_size=1,
+        with_graph_search=False,
+        return_maps=False,
+        platforms=("cpu",),
+    )
+    ep = load_exported_pipeline(out)
+    assert ep.metadata["optimized_forward"] == "folded"
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    labels, maps, delins = ep(imgs)
+    assert maps is None and delins is None
+
+    from oct_image_segmentation_models_tpu.models.deeplabv3plus import (
+        maybe_build_folded_apply,
+    )
+
+    loaded, lcfg = load_model_and_config(path)
+    fold_fn, folded_vars = maybe_build_folded_apply(
+        loaded.module, loaded.variables
+    )
+    direct = make_fused_pipeline(
+        loaded.module,
+        container.get_preprocess_input_fn(),
+        with_graph_search=False,
+        return_maps=False,
+        minpath_backend="xla",
+        apply_fn=fold_fn,
+    )
+    dl, _dm, _dd = direct(folded_vars, imgs)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(dl))
+
+
 def test_export_input_validation(unet_checkpoint, tmp_path):
     out = export_inference_pipeline(
         unet_checkpoint, tmp_path / "exported.hdf5", batch_size=2
