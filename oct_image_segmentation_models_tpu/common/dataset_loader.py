@@ -24,18 +24,24 @@ def _labels_from_segs(segs: np.ndarray, image_height: int) -> np.ndarray:
     return masks[..., None].astype(np.uint8)  # (N, H, W, 1)
 
 
-def _load_split(hdf5_data_file, split: str):
-    images = hdf5_data_file[f"{split}_images"][:]
+def _load_split(hdf5_data_file, split: str, sample_slice: slice = None):
+    """Load one split; ``sample_slice`` restricts the read to a sample
+    subset AT THE H5PY LAYER (h5py slices read only the selected rows),
+    so a multi-host shard never materializes the full dataset."""
+    sel = slice(None) if sample_slice is None else sample_slice
+    images = hdf5_data_file[f"{split}_images"][sel]
     if images.ndim == 3:
         images = images[..., None]
     labels_key = f"{split}_labels"
     segs_key = f"{split}_segs"
     if labels_key in hdf5_data_file:
-        labels = hdf5_data_file[labels_key][:]
+        labels = hdf5_data_file[labels_key][sel]
         if labels.ndim == 3:
             labels = labels[..., None]
     elif segs_key in hdf5_data_file:
-        labels = _labels_from_segs(hdf5_data_file[segs_key][:], images.shape[1])
+        labels = _labels_from_segs(
+            hdf5_data_file[segs_key][sel], images.shape[1]
+        )
     else:
         raise KeyError(
             f"Dataset must contain '{labels_key}' or '{segs_key}'"

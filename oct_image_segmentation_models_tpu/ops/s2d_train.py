@@ -203,9 +203,9 @@ class S2DTrainForward:
             ).sum(axis=2)
         a_in, a_out = {"A": (0, 1), "B": (1, 0), "C": (0, 0)}[kind]
         nh, nw = x.shape[1], x.shape[2]
+        # presum is only used with kind "C" (a_in == a_out == 0), so the
+        # general formula already covers it — no geometry special case
         n_out_h, n_out_w = nh + (a_out - a_in), nw + (a_out - a_in)
-        if presum:
-            n_out_h, n_out_w = nh + a_out, nw + a_out
         pad = (
             _block_pad(nh, n_out_h, maps[3]),
             _block_pad(nw, n_out_w, maps[4]),

@@ -50,10 +50,11 @@ class ShardedHDF5Reader:
     def load(self):
         from ..common.dataset_loader import _load_split
 
-        with h5py.File(self.path, "r") as f:
-            images, labels = _load_split(f, self.split)
+        # The strided shard is selected inside the h5py read, so each
+        # host only ever materializes its own 1/P of the split.
         shard = slice(self.process_index, None, self.process_count)
-        return images[shard], labels[shard]
+        with h5py.File(self.path, "r") as f:
+            return _load_split(f, self.split, sample_slice=shard)
 
 
 def prefetch_to_mesh(
@@ -69,13 +70,19 @@ def prefetch_to_mesh(
     _done = object()
 
     def producer():
-        for batch in batches:
-            space.acquire()
-            if cancelled.is_set():
-                return
-            queue.append(shard_batch(batch, mesh))
-            lock.release()
-        queue.append(_done)
+        # Any failure (source iterator raising, device_put during a
+        # tunnel outage) must reach the consumer: a silently-dead
+        # producer would leave it blocked on `lock` forever.
+        try:
+            for batch in batches:
+                space.acquire()
+                if cancelled.is_set():
+                    return
+                queue.append(shard_batch(batch, mesh))
+                lock.release()
+            queue.append(_done)
+        except BaseException as exc:  # re-raised on the consumer side
+            queue.append(exc)
         lock.release()
 
     thread = threading.Thread(target=producer, daemon=True)
@@ -87,6 +94,8 @@ def prefetch_to_mesh(
             item = queue.popleft()
             if item is _done:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
             space.release()
     finally:

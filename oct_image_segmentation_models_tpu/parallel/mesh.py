@@ -27,15 +27,17 @@ def create_mesh(
     return Mesh(np.array(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: str = None) -> NamedSharding:
+    """Leading-axis sharding over the mesh's (single) axis; the default
+    uses the name BOUND ON THE MESH, so custom-named meshes compose."""
+    return NamedSharding(mesh, P(axis_name or mesh.axis_names[0]))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+def shard_batch(batch, mesh: Mesh, axis_name: str = None):
     """Device_put pytree leaves with the leading axis sharded over the mesh.
 
     A single-device mesh uses plain placement: arrays carrying a
@@ -64,8 +66,3 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
-
-
-def pad_to_multiple(batch_size: int, num_devices: int) -> int:
-    """Smallest multiple of ``num_devices`` >= batch_size."""
-    return ((batch_size + num_devices - 1) // num_devices) * num_devices

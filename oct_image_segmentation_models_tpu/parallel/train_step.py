@@ -31,11 +31,19 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import DATA_AXIS
-
-
 def _shard_map(f, mesh, in_specs, out_specs):
     return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def _mesh_axis(mesh: Mesh) -> str:
+    """The mesh's data axis name. Collectives and specs must use the
+    NAME BOUND ON THE MESH (create_mesh accepts a custom axis_name);
+    hardcoding DATA_AXIS would fail at trace time on such meshes."""
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"expected a 1-D data-parallel mesh, got axes {mesh.axis_names}"
+        )
+    return mesh.axis_names[0]
 
 
 class TrainState(NamedTuple):
@@ -88,11 +96,12 @@ def make_train_step(
         )
     if impl != "shard_map":
         raise ValueError(f"unknown train step impl: {impl}")
+    axis = _mesh_axis(mesh)
 
     def local_step(state: TrainState, images, labels, rng, choices=None):
         # Per-device batch shard; fold the data-axis index into the dropout
         # key so replicas draw independent masks.
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         if input_transform is not None:
             rng, aug_rng = jax.random.split(rng)
             images, labels = input_transform(aug_rng, images, labels, choices)
@@ -111,10 +120,10 @@ def make_train_step(
             compute_loss, has_aux=True
         )(state.params)
 
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
-        metric = jax.lax.pmean(metric_fn(labels, out), DATA_AXIS)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)
+        metric = jax.lax.pmean(metric_fn(labels, out), axis)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -124,9 +133,9 @@ def make_train_step(
             metric,
         )
 
-    in_specs = (P(), P(DATA_AXIS), P(DATA_AXIS), P())
+    in_specs = (P(), P(axis), P(axis), P())
     if input_transform is not None:
-        in_specs = in_specs + (P(DATA_AXIS),)
+        in_specs = in_specs + (P(axis),)
     sharded = _shard_map(
         local_step,
         mesh,
@@ -199,6 +208,7 @@ def make_eval_step(
         return jax.jit(step)
     if impl != "shard_map":
         raise ValueError(f"unknown eval step impl: {impl}")
+    axis = _mesh_axis(mesh)
 
     def local_step(state: TrainState, images, labels):
         out = module.apply(
@@ -207,14 +217,14 @@ def make_eval_step(
             training=False,
         )
         return (
-            jax.lax.pmean(loss_fn(labels, out), DATA_AXIS),
-            jax.lax.pmean(metric_fn(labels, out), DATA_AXIS),
+            jax.lax.pmean(loss_fn(labels, out), axis),
+            jax.lax.pmean(metric_fn(labels, out), axis),
         )
 
     sharded = _shard_map(
         local_step,
         mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P()),
     )
     return jax.jit(sharded)
@@ -244,5 +254,10 @@ def build_optimizer(opt_con, opt_params: dict) -> optax.GradientTransformation:
     }
     if name not in factories:
         raise ValueError(f"Unknown optimizer: {opt_con}")
-    params.setdefault("learning_rate", 1e-3)
+    # Keras default learning rates (the surface opt_params mirrors):
+    # every optimizer here defaults to 1e-3 EXCEPT SGD's 0.01.
+    params.setdefault("learning_rate", 0.01 if name == "sgd" else 1e-3)
+    if name == "rmsprop" and "rho" in params:
+        # Keras RMSprop calls optax's ``decay`` "rho"
+        params["decay"] = params.pop("rho")
     return factories[name](**params)

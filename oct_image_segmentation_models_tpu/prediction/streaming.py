@@ -47,6 +47,18 @@ class VolumeSegmenter:
                 f"batch_size={batch_size} must be a multiple of the mesh "
                 f"size ({mesh.devices.size}) for data-parallel inference"
             )
+        if mesh is not None:
+            import jax
+
+            if jax.process_count() > 1:
+                # prefetch_to_mesh would treat each process's FULL batch
+                # as its local shard, silently duplicating every B-scan
+                # process_count times in the global batch.
+                raise NotImplementedError(
+                    "VolumeSegmenter(mesh=...) is single-controller; for "
+                    "multi-host serving, slice the volume per process and "
+                    "run one segmenter per process on its local devices"
+                )
         container = get_model_class(loaded_model.name)(**model_config)
         # Divisibility requirement of the conv stack, taken from the
         # container (which has normalized config defaults applied).
@@ -60,7 +72,7 @@ class VolumeSegmenter:
         # stack's HBM traffic (head/softmax stay float32); boundary rows
         # shift only where class probabilities are near-tied — see
         # tests/test_s2d_unet.py for the accuracy-tolerance check.
-        labels_fn, self._s2d_div = (None, 1)
+        labels_fn = None
         apply_fn = None
         forward_variables = loaded_model.variables
         if optimize:
@@ -69,7 +81,7 @@ class VolumeSegmenter:
             from ..models.deeplabv3plus import maybe_build_folded_apply
             from ..ops.s2d_unet import maybe_build_s2d_apply
 
-            labels_fn, self._s2d_div = maybe_build_s2d_apply(
+            labels_fn, _s2d_div = maybe_build_s2d_apply(
                 loaded_model.module,
                 loaded_model.variables,
                 model_config,
@@ -132,6 +144,11 @@ class VolumeSegmenter:
         Returns ``(labels u8 (N, H, W), boundary rows u16 (N, M, W))``.
         """
         n = volume.shape[0]
+        if n == 0:
+            raise ValueError(
+                "segment_volume requires at least one B-scan "
+                "(got an empty volume)"
+            )
         b = self.batch_size
         pad = (-n) % b
         if pad:

@@ -153,6 +153,112 @@ def test_sharded_reader_and_prefetch(tmp_path):
             raise AssertionError("prefetch producer thread did not exit")
         time.sleep(0.01)
 
+    # A failing SOURCE (HDF5 read error, device_put during a tunnel
+    # outage) must surface on the consumer side — a silently-dead
+    # producer would leave the consumer blocked forever.
+    def failing_source():
+        yield batches[0]
+        raise RuntimeError("source died")
+
+    gen = prefetch_to_mesh(failing_source(), mesh, size=2)
+    next(gen)
+    with pytest.raises(RuntimeError, match="source died"):
+        for _ in gen:
+            pass
+
+
+def test_sharded_reader_strided_slice_matches_full_read(tmp_path):
+    """The shard is selected inside the h5py read (each host only
+    materializes its 1/P of the split) and must equal the strided
+    slice of a full read."""
+    import h5py
+
+    from oct_image_segmentation_models_tpu.common.dataset_loader import (
+        _load_split,
+    )
+    from oct_image_segmentation_models_tpu.parallel.input_pipeline import (
+        ShardedHDF5Reader,
+    )
+
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=9, n_val=2, n_test=2)
+    with h5py.File(ds, "r") as f:
+        full_images, full_labels = _load_split(f, "train")
+    for p in range(3):
+        images, labels = ShardedHDF5Reader(
+            ds, "train", process_index=p, process_count=3
+        ).load()
+        np.testing.assert_array_equal(images, full_images[p::3])
+        np.testing.assert_array_equal(labels, full_labels[p::3])
+
+
+def test_build_optimizer_keras_defaults_and_renames():
+    """SGD defaults to Keras' 0.01 (not a blanket 1e-3) and Keras
+    RMSprop's ``rho`` maps to optax's ``decay``."""
+    import optax
+
+    from oct_image_segmentation_models_tpu.parallel.train_step import (
+        build_optimizer,
+    )
+
+    params = {"w": np.ones(3, np.float32)}
+    grads = {"w": np.ones(3, np.float32)}
+
+    sgd = build_optimizer("sgd", {})
+    updates, _ = sgd.update(grads, sgd.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.01, rtol=1e-6)
+
+    rms = build_optimizer("rmsprop", {"rho": 0.5})
+    ref = optax.rmsprop(learning_rate=1e-3, decay=0.5)
+    u1, _ = rms.update(grads, rms.init(params), params)
+    u2, _ = ref.update(grads, ref.init(params), params)
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]))
+
+
+def test_train_step_honors_custom_mesh_axis_name():
+    """Collectives/specs must use the name bound on the mesh —
+    create_mesh(axis_name=...) composes with make_train_step."""
+    import jax
+    import jax.numpy as jnp
+
+    from oct_image_segmentation_models_tpu.parallel.mesh import (
+        create_mesh, shard_batch,
+    )
+    from oct_image_segmentation_models_tpu.parallel.train_step import (
+        build_optimizer, create_train_state, make_eval_step, make_train_step,
+    )
+
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, training=False):
+            x = nn.Dense(2)(x)
+            return nn.BatchNorm(use_running_average=not training)(x)
+
+    module = Tiny()
+    variables = dict(module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 3), np.float32), training=False
+    ))
+    tx = build_optimizer("sgd", {})
+    mesh = create_mesh(axis_name="replicas")
+    state = create_train_state(variables, tx, mesh)
+
+    def loss_fn(labels, out):
+        return jnp.mean((out - labels) ** 2)
+
+    step = make_train_step(
+        module, tx, loss_fn, loss_fn, mesh, impl="shard_map"
+    )
+    n = mesh.devices.size
+    images = shard_batch(np.zeros((2 * n, 3), np.float32), mesh)
+    labels = shard_batch(np.zeros((2 * n, 2), np.float32), mesh)
+    state, loss, metric = step(state, images, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    eval_step = make_eval_step(module, loss_fn, loss_fn, mesh,
+                               impl="shard_map")
+    loss, metric = eval_step(state, images, labels)
+    assert np.isfinite(float(loss))
+
 
 def test_streaming_volume(tmp_path):
     from oct_image_segmentation_models_tpu.common.model_io import (
@@ -179,6 +285,9 @@ def test_streaming_volume(tmp_path):
 
     with pytest.raises(ValueError, match="pool_layers"):
         seg.segment_volume(volume[:, :14])
+
+    with pytest.raises(ValueError, match="empty volume"):
+        seg.segment_volume(volume[:0])
 
     # bfloat16 conv stack: same shapes, labels near-identical at tiny size
     seg16 = VolumeSegmenter(
