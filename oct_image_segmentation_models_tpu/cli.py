@@ -149,6 +149,7 @@ def cmd_export(args):
         return_maps=not args.no_maps,
         minpath_tie_parity=args.minpath_tie_parity,
         optimize=not args.no_optimize,
+        compute_dtype=args.compute_dtype,
         platforms=tuple(args.platforms.split(",")),
         mlflow_tracking_uri=args.mlflow_tracking_uri,
         mlflow_run_uuid=args.mlflow_run_uuid,
@@ -229,6 +230,12 @@ def main(argv=None):
     p_exp.add_argument("--no-optimize", action="store_true")
     p_exp.add_argument(
         "--minpath-tie-parity", choices=("exact", "fast"), default="exact"
+    )
+    p_exp.add_argument(
+        "--compute-dtype",
+        choices=("float32", "bfloat16"),
+        default="float32",
+        help="conv-stack dtype on the optimized fast paths",
     )
     p_exp.add_argument(
         "--platforms",

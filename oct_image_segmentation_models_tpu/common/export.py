@@ -53,6 +53,7 @@ def export_inference_pipeline(
     max_grad: int = 1,
     minpath_tie_parity: str = "exact",
     optimize: bool = True,
+    compute_dtype: str = "float32",
     platforms=("cpu", "tpu"),
     mlflow_tracking_uri=None,
     mlflow_run_uuid=None,
@@ -96,25 +97,32 @@ def export_inference_pipeline(
             f"{model_div} (the model's 2**pool_layers downsampling factor)"
         )
 
-    labels_fn = None
-    apply_fn = None
-    forward_variables = loaded.variables
+    labels_fn, apply_fn, forward_variables, kind = None, None, loaded.variables, "parity"
     if optimize:
-        from ..models.deeplabv3plus import maybe_build_folded_apply
-        from ..ops.s2d_unet import maybe_build_s2d_apply
+        from ..ops.inference import select_optimized_forward
 
-        labels_fn, _s2d_div = maybe_build_s2d_apply(
-            loaded.module,
-            loaded.variables,
-            model_config,
-            output="labels_s2d",
-        )
-        if labels_fn is None:
-            apply_fn, folded_vars = maybe_build_folded_apply(
-                loaded.module, loaded.variables
+        labels_fn, apply_fn, forward_variables, kind = (
+            select_optimized_forward(
+                loaded.module,
+                loaded.variables,
+                model_config,
+                compute_dtype=compute_dtype,
             )
-            if folded_vars is not None:
-                forward_variables = folded_vars
+        )
+
+    if compute_dtype != "float32" and kind == "parity":
+        # mirrors VolumeSegmenter's guard: the probs fallback always
+        # runs float32, so the requested dtype would be silently ignored
+        reason = (
+            "optimize=False"
+            if not optimize
+            else "the model has no optimized inference variant"
+        )
+        raise ValueError(
+            f"compute_dtype={compute_dtype!r} is only honored by the "
+            f"optimized fast paths (s2d U-Net / BN-folded DeepLabV3+), "
+            f"which are unavailable here ({reason})"
+        )
 
     pipeline = make_fused_pipeline(
         loaded.module,
@@ -167,11 +175,8 @@ def export_inference_pipeline(
         "bg_csi": bg_csi,
         "max_grad": max_grad,
         "minpath_tie_parity": minpath_tie_parity,
-        "optimized_forward": (
-            "s2d" if labels_fn is not None
-            else "folded" if apply_fn is not None
-            else "parity"
-        ),
+        "optimized_forward": kind,
+        "compute_dtype": compute_dtype,
         "jax_version": jax.__version__,
     }
     out_path = Path(out_path)

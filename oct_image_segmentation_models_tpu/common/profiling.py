@@ -22,10 +22,23 @@ import numpy as np
 @contextlib.contextmanager
 def trace(profile_dir: Optional[Path]):
     """Context manager: capture a jax.profiler trace into ``profile_dir``
-    (no-op when None)."""
+    (no-op when None).
+
+    NB: on remote-tunnel transports (e.g. the axon HTTP tunnel used for
+    bench development) ``jax.profiler`` traces are known to hang; prefer
+    K-iteration in-jit timing there (see CLAUDE.md / tools/). A warning
+    is logged so a hung epoch is attributable."""
     if profile_dir is None:
         yield
         return
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "starting jax.profiler trace into %s — on remote-tunnel TPU "
+        "transports this is known to hang; unset profile_dir if the "
+        "run stalls here",
+        profile_dir,
+    )
     profile_dir = Path(profile_dir)
     profile_dir.mkdir(parents=True, exist_ok=True)
     jax.profiler.start_trace(str(profile_dir))
@@ -45,10 +58,19 @@ class DeviceStopwatch:
 
     @staticmethod
     def _sync(value):
-        if value is not None:
-            leaf = jax.tree_util.tree_leaves(value)
-            if leaf:
-                np.asarray(leaf[0]).ravel()[:1]
+        if value is None:
+            return
+        for leaf in jax.tree_util.tree_leaves(value):
+            # Slice ON DEVICE before the host read: np.asarray(leaf)
+            # would transfer the whole buffer (tens of MB through a
+            # tunnel), inflating the measured interval. Every leaf is
+            # synced — on transports where dispatches don't pipeline,
+            # one leaf's completion says nothing about the others'.
+            arr = leaf
+            if hasattr(arr, "ndim"):
+                for _ in range(arr.ndim):
+                    arr = arr[0]
+            np.asarray(arr)
 
     def start(self, value=None):
         self._sync(value)

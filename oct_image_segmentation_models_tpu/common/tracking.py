@@ -71,7 +71,11 @@ class LocalTracker(NullTracker):
     def log_dict(self, d: dict, artifact_path: str):
         if self._folder is None:
             return
-        out = self._folder / Path(artifact_path).name
+        # Preserve the artifact SUBPATH (mirroring MLflow's layout):
+        # flattening to the basename would let two artifacts with the
+        # same filename under different directories overwrite each other.
+        out = self._folder / artifact_path
+        out.parent.mkdir(parents=True, exist_ok=True)
         with open(out, "w") as fh:
             json.dump(d, fh, indent=2, default=str)
 
@@ -144,6 +148,24 @@ def get_tracker(mlflow_params: Optional[MLflowParameters]):
             "falling back to local JSON tracking"
         )
         return LocalTracker()
+    except Exception as exc:
+        # Auth/transport failures (e.g. a wrong MLFLOW_TRACKING_PASSWORD
+        # raising MlflowException from set_experiment) exit with the
+        # credential hint instead of a raw traceback — reference
+        # `training/training.py:148-162`.
+        try:
+            from mlflow.exceptions import MlflowException
+        except Exception:
+            raise exc
+        if isinstance(exc, MlflowException):
+            log.error(
+                "MLflow connection failed: %s — check the tracking URI and "
+                "MLFLOW_TRACKING_USERNAME/MLFLOW_TRACKING_PASSWORD "
+                "credentials",
+                exc,
+            )
+            raise SystemExit(1)
+        raise
 
 
 class TensorBoardWriter:

@@ -12,10 +12,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _flip_axis(flip_type: str) -> int:
+    """Batch-array axis for a flip type; unknown names raise exactly as
+    the host ``flip_aug`` does (`common/augmentation.py:36`) so the
+    device path cannot silently run a different augmentation."""
+    if flip_type == "up-down":
+        return 1
+    if flip_type == "left-right":
+        return 2
+    raise ValueError(f"Unknown flip_type: {flip_type}")
+
+
 def flip(images, labels, flip_type: str = "left-right"):
     """Batched flip; axis semantics match reference `augmentation.py:51-69`
     (axis 0 = up-down, axis 1 = left-right, per sample)."""
-    axis = 1 if flip_type == "up-down" else 2
+    axis = _flip_axis(flip_type)
     return jnp.flip(images, axis=axis), jnp.flip(labels, axis=axis)
 
 
@@ -38,7 +49,7 @@ def add_speckle_noise(rng, images, mean: float = 0.0, variance: float = 0.01):
 
 def random_flip(rng, images, labels, flip_type: str = "left-right", p=0.5):
     """Flip each sample independently with probability ``p``."""
-    axis = 1 if flip_type == "up-down" else 2
+    axis = _flip_axis(flip_type)
     coins = jax.random.bernoulli(rng, p, (images.shape[0],))
     shape_i = (-1,) + (1,) * (images.ndim - 1)
     flipped_i = jnp.flip(images, axis=axis)
@@ -75,7 +86,7 @@ def build_device_augmenter(aug_fn_args):
     branches = []  # fn(rng, images, labels) -> (images, labels), batched
     for fn, arg in aug_fn_args:
         if fn is flip_aug:
-            axis = 1 if arg["flip_type"] == "up-down" else 2
+            axis = _flip_axis(arg["flip_type"])
 
             def mk_flip(axis=axis):
                 def b(rng, img, lab):

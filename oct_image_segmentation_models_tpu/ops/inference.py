@@ -29,6 +29,37 @@ from . import boundary as boundary_ops
 from . import minpath as minpath_ops
 
 
+def select_optimized_forward(
+    module, variables, model_config, compute_dtype: str = "float32"
+):
+    """Single decision point for the optimized inference forward.
+
+    Returns ``(labels_fn, apply_fn, forward_variables, kind)`` where
+    ``kind`` is "s2d" (U-Net space-to-depth labels path — pass
+    ``labels_fn`` to :func:`make_fused_pipeline`'s ``labels_apply_fn``),
+    "folded" (BN-folded DeepLabV3+ — pass ``apply_fn`` and use
+    ``forward_variables`` as the pipeline's weights argument), or
+    "parity" (no fast path; plain ``module.apply``). Shared by the
+    streaming segmenter and the StableHLO exporter so the selection
+    order and dtype plumbing cannot drift between surfaces.
+    """
+    from ..models.deeplabv3plus import maybe_build_folded_apply
+    from .s2d_unet import maybe_build_s2d_apply
+
+    dtype = jnp.dtype(compute_dtype)
+    labels_fn, _s2d_div = maybe_build_s2d_apply(
+        module, variables, model_config, output="labels_s2d", dtype=dtype
+    )
+    if labels_fn is not None:
+        return labels_fn, None, variables, "s2d"
+    apply_fn, folded_vars = maybe_build_folded_apply(
+        module, variables, dtype=dtype
+    )
+    if apply_fn is not None:
+        return None, apply_fn, folded_vars, "folded"
+    return None, None, variables, "parity"
+
+
 class StagedPipeline:
     """Jit-per-stage inference over uint8 image batches.
 

@@ -76,30 +76,20 @@ class VolumeSegmenter:
         apply_fn = None
         forward_variables = loaded_model.variables
         if optimize:
-            import jax.numpy as jnp
+            from ..ops.inference import select_optimized_forward
 
-            from ..models.deeplabv3plus import maybe_build_folded_apply
-            from ..ops.s2d_unet import maybe_build_s2d_apply
-
-            labels_fn, _s2d_div = maybe_build_s2d_apply(
-                loaded_model.module,
-                loaded_model.variables,
-                model_config,
-                output="labels_s2d",
-                dtype=jnp.dtype(compute_dtype),
-            )
-            if labels_fn is None:
-                # DeepLabV3+ fast path: BN folded into the convs,
-                # compute_dtype honored on the backbone (head stays f32).
-                # The folded weights become the pipeline's variables
-                # argument (not jit constants — see make_fused_pipeline).
-                apply_fn, folded_vars = maybe_build_folded_apply(
+            # s2d U-Net labels path, or BN-folded DeepLabV3+ (whose
+            # folded weights become the pipeline's variables argument —
+            # not jit constants, see make_fused_pipeline); compute_dtype
+            # honored on the conv stack/backbone (head stays f32).
+            labels_fn, apply_fn, forward_variables, _kind = (
+                select_optimized_forward(
                     loaded_model.module,
                     loaded_model.variables,
-                    dtype=jnp.dtype(compute_dtype),
+                    model_config,
+                    compute_dtype=compute_dtype,
                 )
-                if folded_vars is not None:
-                    forward_variables = folded_vars
+            )
         if compute_dtype != "float32" and labels_fn is None and apply_fn is None:
             # The probs fallback always runs float32; silently ignoring the
             # requested dtype would misreport the accuracy/memory tradeoff.

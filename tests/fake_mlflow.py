@@ -132,3 +132,12 @@ def _load_dict(artifact_uri: str) -> dict:
 artifacts = types.SimpleNamespace(
     download_artifacts=_download_artifacts, load_dict=_load_dict
 )
+
+
+class MlflowException(Exception):
+    """Mirror of ``mlflow.exceptions.MlflowException`` for the
+    auth-failure exit path (``common/tracking.py get_tracker``)."""
+
+
+exceptions = types.ModuleType("mlflow.exceptions")
+exceptions.MlflowException = MlflowException

@@ -210,6 +210,17 @@ def test_export_input_validation(unet_checkpoint, tmp_path):
             image_width=W,
         )
 
+    # compute_dtype is only honored by the optimized fast paths —
+    # silently exporting a float32 parity forward would misreport the
+    # accuracy/memory tradeoff (same guard as VolumeSegmenter)
+    with pytest.raises(ValueError, match="compute_dtype"):
+        export_inference_pipeline(
+            unet_checkpoint,
+            tmp_path / "bf16_parity.hdf5",
+            optimize=False,
+            compute_dtype="bfloat16",
+        )
+
 
 def test_export_artifact_format_checks(unet_checkpoint, tmp_path):
     not_artifact = tmp_path / "not_artifact.hdf5"

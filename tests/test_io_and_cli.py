@@ -107,7 +107,59 @@ def test_local_tracker(tmp_path):
     tracker.log_dict({"k": "v"}, "model/data/model_config.json")
     assert json.loads((tmp_path / "mlflow_params.json").read_text())["a"] == 1
     assert (tmp_path / "mlflow_metrics.jsonl").exists()
-    assert (tmp_path / "model_config.json").exists()
+    # artifact subpaths are preserved (MLflow layout): same-named files
+    # under different directories must not overwrite each other
+    assert (tmp_path / "model/data/model_config.json").exists()
+    tracker.log_dict({"k": "other"}, "eval/model_config.json")
+    assert json.loads(
+        (tmp_path / "model/data/model_config.json").read_text()
+    )["k"] == "v"
+
+
+def test_get_tracker_mlflow_auth_failure_exits(monkeypatch, tmp_path):
+    """An MlflowException at tracker construction (wrong credentials /
+    unreachable server) exits with the credential hint instead of a raw
+    traceback — reference `training/training.py:148-162`."""
+    import sys
+
+    import fake_mlflow
+
+    from oct_image_segmentation_models_tpu.common import tracking
+    from oct_image_segmentation_models_tpu.common.mlflow_parameters import (
+        MLflowParameters,
+    )
+
+    monkeypatch.setitem(sys.modules, "mlflow", fake_mlflow)
+    monkeypatch.setitem(
+        sys.modules, "mlflow.exceptions", fake_mlflow.exceptions
+    )
+
+    def boom(name):
+        raise fake_mlflow.MlflowException("API request failed: 401")
+
+    monkeypatch.setattr(fake_mlflow, "set_experiment", boom)
+    with pytest.raises(SystemExit):
+        tracking.get_tracker(
+            MLflowParameters(tracking_uri=str(tmp_path), experiment="e")
+        )
+
+
+def test_device_flip_rejects_unknown_flip_type():
+    """The device augmenter validates flip_type exactly as the host
+    flip_aug does — a typo must not silently train with the wrong
+    augmentation (host path raises at the first batch)."""
+    from oct_image_segmentation_models_tpu.common.augmentation import (
+        flip_aug,
+    )
+    from oct_image_segmentation_models_tpu.ops import augment
+
+    with pytest.raises(ValueError, match="Unknown flip_type"):
+        augment.flip(np.zeros((1, 2, 2, 1)), np.zeros((1, 2, 2, 1)),
+                     flip_type="updown")
+    with pytest.raises(ValueError, match="Unknown flip_type"):
+        augment.build_device_augmenter(
+            [(flip_aug, {"flip_type": "updown"})]
+        )
 
 
 def test_sharded_reader_and_prefetch(tmp_path):
