@@ -107,6 +107,7 @@ def cmd_predict(args):
         graph_search=args.graph_search,
         batch_size=args.batch_size,
         minpath_tie_parity=args.minpath_tie_parity,
+        compute_dtype=args.compute_dtype,
     )
     predict(params)
     print(f"Prediction complete. Artifacts: {output_dir}")
@@ -131,6 +132,7 @@ def cmd_evaluate(args):
         gsgrad=args.gsgrad,
         batch_size=args.batch_size,
         minpath_tie_parity=args.minpath_tie_parity,
+        compute_dtype=args.compute_dtype,
     )
     evaluate_model(params)
     print(f"Evaluation complete. Artifacts: {args.output_dir}")
@@ -182,6 +184,12 @@ def main(argv=None):
         "heap; 'fast' is cost-optimal and ~2.9x faster (<0.05 px "
         "worst-case divergence)",
     )
+    p_pred.add_argument(
+        "--compute-dtype",
+        choices=("float32", "bfloat16"),
+        default="float32",
+        help="conv-stack dtype on the optimized fast paths",
+    )
     p_pred.add_argument("--mlflow-tracking-uri", default=None)
     p_pred.add_argument("--mlflow-run-uuid", default=None)
     p_pred.set_defaults(func=cmd_predict)
@@ -204,6 +212,12 @@ def main(argv=None):
         choices=("exact", "fast"),
         default="exact",
         help="min-path tie-break mode (see `octseg predict --help`)",
+    )
+    p_eval.add_argument(
+        "--compute-dtype",
+        choices=("float32", "bfloat16"),
+        default="float32",
+        help="conv-stack dtype on the optimized fast paths",
     )
     p_eval.add_argument("--mlflow-tracking-uri", default=None)
     p_eval.add_argument("--mlflow-run-uuid", default=None)

@@ -128,6 +128,7 @@ def evaluate_model(eval_params: EvaluationParameters) -> List[EvaluationOutput]:
         bg_csi=eval_params.bg_csi,
         max_grad=eval_params.gsgrad,
         minpath_tie_parity=eval_params.minpath_tie_parity,
+        compute_dtype=eval_params.compute_dtype,
     )
 
     # Per-image host work (metrics + artifact writing) is jax-free —

@@ -43,6 +43,7 @@ class EvaluationParameters:
         batch_size: int = 8,
         num_workers: int = 0,
         minpath_tie_parity: str = "exact",
+        compute_dtype: str = "float32",
     ):
         self.model_path = model_path
         self.mlflow_tracking_uri = mlflow_tracking_uri
@@ -78,6 +79,14 @@ class EvaluationParameters:
                 f"{minpath_tie_parity!r}"
             )
         self.minpath_tie_parity = minpath_tie_parity
+        # Conv-stack dtype on the optimized inference fast paths — lets a
+        # bfloat16 deployment config be evaluated on real data.
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be 'float32' or 'bfloat16', got "
+                f"{compute_dtype!r}"
+            )
+        self.compute_dtype = compute_dtype
         self.save_foldername = Path(save_foldername)
         self.loaded_model, self.model_config = utils.load_model_and_config(
             model_path,

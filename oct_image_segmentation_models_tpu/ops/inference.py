@@ -114,6 +114,24 @@ class StagedPipeline:
                 fold_fn, folded_vars = maybe_build_folded_apply(
                     module, variables, dtype=jnp.dtype(compute_dtype)
                 )
+        if (
+            compute_dtype != "float32"
+            and self._predict_s2d is None
+            and fold_fn is None
+        ):
+            # The parity forward always runs float32; silently ignoring
+            # the requested dtype would misreport the accuracy/memory
+            # tradeoff (same guard as VolumeSegmenter / the exporter).
+            reason = (
+                "optimize=False"
+                if not optimize
+                else "the model has no optimized inference variant"
+            )
+            raise ValueError(
+                f"compute_dtype={compute_dtype!r} is only honored by the "
+                f"optimized fast paths (s2d U-Net / BN-folded DeepLabV3+), "
+                f"which are unavailable here ({reason})"
+            )
         self._fold_fn = fold_fn
         # Resolved once: the weights the forward actually consumes —
         # folded (BN into convs) when the fast path applies, the

@@ -74,6 +74,7 @@ def run_pipeline(
     bg_csi: bool = False,
     max_grad: int = 1,
     minpath_tie_parity: str = "exact",
+    compute_dtype: str = "float32",
 ):
     """Run the staged device pipeline over all images; returns per-image
     stacked outputs + per-image phase times."""
@@ -89,6 +90,7 @@ def run_pipeline(
         max_grad=max_grad,
         model_config=model_config,
         minpath_tie_parity=minpath_tie_parity,
+        compute_dtype=compute_dtype,
     )
 
     n = images.shape[0]
@@ -155,6 +157,7 @@ def predict(predict_params: PredictionParams) -> List[PredictionOutput]:
         predict_params.batch_size,
         predict_params.graph_search,
         minpath_tie_parity=predict_params.minpath_tie_parity,
+        compute_dtype=predict_params.compute_dtype,
     )
 
     prediction_outputs = []

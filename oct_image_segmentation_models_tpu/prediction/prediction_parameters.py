@@ -41,6 +41,7 @@ class PredictionParams:
         col_error_range: tuple = None,
         batch_size: int = 8,
         minpath_tie_parity: str = "exact",
+        compute_dtype: str = "float32",
     ) -> None:
         self.model_path = model_path
         self.mlflow_tracking_uri = mlflow_tracking_uri
@@ -69,6 +70,15 @@ class PredictionParams:
                 f"{minpath_tie_parity!r}"
             )
         self.minpath_tie_parity = minpath_tie_parity
+        # Conv-stack dtype on the optimized fast paths (s2d U-Net /
+        # BN-folded DeepLabV3+); "bfloat16" halves conv HBM traffic at a
+        # small near-tie argmax cost (tests/test_s2d_unet.py tolerance).
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be 'float32' or 'bfloat16', got "
+                f"{compute_dtype!r}"
+            )
+        self.compute_dtype = compute_dtype
 
         self.col_error_range = col_error_range
         if col_error_range is None:

@@ -295,6 +295,47 @@ def test_predict_fast_tie_parity(trained, tmp_path):
         assert mae < 0.05, mae
 
 
+def test_predict_bfloat16_compute_dtype(trained, tmp_path):
+    """compute_dtype="bfloat16" runs the whole predict surface on the
+    s2d fast path; labels agree with float32 on all but near-tie pixels
+    and the knob is validated."""
+    root, ds, model_path = trained
+    with h5py.File(ds, "r") as f:
+        images = f["test_images"][:]
+
+    def run(dtype, sub):
+        (tmp_path / sub).mkdir(exist_ok=True)
+        out_dirs = [tmp_path / sub / f"img_{i}" for i in range(len(images))]
+        dataset = Dataset(
+            images=images,
+            image_masks=None,
+            image_names=[p / "x.png" for p in out_dirs],
+            image_output_dirs=out_dirs,
+        )
+        return predict(
+            PredictionParams(
+                model_path=model_path,
+                mlflow_tracking_uri=None,
+                mlflow_run_uuid=None,
+                dataset=dataset,
+                config_output_dir=tmp_path / sub,
+                save_params=PredictionSaveParams(png_images=False),
+                graph_search=False,
+                batch_size=2,
+                compute_dtype=dtype,
+            )
+        )
+
+    f32 = run("float32", "f32")
+    bf16 = run("bfloat16", "bf16")
+    for a, b in zip(f32, bf16):
+        agree = (a.predicted_labels == b.predicted_labels).mean()
+        assert agree > 0.9, agree
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        run("float16", "bad")
+
+
 def test_invalid_tie_parity_rejected(trained, tmp_path):
     root, ds, model_path = trained
     with pytest.raises(ValueError, match="minpath_tie_parity"):
