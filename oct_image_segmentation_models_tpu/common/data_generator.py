@@ -54,6 +54,15 @@ class BatchGenerator:
             )
         if aug_device and not aug_fly:
             raise ValueError("aug_device requires aug_fly=True")
+        if aug_mode in ("one", "all") and not aug_fn_args:
+            # Fail at construction: with no augmentations, "all" yields
+            # zero samples per epoch and "one" crashes at the first
+            # batch inside rng.choice — both after dataset loading and
+            # a ~20-60 s remote compile.
+            raise ValueError(
+                f"aug_mode={aug_mode!r} requires a non-empty augmentations "
+                "list; use aug_mode='none' to train without augmentation"
+            )
         self.images = np.asarray(images, np.float32) / 255.0
         self.labels = np.asarray(labels)
         self.batch_size = batch_size
@@ -170,7 +179,10 @@ class BatchGenerator:
             (self.batch_size, self.image_height, self.image_width, self.num_channels),
             dtype=np.float32,
         )
-        batch_labels = np.zeros(self.batch_labels_shape)
+        # labels dtype, not np.zeros' float64 default: a float64 batch
+        # doubles label bytes per step (the jit canonicalizes to 32-bit
+        # anyway with x64 disabled)
+        batch_labels = np.zeros(self.batch_labels_shape, dtype=self.labels.dtype)
         batch_choices = np.full((self.batch_size,), -1, np.int32)
 
         for cur in range(self.batch_size):

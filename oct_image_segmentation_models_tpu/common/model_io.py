@@ -59,10 +59,18 @@ def save_model(
 ):
     """Write a self-contained HDF5 checkpoint."""
     path = Path(path)
+
+    def _s_attr(value: str) -> np.ndarray:
+        # Size the fixed-width bytes dtype to the value: a fixed S10000
+        # would SILENTLY truncate longer JSON (numpy str->S casts don't
+        # raise), corrupting the checkpoint's embedded config.
+        data = value.encode("utf-8")
+        return np.array(data, dtype=f"S{max(len(data), 1)}")
+
     with h5py.File(path, "w") as f:
-        f.attrs["model_name"] = np.array(model_name, dtype="S100")
-        f.attrs["model_config"] = np.array(json.dumps(model_config), dtype="S10000")
-        f.attrs["format"] = np.array("octseg-tpu-v1", dtype="S100")
+        f.attrs["model_name"] = _s_attr(model_name)
+        f.attrs["model_config"] = _s_attr(json.dumps(model_config))
+        f.attrs["format"] = _s_attr("octseg-tpu-v1")
         for collection, tree in variables.items():
             grp = f.create_group(collection)
             for key, value in _flatten_tree(tree).items():
@@ -77,8 +85,8 @@ def load_model(path: Path) -> Tuple[str, dict, dict, Optional[bytes]]:
     """Read a checkpoint -> (model_name, model_config, variables, opt_state)."""
     path = Path(path)
     with h5py.File(path, "r") as f:
-        model_name = str(f.attrs["model_name"], "ascii")
-        model_config = json.loads(str(f.attrs["model_config"], "ascii"))
+        model_name = str(f.attrs["model_name"], "utf-8")
+        model_config = json.loads(str(f.attrs["model_config"], "utf-8"))
         variables = {}
         for collection in f:
             if collection == "opt_state":
@@ -161,6 +169,7 @@ def load_model_and_config(
     run's ``model/data/model_config.json`` artifact — the reference's
     run-id load path (`common/utils.py:37-51`).
     """
+    raw_model_path = str(model_path)  # Path() mangles s3://-style URIs
     model_path = Path(model_path)
     mlflow_config = None
     if mlflow_run_uuid and not mlflow_tracking_uri:
@@ -207,7 +216,9 @@ def load_model_and_config(
                     mlflow_run_uuid,
                 )
         else:
-            local = mlflow.artifacts.download_artifacts(str(model_path))
+            # the ORIGINAL string: Path() collapses double slashes, so
+            # str(model_path) would hand the store "s3:/bucket/..."
+            local = mlflow.artifacts.download_artifacts(raw_model_path)
         model_path = Path(local)
 
     if _is_orbax_checkpoint(model_path):
@@ -219,7 +230,9 @@ def load_model_and_config(
             "save_model_orbax wrote, not a subdirectory"
         )
     elif not _is_native_checkpoint(model_path):
-        return load_keras_model(model_path)
+        # Keras checkpoints fetched by MLflow run id carry their config
+        # as a run artifact, not a sidecar next to the download.
+        return load_keras_model(model_path, model_config=mlflow_config)
     else:
         model_name, model_config, variables, _ = load_model(model_path)
 
@@ -241,12 +254,15 @@ def load_model_and_config(
     return LoadedModel(model_name, module, variables, model_config), model_config
 
 
-def load_keras_resnet50_weights(params: dict, h5_path: Path) -> dict:
+def load_keras_resnet50_weights(
+    params: dict, h5_path: Path
+) -> Tuple[dict, dict]:
     """Import ImageNet ResNet50 weights from a Keras ``.h5`` file into the
     Flax backbone (layer names match, see :mod:`..models.resnet`).
 
-    Returns a new params tree with conv kernels / BN scales-offsets (and a
-    ``batch_stats`` tree) replaced where names match.
+    Returns ``(params, batch_stats)``: a new params tree with conv
+    kernels / BN scales-offsets replaced where names match, plus the
+    matching ``batch_stats`` tree.
     """
     import flax
 
@@ -302,18 +318,74 @@ def _keras_model_name(f: h5py.File, default: str) -> str:
         return default
 
 
-def load_keras_model(model_path: Path) -> Tuple["LoadedModel", dict]:
+def _keras_sidecar_config(model_path: Path, override: dict = None) -> dict:
+    """Architecture hyper-parameters for a Keras checkpoint import: an
+    explicit override (e.g. the MLflow run's logged config artifact) or
+    the ``model_config.json`` the reference trainer writes next to the
+    checkpoint (`training/training.py:50`)."""
+    if override is not None:
+        return override
+    sidecar = Path(model_path).parent / "model_config.json"
+    if not sidecar.exists():
+        raise FileNotFoundError(
+            f"Keras checkpoint import needs {sidecar} (written by the "
+            "reference trainer) to rebuild the architecture"
+        )
+    with open(sidecar) as fh:
+        return json.load(fh)
+
+
+def _keras_weights_reader(root):
+    """Layer-name -> {weight-name: np.ndarray} reader for a Keras h5
+    weights group (descends the nested name/name/... groups Keras
+    writes)."""
+
+    def weights_of(layer):
+        grp = root[layer]
+        while layer in grp:
+            grp = grp[layer]
+        return {k.split(":")[0]: np.asarray(v) for k, v in grp.items()}
+
+    return weights_of
+
+
+def _init_flax_variables(module, model_config: dict):
+    import jax as _jax
+
+    return module.init(
+        _jax.random.PRNGKey(0),
+        np.zeros(
+            (
+                1,
+                model_config["image_height"],
+                model_config["image_width"],
+                model_config["input_channels"],
+            ),
+            np.float32,
+        ),
+        training=False,
+    )
+
+
+def load_keras_model(
+    model_path: Path, model_config: dict = None
+) -> Tuple["LoadedModel", dict]:
     """Import a reference Keras checkpoint, dispatching on the embedded
-    model name (U-Net by layer order, DeepLabV3+ by layer name)."""
+    model name (U-Net by layer order, DeepLabV3+ by layer name).
+    ``model_config`` overrides the sidecar lookup (MLflow-run loads)."""
     model_path = Path(model_path)
     with h5py.File(model_path, "r") as f:
         name = _keras_model_name(f, "unet")
     if name == "deeplabv3plus":
-        return load_keras_deeplab_model(model_path)
-    return load_keras_unet_model(model_path)
+        return load_keras_deeplab_model(model_path, model_config=model_config)
+    return load_keras_unet_model(
+        model_path, model_name=name, model_config=model_config
+    )
 
 
-def load_keras_unet_model(model_path: Path) -> Tuple[LoadedModel, dict]:
+def load_keras_unet_model(
+    model_path: Path, model_name: str = None, model_config: dict = None
+) -> Tuple[LoadedModel, dict]:
     """Import a *reference* Keras U-Net checkpoint (the
     ``model_epoch{NN}.hdf5`` files Keras ModelCheckpoint writes, reference
     `training/training.py:319-326`) into the Flax U-Net.
@@ -327,37 +399,15 @@ def load_keras_unet_model(model_path: Path) -> Tuple[LoadedModel, dict]:
     checkpoint (`training/training.py:50`).
     """
     import flax
-    import jax as _jax
 
     model_path = Path(model_path)
-    sidecar = model_path.parent / "model_config.json"
-    if not sidecar.exists():
-        raise FileNotFoundError(
-            f"Keras checkpoint import needs {sidecar} (written by the "
-            "reference trainer) to rebuild the architecture"
-        )
-    with open(sidecar) as fh:
-        model_config = json.load(fh)
+    model_config = _keras_sidecar_config(model_path, model_config)
 
     with h5py.File(model_path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
-        # Model name from the serialized Keras config when present.
-        model_name = "unet"
-        raw_cfg = f.attrs.get("model_config")
-        if raw_cfg is not None:
-            try:
-                cfg = json.loads(
-                    raw_cfg.decode() if isinstance(raw_cfg, bytes) else raw_cfg
-                )
-                model_name = cfg.get("config", {}).get("name", model_name)
-            except (ValueError, AttributeError):
-                pass
-
-        def weights_of(layer):
-            grp = root[layer]
-            while layer in grp:
-                grp = grp[layer]
-            return {k.split(":")[0]: np.asarray(v) for k, v in grp.items()}
+        if model_name is None:
+            model_name = _keras_model_name(f, "unet")
+        weights_of = _keras_weights_reader(root)
 
         convs = sorted(
             (n for n in root if n == "conv2d" or n.startswith("conv2d_")),
@@ -377,19 +427,7 @@ def load_keras_unet_model(model_path: Path) -> Tuple[LoadedModel, dict]:
 
     container = _rebuild_container(model_name, model_config)
     module = container.build_model()
-    variables = module.init(
-        _jax.random.PRNGKey(0),
-        np.zeros(
-            (
-                1,
-                model_config["image_height"],
-                model_config["image_width"],
-                model_config["input_channels"],
-            ),
-            np.float32,
-        ),
-        training=False,
-    )
+    variables = _init_flax_variables(module, model_config)
     params = flax.core.unfreeze(variables["params"])
     batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
 
@@ -428,7 +466,9 @@ def load_keras_unet_model(model_path: Path) -> Tuple[LoadedModel, dict]:
     return LoadedModel(model_name, module, variables, model_config), model_config
 
 
-def load_keras_deeplab_model(model_path: Path) -> Tuple[LoadedModel, dict]:
+def load_keras_deeplab_model(
+    model_path: Path, model_config: dict = None
+) -> Tuple[LoadedModel, dict]:
     """Import a *reference* Keras DeepLabV3+ checkpoint into Flax.
 
     The backbone convs/BNs carry Keras ResNet50 layer names (reference
@@ -442,44 +482,19 @@ def load_keras_deeplab_model(model_path: Path) -> Tuple[LoadedModel, dict]:
     matches this module's creation order, so they map by index.
     """
     import flax
-    import jax as _jax
 
     model_path = Path(model_path)
-    sidecar = model_path.parent / "model_config.json"
-    if not sidecar.exists():
-        raise FileNotFoundError(
-            f"Keras checkpoint import needs {sidecar} (written by the "
-            "reference trainer) to rebuild the architecture"
-        )
-    with open(sidecar) as fh:
-        model_config = json.load(fh)
+    model_config = _keras_sidecar_config(model_path, model_config)
 
     container = _rebuild_container("deeplabv3plus", model_config)
     module = container.build_model()
-    variables = module.init(
-        _jax.random.PRNGKey(0),
-        np.zeros(
-            (
-                1,
-                model_config["image_height"],
-                model_config["image_width"],
-                model_config["input_channels"],
-            ),
-            np.float32,
-        ),
-        training=False,
-    )
+    variables = _init_flax_variables(module, model_config)
     params = flax.core.unfreeze(variables["params"])
     batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
 
     with h5py.File(model_path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
-
-        def weights_of(layer):
-            grp = root[layer]
-            while layer in grp:
-                grp = grp[layer]
-            return {k.split(":")[0]: np.asarray(v) for k, v in grp.items()}
+        weights_of = _keras_weights_reader(root)
 
         # --- backbone, by Keras layer name ---
         for layer_name, target in params["resnet50"].items():

@@ -36,6 +36,22 @@ def test_batchgen_none_mode_batches_and_epochs():
     assert b1_labels.shape == (2, 8, 6, 1)
 
 
+def test_batchgen_aug_modes_require_augmentations():
+    """aug_mode='one'/'all' with an empty augmentation list fails at
+    CONSTRUCTION — 'one' would otherwise crash inside rng.choice at the
+    first batch and 'all' would yield zero samples per epoch, both after
+    dataset loading and a slow remote compile."""
+    import pytest
+
+    images, labels = _images()
+    for mode in ("one", "all"):
+        with pytest.raises(ValueError, match="non-empty augmentations"):
+            BatchGenerator(
+                images, labels, 2, [], mode, (), True,
+                lambda x: x / 255.0, seed=1,
+            )
+
+
 def test_batchgen_all_mode_doubles_samples():
     images, labels = _images()
     fn_args = [

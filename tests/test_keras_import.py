@@ -199,3 +199,67 @@ def test_keras_deeplab_checkpoint_roundtrip(tmp_path):
     assert len(got) == len(want)
     for a, b in zip(want, got):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_keras_checkpoint_via_mlflow_run(tmp_path, monkeypatch):
+    """A reference Keras checkpoint fetched by MLflow run id loads using
+    the run's logged config artifact — the downloaded file has no
+    model_config.json sidecar next to it (reference
+    `common/utils.py:37-51` supports exactly this flow)."""
+    import sys
+
+    import fake_mlflow
+
+    container = get_model_class("unet")(
+        input_channels=1, num_classes=3, image_height=16, image_width=16,
+        start_neurons=2, pool_layers=2,
+    )
+    module = container.build_model()
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 16, 16, 1), np.float32),
+        training=False,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    ckpt = _make_keras_style_checkpoint(src_dir, container, variables)
+
+    # lay the artifacts out like an mlflow file store, WITHOUT a sidecar
+    # next to the checkpoint
+    store = tmp_path / "mlruns"
+    art = store / "exp" / "run123" / "artifacts"
+    (art / "model" / "data").mkdir(parents=True)
+    (art / "model" / "model_final.hdf5").write_bytes(ckpt.read_bytes())
+    (art / "model" / "data" / "model_config.json").write_text(
+        json.dumps(container.get_config())
+    )
+
+    monkeypatch.setitem(sys.modules, "mlflow", fake_mlflow)
+    loaded, config = model_io.load_model_and_config(
+        "model/model_final.hdf5",
+        mlflow_tracking_uri=str(store),
+        mlflow_run_uuid="run123",
+    )
+    assert loaded.name == "unet"
+    assert config["num_classes"] == 3
+    want = loaded.module.apply(variables, np.zeros((1, 16, 16, 1)),
+                               training=False)
+    got = loaded.module.apply(loaded.variables, np.zeros((1, 16, 16, 1)),
+                              training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_save_model_long_config_round_trips(tmp_path):
+    """Checkpoint attrs are sized to their content: a model_config whose
+    JSON exceeds the old fixed S10000 width must survive byte-for-byte
+    (numpy str->S casts truncate silently)."""
+    cfg = {
+        "input_channels": 1, "num_classes": 3, "image_height": 16,
+        "image_width": 16, "note": "x" * 20000,
+    }
+    path = tmp_path / "m.hdf5"
+    model_io.save_model(
+        path, "unet", cfg, {"params": {"w": np.zeros(2, np.float32)}}
+    )
+    name, loaded_cfg, variables, _ = model_io.load_model(path)
+    assert name == "unet"
+    assert loaded_cfg == cfg
