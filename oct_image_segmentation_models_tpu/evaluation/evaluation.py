@@ -307,8 +307,7 @@ def _evaluate_and_save_image(task: dict) -> dict:
         eval_seg,
         predicted_labels,
         categorical_pred,
-        eval_label,
-        eval_seg,
+        task["labels_dense"],
         dice_classes,
         dice_macro,
         dice_micro,
@@ -326,6 +325,17 @@ def _evaluate_and_save_image(task: dict) -> dict:
         start_graph_time = time.time()
         gs_pred_segs = task["gs_pred_segs"]  # (C-1, W)
         gs_eval_label = task["gs_mask"]  # (H, W)
+        if eval_seg.shape[0] < gs_pred_segs.shape[0]:
+            # a diagnosable error instead of an IndexError deep in the
+            # worker pool (latent in the reference too: classes the
+            # model predicts but the test labels never contain have no
+            # ground-truth boundary to compare against)
+            raise ValueError(
+                f"test labels define {eval_seg.shape[0]} boundaries but "
+                f"the model predicts {gs_pred_segs.shape[0]}; boundary-"
+                "error evaluation needs every predicted class present "
+                "in the test labels"
+            )
         errors = np.stack(
             [
                 graph_search.calc_errors(gs_pred_segs[m], eval_seg[m])
@@ -430,7 +440,6 @@ def _save_image_evaluation_results(
     predicted_labels: np.ndarray,
     categorical_pred: np.ndarray,
     eval_labels: np.ndarray,
-    eval_segs: np.ndarray,
     dice_classes: Optional[np.ndarray],
     dice_macro: Optional[np.ndarray],
     dice_micro: Optional[np.ndarray],
@@ -447,7 +456,8 @@ def _save_image_evaluation_results(
     (output_dir / "input_image_name.txt").write_text(str(image_name))
     _save_csv(output_dir / "predicted_segmentation_map.csv", predicted_labels)
 
-    eval_labels = np.argmax(eval_labels, axis=2)
+    # eval_labels arrives as the dense map (argmaxing a one-hot built
+    # from it would be O(H*W*C) wasted work per image in the pool path)
     _save_csv(output_dir / "ground_truth_segmentation_map.csv", eval_labels)
 
     with h5py.File(output_dir / EVALUATION_RESULTS_FILENAME, "w") as f:
@@ -466,7 +476,7 @@ def _save_image_evaluation_results(
                 ),
                 ("raw_image", eval_image, "uint8"),
                 ("eval_labels", eval_labels, "uint8"),
-                ("raw_segs", eval_segs, "uint16"),
+                ("raw_segs", truth_label_segs, "uint16"),
                 (
                     EVALUATION_METRIC_DICE_CLASSES,
                     _opt(np.squeeze, dice_classes),

@@ -133,6 +133,7 @@ class StagedPipeline:
                 f"which are unavailable here ({reason})"
             )
         self._fold_fn = fold_fn
+        self._compute_dtype = compute_dtype
         # Resolved once: the weights the forward actually consumes —
         # folded (BN into convs) when the fast path applies, the
         # checkpoint variables otherwise. They stay a jit *argument*
@@ -179,6 +180,17 @@ class StagedPipeline:
             and images.shape[2] % self._s2d_div == 0
         ):
             return self._predict_s2d(images)
+        if self._predict_s2d is not None and self._compute_dtype != "float32":
+            # The geometry fallback is the float32 parity forward;
+            # silently running it would misreport a bfloat16 evaluation
+            # (same contract as the constructor's eligibility guard).
+            raise ValueError(
+                f"compute_dtype={self._compute_dtype!r} requires the s2d "
+                f"fast path, but image dims {images.shape[1]}x"
+                f"{images.shape[2]} do not divide its factor "
+                f"{self._s2d_div}; pad the input or use "
+                "compute_dtype='float32'"
+            )
         return self._predict_fn(self._forward_variables, images)
 
     def convert(self, probs):

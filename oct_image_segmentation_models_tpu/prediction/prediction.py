@@ -94,6 +94,11 @@ def run_pipeline(
     )
 
     n = images.shape[0]
+    if n == 0:
+        raise ValueError(
+            "run_pipeline requires at least one image (callers handle "
+            "empty datasets before invoking the device pipeline)"
+        )
     batch = batch_size
     labels_out, cat_out, maps_out, segs_out, masks_out = [], [], [], [], []
     predict_times, convert_times, graph_times = [], [], []
@@ -120,15 +125,20 @@ def run_pipeline(
         t3 = time.time()
 
         real = stop - start
+        # The device computed the full (padded) batch, so per-image
+        # attribution divides by the batch actually run — dividing a
+        # padded tail's time by its real count would inflate those
+        # images' persisted phase timers up to batch_size-fold.
+        ran = chunk.shape[0]
         labels_out.append(np.asarray(argmax_pred)[:real])
         cat_out.append(np.asarray(categorical)[:real])
         maps_out.append(np.asarray(maps)[:real])
         if delins is not None:
             segs_out.append(np.asarray(delins)[:real])
             masks_out.append(np.asarray(masks)[:real])
-        predict_times += [(t1 - t0) / real] * real
-        convert_times += [(t2 - t1) / real] * real
-        graph_times += [(t3 - t2) / real] * real
+        predict_times += [(t1 - t0) / ran] * real
+        convert_times += [(t2 - t1) / ran] * real
+        graph_times += [(t3 - t2) / ran] * real
 
     return {
         "predicted_labels": np.concatenate(labels_out),
@@ -149,6 +159,11 @@ def predict(predict_params: PredictionParams) -> List[PredictionOutput]:
     predict_image_output_dirs = dataset.image_output_dirs
 
     save_predict_config_file(predict_params)
+
+    if predict_images.shape[0] == 0:
+        # reference parity: a 0-image dataset predicts an empty list
+        # (`prediction/prediction.py:70` loops over nothing)
+        return []
 
     results = run_pipeline(
         predict_params.loaded_model,

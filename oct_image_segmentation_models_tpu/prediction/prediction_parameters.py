@@ -82,4 +82,10 @@ class PredictionParams:
 
         self.col_error_range = col_error_range
         if col_error_range is None:
+            if len(dataset.images) == 0:
+                raise ValueError(
+                    "PredictionParams needs a non-empty dataset (or an "
+                    "explicit col_error_range) to derive the error column "
+                    "range"
+                )
             self.col_error_range = range(dataset.images[0].shape[1])  # width
