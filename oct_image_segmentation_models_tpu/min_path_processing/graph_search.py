@@ -157,19 +157,53 @@ def _backtrack(shortest_paths, w, h):
     return coords
 
 
+def _exact_u8(prob_map):
+    """``(ok, u8)`` — ok when the [0, 1] float map is an EXACT uint8/255
+    quantization (the value grid the reference workflow itself produces:
+    ``prob_maps / 255`` at `graph_search.py:554`). On that grid the
+    integer-cost device DP is bit-exact; off it, quantizing would erase
+    real cost orderings, so callers fall back to the float64 host
+    Dijkstra."""
+    q = np.clip(np.rint(prob_map * 255.0), 0, 255)
+    return np.array_equal(q / 255.0, prob_map), q.astype(np.uint8)
+
+
 def delineate_boundary(prob_map, graph_structure: GraphStructure):
     """One row per column for a (W, H) probability map in [0, 1] —
-    reference `graph_search.py:360-428`. TPU DP for the standard graph;
-    exact host Dijkstra for the vertical variant."""
+    reference `graph_search.py:360-428`. TPU DP for standard graphs on
+    the uint8/255 value grid; exact float64 host Dijkstra otherwise and
+    for the vertical variant. Multi-visit columns take the reference's
+    single-assignment semantics (`:426`); the averaging variant is
+    :func:`delineate_boundary_vertical`."""
     prob_map = np.asarray(prob_map, dtype=np.float64)
     if not graph_structure.vertical:
-        maps_u8 = np.clip(np.rint(prob_map * 255.0), 0, 255).astype(np.uint8)
-        return np.asarray(
-            minpath_ops.delineate(maps_u8, max_grad=graph_structure.max_grad),
-            dtype=np.float64,
-        )
+        ok, maps_u8 = _exact_u8(prob_map)
+        if ok:
+            return np.asarray(
+                minpath_ops.delineate(
+                    maps_u8, max_grad=graph_structure.max_grad
+                ),
+                dtype=np.float64,
+            )
     padded = append_firstlast_cols(prob_map)
     paths = run_dijkstras(padded, 0, graph_structure)
+    w, h = padded.shape
+    delin = np.zeros(w - 2)
+    for j, i in _backtrack(paths, w, h):
+        if j not in (0, w - 1):
+            delin[j - 1] = i  # last write wins (reference `:426`)
+    return delin
+
+
+def delineate_boundary_vertical(prob_map, graph_structure: GraphStructure):
+    """Reference `graph_search.py:431-476` (multi-visit columns
+    averaged; vertical graphs can visit a column several times)."""
+    prob_map = np.asarray(prob_map, dtype=np.float64)
+    gs = GraphStructure(
+        graph_structure.shape, graph_structure.max_grad, True
+    )
+    padded = append_firstlast_cols(prob_map)
+    paths = run_dijkstras(padded, 0, gs)
     w, h = padded.shape
     delin = np.zeros(w - 2)
     counts = np.zeros(w - 2)
@@ -178,14 +212,6 @@ def delineate_boundary(prob_map, graph_structure: GraphStructure):
             delin[j - 1] += i
             counts[j - 1] += 1
     return delin / np.maximum(counts, 1)
-
-
-def delineate_boundary_vertical(prob_map, graph_structure: GraphStructure):
-    """Reference `graph_search.py:431-476` (multi-visit columns averaged)."""
-    return delineate_boundary(
-        prob_map,
-        GraphStructure(graph_structure.shape, graph_structure.max_grad, True),
-    )
 
 
 def calc_errors(prediction, truth):
@@ -211,19 +237,27 @@ def segment_maps(prob_maps, truths, graph_structure: GraphStructure):
     the clean semantics here are output-identical.)
     """
     prob_maps = np.asarray(prob_maps)
-    maps_u8 = prob_maps.astype(np.uint8)
     num_maps, width = prob_maps.shape[0], prob_maps.shape[1]
 
-    if graph_structure.vertical:
-        predictions = np.stack(
-            [
-                delineate_boundary(maps_u8[m] / 255.0, graph_structure)
-                for m in range(num_maps)
-            ]
+    if not graph_structure.vertical and prob_maps.dtype == np.uint8:
+        # documented fast path: uint8 maps delineate as one batched
+        # device DP, bit-matching the reference heap
+        predictions = np.asarray(
+            minpath_ops.delineate(
+                prob_maps, max_grad=graph_structure.max_grad
+            )
         ).astype(np.uint16)
     else:
-        predictions = np.asarray(
-            minpath_ops.delineate(maps_u8, max_grad=graph_structure.max_grad)
+        # reference semantics for everything else — including FLOAT
+        # maps (its `astype("float64")` at `:553` is a discarded no-op,
+        # so raw float values delineate exactly, never truncated) and
+        # vertical structures (which use single-assignment
+        # delineate_boundary, `:557`, not the averaging variant)
+        predictions = np.stack(
+            [
+                delineate_boundary(prob_maps[m] / 255.0, graph_structure)
+                for m in range(num_maps)
+            ]
         ).astype(np.uint16)
 
     errors = np.zeros((num_maps, width), dtype=np.float64)

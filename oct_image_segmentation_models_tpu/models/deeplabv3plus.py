@@ -135,6 +135,9 @@ class DeeplabV3PlusModule(nn.Module):
             self.num_classes,
             (1, 1),
             padding="SAME",
+            # Keras Conv2D default init (reference `:120-125`); Flax's
+            # default is lecun_normal, which would silently diverge
+            kernel_init=nn.initializers.glorot_uniform(),
             dtype=jnp.float32,
         )(y.astype(jnp.float32))
         return nn.softmax(y, axis=-1)
@@ -163,7 +166,16 @@ class DeeplabV3Plus(BaseModel):
         self.dtype = dtype
 
     def get_config(self) -> dict:
-        return super().get_config()
+        config = super().get_config()
+        # without these, the checkpoint config round-trip would rebuild
+        # containers with float32 / no-pretrained defaults
+        config.update(
+            {
+                "dtype": self.dtype,
+                "pretrained_weights": self.pretrained_weights,
+            }
+        )
+        return config
 
     def get_preprocess_input_fn(self) -> Callable:
         def preprocess_input(x):

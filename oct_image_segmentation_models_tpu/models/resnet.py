@@ -20,8 +20,13 @@ import jax.numpy as jnp
 
 _BN_EPS = 1.001e-5
 
-# (num_blocks, filters) per stage, Keras ResNet50.
-_STAGES = ((3, 64), (4, 128), (6, 256), (3, 512))
+# (num_blocks, filters) per stage — Keras ResNet50 THROUGH conv4 only.
+# The reference's functional model is pruned at conv4_block6_2_relu
+# (`models/deeplabv3plus.py:91-95`), so conv5's ~15M params never exist
+# in reference checkpoints; building them here would inflate every
+# checkpoint/optimizer/folded-weights payload by ~60 MB of dead weight
+# and break name-for-name import of real reference checkpoints.
+_STAGES = ((3, 64), (4, 128), (6, 256))
 
 
 class ResNet50Backbone(nn.Module):
@@ -42,13 +47,12 @@ class ResNet50Backbone(nn.Module):
             name=name,
         )
 
-    def _conv(self, feats, kernel, name, strides=(1, 1), dilation=1):
+    def _conv(self, feats, kernel, name, strides=(1, 1)):
         return nn.Conv(
             feats,
             kernel,
             strides=strides,
             padding="SAME" if kernel != (1, 1) else "VALID",
-            kernel_dilation=(dilation, dilation),
             kernel_init=nn.initializers.glorot_uniform(),
             dtype=self.dtype,
             name=name,

@@ -162,6 +162,9 @@ class UNet(BaseModel):
                 "conv_layers": self.conv_layers,
                 "enc_kernel": self.enc_kernel,
                 "dec_kernel": self.dec_kernel,
+                # without this, the checkpoint config round-trip would
+                # rebuild a float32 container for a bfloat16-trained model
+                "dtype": self.dtype,
             }
         )
         return config
