@@ -336,10 +336,12 @@ def save_training_params_file(
                             f.attrs[attr] = np.array(val, dtype="S100")
                         elif isinstance(val, list):
                             f.attrs[attr] = np.array(str(val), dtype="S100")
-                if train_params.aug_mode == "one":
-                    f.attrs["aug_probs"] = np.array(train_params.aug_probs)
-            f.attrs["aug_fly"] = train_params.aug_fly
-            f.attrs["aug_val"] = train_params.aug_val
+            if train_params.aug_mode == "one":
+                f.attrs["aug_probs"] = np.array(train_params.aug_probs)
+        # Written for every aug_mode, incl. "none" (reference
+        # `training/training.py:117-118` dedents these to function level).
+        f.attrs["aug_fly"] = train_params.aug_fly
+        f.attrs["aug_val"] = train_params.aug_val
 
         f.attrs["optimizer"] = np.array(
             getattr(train_params.opt_con, "__name__", str(train_params.opt_con)),
@@ -348,10 +350,18 @@ def save_training_params_file(
         for key, val in opt_config.items():
             if val is None:
                 continue
-            if isinstance(val, dict):
-                f.attrs[f"opt_param: {key}"] = np.bytes_(str(val))
-            else:
+            if isinstance(val, (bool, int, float, np.integer, np.floating)):
                 f.attrs[f"opt_param: {key}"] = val
+            elif isinstance(val, str):
+                f.attrs[f"opt_param: {key}"] = np.array(val, dtype="S100")
+            elif callable(val):
+                # e.g. a learning-rate schedule: record its name, not a
+                # repr that embeds a per-process memory address
+                f.attrs[f"opt_param: {key}"] = np.bytes_(
+                    getattr(val, "__qualname__", type(val).__qualname__)
+                )
+            else:  # dicts / lists / arbitrary config values
+                f.attrs[f"opt_param: {key}"] = np.bytes_(str(val))
 
 
 def _monitor_improved(current, best, mode):
@@ -806,7 +816,11 @@ def train_model(
         f"{model_architecture}: {param_count} parameters, input "
         f"({image_height}x{image_width}x{input_channels}), {num_classes} classes"
     )
-    opt_config = {"learning_rate": training_params.opt_params.get("learning_rate")}
+    # The reference snapshots the optimizer's FULL config as
+    # ``opt_param: <key>`` attrs (`training/training.py:124-130`); the
+    # optax analog of ``opt.get_config()`` is the user's constructor
+    # params.
+    opt_config = dict(training_params.opt_params)
     if is_main_process:
         save_training_params_file(
             save_foldername,

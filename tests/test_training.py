@@ -79,6 +79,34 @@ def test_train_with_augmentations_and_focal(dataset, tmp_path):
         assert "aug_1" in f.attrs
 
 
+def test_training_params_snapshot_full_optimizer_config(dataset, tmp_path):
+    """The reference records the optimizer's FULL config as
+    ``opt_param: <key>`` attrs (`training/training.py:124-130`), not just
+    the learning rate; callables (schedules) record their name."""
+    folder = train_model(
+        _params(
+            dataset,
+            tmp_path,
+            epochs=1,
+            opt_params={
+                "learning_rate": 1e-3,
+                "b1": 0.95,
+                "nesterov": False,
+                "mu_dtype": "bfloat16",
+            },
+        ),
+        None,
+    )
+    with h5py.File(folder / "training_params.hdf5", "r") as f:
+        assert f.attrs["opt_param: learning_rate"] == pytest.approx(1e-3)
+        assert f.attrs["opt_param: b1"] == pytest.approx(0.95)
+        assert not f.attrs["opt_param: nesterov"]
+        assert f.attrs["opt_param: mu_dtype"] == b"bfloat16"
+        # recorded for every aug_mode, incl. "none" (reference
+        # `training/training.py:117-118`)
+        assert "aug_fly" in f.attrs and "aug_val" in f.attrs
+
+
 def test_resume_from_checkpoint(dataset, tmp_path):
     folder = train_model(_params(dataset, tmp_path, epochs=1), None)
     resume = _params(
