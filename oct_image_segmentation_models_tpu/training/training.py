@@ -130,9 +130,9 @@ def _resume_run_config(
         "train_step_impl": training_params.train_step_impl,
         "train_forward_impl": training_params.train_forward_impl,
         "aug_device": training_params.aug_device,
-        # get_config() intentionally omits extension knobs (dtype,
-        # pretrained_weights) for reference parity, so they must be
-        # checked — and re-applied at rebuild — through here.
+        # model_hyperparameters can override non-structural config knobs
+        # (dtype, pretrained_weights) at rebuild, changing the numeric
+        # trajectory — so they are part of the resume identity.
         "model_hyperparameters": training_params.model_hyperparameters,
         # best_monitor/best_variables are restored on resume; comparing
         # them against a different monitored quantity (or direction)
@@ -255,6 +255,9 @@ def _stable_json(value):
     return _coerce(value)
 
 
+_NON_STRUCTURAL_CONFIG_KEYS = frozenset({"dtype", "pretrained_weights"})
+
+
 def _check_hyperparameter_conflicts(
     model_config: dict, hyperparameters: dict, context: str
 ) -> None:
@@ -262,16 +265,20 @@ def _check_hyperparameter_conflicts(
 
     When training continues from a checkpoint (``resume_train_state`` /
     ``initial_model``), the architecture comes from the saved
-    ``model_config``; ``model_hyperparameters`` may only add extension
-    knobs the config doesn't record (dtype, pretrained_weights) or
-    restate saved values unchanged. Overriding a structural key (e.g.
-    ``start_neurons``) would rebuild a module the checkpoint's weights
-    don't describe — a shape error at best, silent corruption at worst.
+    ``model_config``; ``model_hyperparameters`` may only restate saved
+    values or change NON-structural knobs: ``dtype`` is a compute dtype
+    (the checkpoint's weights are dtype-convertible — e.g. fine-tuning a
+    float32 model in bfloat16) and ``pretrained_weights`` only seeds
+    from-scratch initialisation, so both are safe to override. Overriding
+    a structural key (e.g. ``start_neurons``) would rebuild a module the
+    checkpoint's weights don't describe — a shape error at best, silent
+    corruption at worst.
     """
     conflicts = {
         k: (model_config[k], v)
         for k, v in hyperparameters.items()
         if k in model_config
+        and k not in _NON_STRUCTURAL_CONFIG_KEYS
         and _stable_json(model_config[k]) != _stable_json(v)
     }
     if conflicts:
@@ -532,10 +539,10 @@ def train_model(
         model_name = resume_meta["model_name"]
         model_config = resume_meta["model_config"]
         model_class = get_model_class(model_name)
-        # get_config() keeps reference parity and so drops extension
-        # knobs (dtype, pretrained_weights); restore them from the
-        # (mismatch-checked) hyperparameters so e.g. a bfloat16 run
-        # does not silently resume in float32.
+        # The saved config round-trips extension knobs (dtype,
+        # pretrained_weights); model_hyperparameters may override the
+        # non-structural ones (conflict-checked below), e.g. to resume a
+        # float32 run in bfloat16.
         _check_hyperparameter_conflicts(
             model_config, training_params.model_hyperparameters, "resume"
         )
@@ -557,10 +564,10 @@ def train_model(
             training_params.initial_model
         )
         model_class = get_model_class(model_name)
-        # Saved model_config.json mirrors the reference's get_config and
-        # so has no extension knobs; let fine-tuning set them (e.g. a
-        # bfloat16 compute dtype) via model_hyperparameters — but never
-        # override a structural key the loaded weights were built with.
+        # The saved config round-trips extension knobs; fine-tuning may
+        # override the non-structural ones via model_hyperparameters
+        # (e.g. a bfloat16 compute dtype) — but never a structural key
+        # the loaded weights were built with.
         _check_hyperparameter_conflicts(
             model_config, training_params.model_hyperparameters, "initial_model"
         )

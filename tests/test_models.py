@@ -52,6 +52,29 @@ def test_unet_forward_shapes_and_softmax():
     assert abs(float(container.get_preprocess_input_fn()(jnp.array(255.0))) - 1.0) < 1e-6
 
 
+def test_config_round_trips_compute_dtype():
+    """get_config() carries the compute dtype, so rebuilding a container
+    from a checkpoint's saved config preserves a bfloat16-trained model
+    instead of silently reverting to float32 (extension knob beyond the
+    reference's config keys, `models/unet.py:93-104`)."""
+    for name, extra in (
+        ("unet", {"input_channels": 1, "start_neurons": 2, "pool_layers": 2}),
+        ("deeplabv3plus", {"input_channels": 3}),
+    ):
+        container = get_model_class(name)(
+            num_classes=3,
+            image_height=32,
+            image_width=32,
+            dtype="bfloat16",
+            **extra,
+        )
+        cfg = container.get_config()
+        assert jnp.dtype(cfg["dtype"]) == jnp.bfloat16
+        rebuilt = get_model_class(name)(**cfg)
+        assert jnp.dtype(rebuilt.dtype) == jnp.bfloat16
+        assert rebuilt.get_config() == cfg
+
+
 def test_unet_train_mode_runs_with_dropout_rng():
     container = get_model_class("unet")(
         input_channels=1,
