@@ -108,6 +108,7 @@ def cmd_predict(args):
         batch_size=args.batch_size,
         minpath_tie_parity=args.minpath_tie_parity,
         compute_dtype=args.compute_dtype,
+        num_workers=args.num_workers,
     )
     predict(params)
     print(f"Prediction complete. Artifacts: {output_dir}")
@@ -133,6 +134,7 @@ def cmd_evaluate(args):
         batch_size=args.batch_size,
         minpath_tie_parity=args.minpath_tie_parity,
         compute_dtype=args.compute_dtype,
+        num_workers=args.num_workers,
     )
     evaluate_model(params)
     print(f"Evaluation complete. Artifacts: {args.output_dir}")
@@ -190,6 +192,13 @@ def main(argv=None):
         default="float32",
         help="conv-stack dtype on the optimized fast paths",
     )
+    p_pred.add_argument(
+        "--num-workers",
+        type=int,
+        default=0,
+        help="worker processes for per-image artifact writing "
+        "(HDF5/CSV/PNG); 0 = serial",
+    )
     p_pred.add_argument("--mlflow-tracking-uri", default=None)
     p_pred.add_argument("--mlflow-run-uuid", default=None)
     p_pred.set_defaults(func=cmd_predict)
@@ -218,6 +227,13 @@ def main(argv=None):
         choices=("float32", "bfloat16"),
         default="float32",
         help="conv-stack dtype on the optimized fast paths",
+    )
+    p_eval.add_argument(
+        "--num-workers",
+        type=int,
+        default=0,
+        help="worker processes for the per-image metrics/artifact phase; "
+        "0 = serial",
     )
     p_eval.add_argument("--mlflow-tracking-uri", default=None)
     p_eval.add_argument("--mlflow-run-uuid", default=None)

@@ -27,6 +27,7 @@ from ..common import (
     EVALUATION_METRIC_DICE_MICRO,
     EVALUATION_METRIC_HAUSDORFF_DISTANCE,
     dataset_loader as dl,
+    host_pool,
     plotting,
     surface_distance as sd,
     utils as common_utils,
@@ -166,20 +167,9 @@ def evaluate_model(eval_params: EvaluationParameters) -> List[EvaluationOutput]:
             task["graph_time"] = results["graph_times"][ind]
         tasks.append(task)
 
-    if eval_params.num_workers > 1 and len(tasks) > 1:
-        import multiprocessing
-
-        workers = min(eval_params.num_workers, len(tasks))
-        # The per-image work is jax-free, but spawned workers re-import
-        # this package; pin any accidental JAX backend init in a worker
-        # to CPU so N workers can never open N extra TPU clients against
-        # the (single, tunneled) chip the parent is using.
-        with multiprocessing.get_context("spawn").Pool(
-            workers, initializer=_pin_worker_to_cpu
-        ) as pool:
-            gs_stats = pool.map(_evaluate_and_save_image, tasks)
-    else:
-        gs_stats = [_evaluate_and_save_image(task) for task in tasks]
+    gs_stats = host_pool.map_host_tasks(
+        _evaluate_and_save_image, tasks, eval_params.num_workers
+    )
 
     eval_outputs = []
     for ind, (task, stats) in enumerate(zip(tasks, gs_stats)):
@@ -215,20 +205,6 @@ class _SaveContext:
         self.metrics = metrics
         self.graph_search = graph_search
         self.num_classes = num_classes
-
-
-def _pin_worker_to_cpu() -> None:
-    """Spawn-pool initializer: keep worker-side JAX (if ever imported)
-    off the accelerator. Runs before any task import executes. The
-    config update covers environments whose sitecustomize overrides
-    platform env vars (e.g. the axon TPU plugin)."""
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    try:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
 
 
 def _evaluate_and_save_image(task: dict) -> dict:

@@ -22,7 +22,7 @@ import h5py
 import numpy as np
 from matplotlib import cm
 
-from ..common import plotting, utils
+from ..common import host_pool, plotting, utils
 from ..models import get_model_class
 from ..ops.inference import StagedPipeline
 from .prediction_parameters import PredictionParams
@@ -175,59 +175,98 @@ def predict(predict_params: PredictionParams) -> List[PredictionOutput]:
         compute_dtype=predict_params.compute_dtype,
     )
 
-    prediction_outputs = []
+    # Per-image artifact writing (HDF5/CSV/matplotlib PNGs) is jax-free,
+    # so it can fan out over a spawn pool (PredictionParams.num_workers,
+    # `common/host_pool.py`) — same scheme as the evaluation driver.
+    # Tasks carry a slim picklable context instead of PredictionParams
+    # (which holds the loaded model).
+    ctx = _PredSaveContext(
+        model_path=predict_params.model_path,
+        save_params=predict_params.save_params,
+        col_error_range=predict_params.col_error_range,
+        graph_search=predict_params.graph_search,
+    )
+    tasks = []
     for i, (image_name, image_output_dir) in enumerate(
         zip(predict_image_names, predict_image_output_dirs)
     ):
-        log.info(f"Inferring image {i}: {image_name}")
         image_output_dir = Path(image_output_dir)
         image_output_dir.mkdir(parents=True, exist_ok=True)
-
-        predicted_labels = results["predicted_labels"][i]  # (H, W)
-        categorical_pred = results["categorical_pred"][i]  # (C, H, W)
-        boundary_maps = results["boundary_maps"][i]  # (C-1, H, W)
-
-        save_image_prediction_results(
-            predict_params,
-            predict_images[i],
-            image_name,
-            predicted_labels,
-            categorical_pred,
-            boundary_maps,
-            results["predict_times"][i],
-            results["convert_times"][i],
-            image_output_dir,
-        )
-
+        task = {
+            "ind": i,
+            "ctx": ctx,
+            "image": predict_images[i],
+            "image_name": image_name,
+            "output_dir": image_output_dir,
+            "predicted_labels": results["predicted_labels"][i],  # (H, W)
+            "categorical_pred": results["categorical_pred"][i],  # (C, H, W)
+            "boundary_maps": results["boundary_maps"][i],  # (C-1, H, W)
+            "predict_time": results["predict_times"][i],
+            "convert_time": results["convert_times"][i],
+        }
         if predict_params.graph_search:
-            gs_pred_segs = results["gs_pred_segs"][i]  # (C-1, W)
-            gs_prediction_label = results["gs_masks"][i]  # (H, W)
-            save_graph_based_prediction_results(
-                predict_params,
-                predict_images[i],
-                image_name,
-                gs_prediction_label,
-                gs_pred_segs,
-                results["graph_times"][i],
-                image_output_dir,
-            )
-        else:
-            gs_pred_segs = None
+            task["gs_pred_segs"] = results["gs_pred_segs"][i]  # (C-1, W)
+            task["gs_mask"] = results["gs_masks"][i]  # (H, W)
+            task["graph_time"] = results["graph_times"][i]
+        tasks.append(task)
 
-        prediction_outputs.append(
-            PredictionOutput(
-                image=predict_images[i],
-                image_name=image_name,
-                image_output_dir=image_output_dir,
-                predicted_labels=predicted_labels,
-                categorical_pred=categorical_pred,
-                boundary_maps=boundary_maps,
-                gs_pred_segs=gs_pred_segs,
-            )
+    host_pool.map_host_tasks(
+        _save_prediction_image, tasks, predict_params.num_workers
+    )
+
+    return [
+        PredictionOutput(
+            image=task["image"],
+            image_name=task["image_name"],
+            image_output_dir=task["output_dir"],
+            predicted_labels=task["predicted_labels"],
+            categorical_pred=task["categorical_pred"],
+            boundary_maps=task["boundary_maps"],
+            gs_pred_segs=task.get("gs_pred_segs"),
         )
-        log.info(f"DONE processing image number {i}: {image_name}")
+        for task in tasks
+    ]
 
-    return prediction_outputs
+
+class _PredSaveContext:
+    """Picklable slice of PredictionParams for worker processes — the
+    save functions below only touch these attributes."""
+
+    def __init__(self, model_path, save_params, col_error_range,
+                 graph_search):
+        self.model_path = model_path
+        self.save_params = save_params
+        self.col_error_range = col_error_range
+        self.graph_search = graph_search
+
+
+def _save_prediction_image(task: dict) -> None:
+    """Artifacts for one image (numpy/h5py/matplotlib only — safe in
+    worker processes)."""
+    ctx = task["ctx"]
+    log.info(f"Saving prediction artifacts for image {task['ind']}: "
+             f"{task['image_name']}")
+    save_image_prediction_results(
+        ctx,
+        task["image"],
+        task["image_name"],
+        task["predicted_labels"],
+        task["categorical_pred"],
+        task["boundary_maps"],
+        task["predict_time"],
+        task["convert_time"],
+        task["output_dir"],
+    )
+    if ctx.graph_search:
+        save_graph_based_prediction_results(
+            ctx,
+            task["image"],
+            task["image_name"],
+            task["gs_mask"],
+            task["gs_pred_segs"],
+            task["graph_time"],
+            task["output_dir"],
+        )
 
 
 def save_predict_config_file(predict_params: PredictionParams):
@@ -247,7 +286,7 @@ def save_predict_config_file(predict_params: PredictionParams):
 
 
 def save_image_prediction_results(
-    pred_params: PredictionParams,
+    pred_params,  # PredictionParams or any object with .save_params/.model_path
     predict_image: np.ndarray,
     image_name: Path,
     predicted_labels: np.ndarray,
@@ -316,7 +355,8 @@ def save_image_prediction_results(
 
 
 def save_graph_based_prediction_results(
-    predict_params: PredictionParams,
+    predict_params,  # PredictionParams or any object with
+    #                  .save_params/.model_path/.col_error_range
     predict_image: np.ndarray,
     image_name: Path,
     gs_prediction_label: np.ndarray,

@@ -42,6 +42,7 @@ class PredictionParams:
         batch_size: int = 8,
         minpath_tie_parity: str = "exact",
         compute_dtype: str = "float32",
+        num_workers: int = 0,
     ) -> None:
         self.model_path = model_path
         self.mlflow_tracking_uri = mlflow_tracking_uri
@@ -79,6 +80,12 @@ class PredictionParams:
                 f"{compute_dtype!r}"
             )
         self.compute_dtype = compute_dtype
+        # Worker processes for the jax-free per-image artifact phase
+        # (HDF5/CSV/PNG writes); 0/1 = serial in-process (see
+        # `common/host_pool.py`).
+        if num_workers < 0:
+            raise ValueError(f"num_workers must be >= 0, got {num_workers}")
+        self.num_workers = num_workers
 
         self.col_error_range = col_error_range
         if col_error_range is None:

@@ -192,6 +192,60 @@ def test_evaluate_parallel_workers_match_serial(trained, tmp_path):
             np.testing.assert_array_equal(a[key][()], b[key][()], err_msg=key)
 
 
+def test_predict_parallel_workers_match_serial(trained, tmp_path):
+    """num_workers=2 (spawn process pool for the per-image artifact
+    phase, `common/host_pool.py`) must produce identical per-image
+    HDF5/CSV artifacts and identical returned outputs."""
+    root, ds, model_path = trained
+    with h5py.File(ds, "r") as f:
+        images = f["test_images"][:]
+
+    def run(folder, workers):
+        out_dirs = [folder / f"img_{i}" for i in range(len(images))]
+        params = PredictionParams(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            dataset=Dataset(
+                images=images,
+                image_masks=None,
+                image_names=[p / "x.png" for p in out_dirs],
+                image_output_dirs=out_dirs,
+            ),
+            config_output_dir=folder,
+            save_params=PredictionSaveParams(categorical_pred=True),
+            graph_search=True,
+            batch_size=2,
+            num_workers=workers,
+        )
+        folder.mkdir(parents=True, exist_ok=True)
+        return predict(params), out_dirs
+
+    serial_out, serial_dirs = run(tmp_path / "serial", 0)
+    par_out, par_dirs = run(tmp_path / "par", 2)
+
+    assert len(par_out) == len(serial_out) == len(images)
+    for a, b in zip(serial_out, par_out):
+        np.testing.assert_array_equal(a.predicted_labels, b.predicted_labels)
+        np.testing.assert_array_equal(a.gs_pred_segs, b.gs_pred_segs)
+    for i in range(len(images)):
+        for fname in (
+            "prediction_info.hdf5",
+            "graph_search_prediction_info.hdf5",
+        ):
+            with h5py.File(serial_dirs[i] / fname) as a, \
+                 h5py.File(par_dirs[i] / fname) as b:
+                assert set(a.keys()) == set(b.keys())
+                for key in a.keys():
+                    np.testing.assert_array_equal(
+                        a[key][()], b[key][()], err_msg=f"img_{i}/{fname}/{key}"
+                    )
+        for csv in ("segmentation_map.csv", "gs_boundaries.csv"):
+            assert (serial_dirs[i] / csv).read_text() == (
+                par_dirs[i] / csv
+            ).read_text()
+
+
 def test_predict_without_graph_search(trained, tmp_path):
     root, ds, model_path = trained
     with h5py.File(ds, "r") as f:
