@@ -79,6 +79,7 @@ class ResNet50Backbone(nn.Module):
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
+        last_stage_idx = len(_STAGES) + 1
         for stage_idx, (num_blocks, filters) in enumerate(_STAGES, start=2):
             for block_idx in range(1, num_blocks + 1):
                 stride = (
@@ -101,6 +102,15 @@ class ResNet50Backbone(nn.Module):
                 y = self._bn(f"{prefix}_2_bn", training)(y)
                 y = nn.relu(y)
                 taps[f"{prefix}_2_relu"] = y
+                if stage_idx == last_stage_idx and block_idx == num_blocks:
+                    # The reference's functional model ends at the
+                    # conv4_block6_2_relu tap (`models/deeplabv3plus.py:93`),
+                    # so the block's 3_conv/3_bn/add tail is pruned out of
+                    # the graph and ABSENT from real checkpoints — building
+                    # it here would add dead params real reference h5 files
+                    # can't populate (verified by
+                    # tests/test_keras_parity.py against actual Keras).
+                    return y, taps
                 y = self._conv(4 * filters, (1, 1), f"{prefix}_3_conv")(y)
                 y = self._bn(f"{prefix}_3_bn", training)(y)
                 x = nn.relu(shortcut + y)

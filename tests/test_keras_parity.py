@@ -42,8 +42,11 @@ def _randomize_bn_and_bias(model, seed):
         if not ws:
             continue
         if isinstance(layer, keras.layers.Conv2D):
-            kernel, bias = ws
-            ws = [kernel, rng.normal(0.0, 0.01, bias.shape).astype(np.float32)]
+            if len(ws) == 2:  # use_bias=False convs carry kernel only
+                ws = [
+                    ws[0],
+                    rng.normal(0.0, 0.01, ws[1].shape).astype(np.float32),
+                ]
         elif isinstance(layer, keras.layers.BatchNormalization):
             gamma, beta, mean, var = ws
             ws = [
@@ -158,6 +161,114 @@ def test_real_keras_unet_forward_parity(tmp_path):
 
     assert keras_out.shape == flax_out.shape == (2, 32, 48, 3)
     np.testing.assert_allclose(flax_out, keras_out, rtol=1e-4, atol=1e-5)
+
+
+def _build_reference_deeplab_keras(image_height, image_width, num_classes):
+    """The reference DeepLabV3+ (`models/deeplabv3plus.py:86-131`):
+    ResNet50 backbone (weights omitted — offline; values are irrelevant
+    for import parity), DSPP over the conv4 tap (global avg-pool branch
+    with bias + bilinear upsample; 1x1 and dilated-3x3 rate 6/12/18
+    branches without bias; 1x1 projection), bilinear decoder joining the
+    conv2 tap through a 48-filter 1x1, two 3x3 blocks, full-resolution
+    bilinear upsample, 1x1 softmax head. All DSPP/decoder convs are
+    use_bias=False + BN + ReLU except the pool branch and the head."""
+    L = keras.layers
+
+    def conv_block(x, filters=256, kernel=3, dilation=1, use_bias=False):
+        x = L.Conv2D(
+            filters, kernel, dilation_rate=dilation, padding="same",
+            use_bias=use_bias,
+        )(x)
+        x = L.BatchNormalization()(x)
+        return L.Activation("relu")(x)
+
+    inp = keras.Input(shape=(image_height, image_width, 3))
+    resnet50 = keras.applications.ResNet50(
+        weights=None, include_top=False, input_tensor=inp
+    )
+    x = resnet50.get_layer("conv4_block6_2_relu").output
+
+    dims = x.shape
+    pool = L.AveragePooling2D(pool_size=(dims[-3], dims[-2]))(x)
+    pool = conv_block(pool, kernel=1, use_bias=True)
+    out_pool = L.UpSampling2D(
+        size=(dims[-3] // pool.shape[1], dims[-2] // pool.shape[2]),
+        interpolation="bilinear",
+    )(pool)
+    out_1 = conv_block(x, kernel=1)
+    out_6 = conv_block(x, kernel=3, dilation=6)
+    out_12 = conv_block(x, kernel=3, dilation=12)
+    out_18 = conv_block(x, kernel=3, dilation=18)
+    x = L.Concatenate(axis=-1)([out_pool, out_1, out_6, out_12, out_18])
+    x = conv_block(x, kernel=1)
+
+    input_a = L.UpSampling2D(
+        size=(
+            image_height // 4 // x.shape[1],
+            image_width // 4 // x.shape[2],
+        ),
+        interpolation="bilinear",
+    )(x)
+    input_b = conv_block(
+        resnet50.get_layer("conv2_block3_2_relu").output, filters=48, kernel=1
+    )
+    x = L.Concatenate(axis=-1)([input_a, input_b])
+    x = conv_block(x)
+    x = conv_block(x)
+    x = L.UpSampling2D(
+        size=(image_height // x.shape[1], image_width // x.shape[2]),
+        interpolation="bilinear",
+    )(x)
+    out = L.Conv2D(
+        num_classes, (1, 1), padding="same", activation="softmax"
+    )(x)
+    return keras.Model(inp, out, name="deeplabv3plus")
+
+
+def test_real_keras_deeplab_forward_parity(tmp_path):
+    keras.backend.clear_session()
+    model = _build_reference_deeplab_keras(64, 96, num_classes=3)
+    _randomize_bn_and_bias(model, seed=4)
+
+    h5_path = tmp_path / "model_epoch02.hdf5"
+    _write_keras_h5(h5_path, model, model_name="deeplabv3plus")
+    config = {
+        "input_channels": 3,
+        "num_classes": 3,
+        "image_height": 64,
+        "image_width": 96,
+    }
+
+    loaded, _ = model_io.load_keras_model(h5_path, model_config=config)
+
+    x = np.random.RandomState(5).normal(0, 1, (2, 64, 96, 3)).astype(
+        np.float32
+    )
+    keras_out = np.asarray(model(x, training=False))
+    flax_out = np.asarray(
+        loaded.module.apply(loaded.variables, x, training=False)
+    )
+
+    assert keras_out.shape == flax_out.shape == (2, 64, 96, 3)
+    np.testing.assert_allclose(flax_out, keras_out, rtol=1e-3, atol=1e-4)
+
+
+def test_deeplab_preprocess_matches_keras_resnet50():
+    """The DeepLab container's preprocess must equal the real
+    ``keras.applications.resnet50.preprocess_input`` (caffe mode:
+    RGB->BGR + ImageNet mean subtraction, reference
+    `models/deeplabv3plus.py:83-84`)."""
+    from oct_image_segmentation_models_tpu.models import get_model_class
+
+    container = get_model_class("deeplabv3plus")(
+        input_channels=3, num_classes=3, image_height=32, image_width=32
+    )
+    x = np.random.RandomState(6).uniform(0, 255, (2, 32, 32, 3)).astype(
+        np.float32
+    )
+    ours = np.asarray(container.get_preprocess_input_fn()(x))
+    theirs = keras.applications.resnet50.preprocess_input(x.copy())
+    np.testing.assert_allclose(ours, np.asarray(theirs), atol=1e-5)
 
 
 def test_real_keras_resnet50_backbone_parity(tmp_path):

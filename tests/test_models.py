@@ -122,12 +122,16 @@ def test_resnet50_keras_layer_names_present():
     m = ResNet50Backbone()
     variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     params = variables["params"]
-    for name in ("conv1_conv", "conv2_block1_1_conv", "conv4_block6_3_bn"):
+    for name in ("conv1_conv", "conv2_block1_1_conv", "conv4_block6_2_conv"):
         assert name in params, sorted(params)[:5]
-    # conv5 must NOT exist: the reference prunes its functional model at
-    # conv4_block6_2_relu, so real reference checkpoints carry no conv5
-    # layers and ~15M dead params would inflate every payload
+    # The reference prunes its functional model at conv4_block6_2_relu,
+    # so real reference checkpoints carry neither conv5 (~15M params)
+    # nor the block6 3_conv/3_bn tail — none of those may exist here or
+    # real checkpoints couldn't populate them (tests/test_keras_parity.py
+    # proves the exact layer set against actual Keras).
     assert not any(k.startswith("conv5") for k in params)
+    assert "conv4_block6_3_conv" not in params
+    assert "conv4_block6_3_bn" not in params
 
 
 def test_batchnorm_folding_matches():
