@@ -11,7 +11,12 @@ RTT (~25-45 ms here) — compare it against fwdbwd to read off the
 dispatch + optimizer overhead. A ``_parity`` suffix uses the plain Flax
 module instead of the s2d transform.
 
+A ``_deeplab`` suffix profiles DeepLabV3+ instead (plain Flax module —
+no s2d transform applies to its stride-4 stem; bfloat16 compute dtype
+like the U-Net default); ``_deeplab_f32`` uses float32.
+
 Usage: python tools/profile_train.py [stage ...]
+  e.g. fwd fwdbwd step fwdbwd_parity fwdbwd_deeplab fwdbwd_deeplab_f32
 """
 
 from __future__ import annotations
@@ -28,6 +33,13 @@ K = 10
 
 
 def build(stage):
+    dtype = "bfloat16"
+    if stage.endswith("_f32"):
+        dtype = "float32"
+        stage = stage[: -len("_f32")]
+    deeplab = stage.endswith("_deeplab")
+    if deeplab:
+        stage = stage[: -len("_deeplab")]
     parity = stage.endswith("_parity")
     if parity:
         stage = stage[: -len("_parity")]
@@ -45,21 +57,31 @@ def build(stage):
         make_train_step,
     )
 
-    container = get_model_class("unet")(
-        input_channels=1,
-        num_classes=NUM_CLASSES,
-        image_height=H,
-        image_width=W,
-        start_neurons=32,
-        dtype="bfloat16",
-    )
+    in_ch = 3 if deeplab else 1
+    if deeplab:
+        container = get_model_class("deeplabv3plus")(
+            input_channels=3,
+            num_classes=NUM_CLASSES,
+            image_height=H,
+            image_width=W,
+            dtype=dtype,
+        )
+    else:
+        container = get_model_class("unet")(
+            input_channels=1,
+            num_classes=NUM_CLASSES,
+            image_height=H,
+            image_width=W,
+            start_neurons=32,
+            dtype=dtype,
+        )
     module = container.build_model()
     variables = module.init(
-        jax.random.PRNGKey(0), np.zeros((1, H, W, 1), np.float32),
+        jax.random.PRNGKey(0), np.zeros((1, H, W, in_ch), np.float32),
         training=False,
     )
     compute_module = module
-    if not parity:
+    if not (parity or deeplab):
         s2d = maybe_build_s2d_train(module, container.get_config(), H, W)
         assert s2d is not None
         compute_module = s2d
@@ -69,7 +91,7 @@ def build(stage):
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(
-        rng.random((BATCH, H, W, 1)).astype(np.float32)
+        rng.random((BATCH, H, W, in_ch)).astype(np.float32)
     )
     labels = jnp.asarray(
         rng.integers(0, NUM_CLASSES, (BATCH, H, W, 1)).astype(np.float32)
