@@ -211,13 +211,15 @@ class BatchGenerator:
             self.sample_shuffle = self.sample_shuffle[perm]
 
     def get_state(self) -> dict:
-        """JSON-serializable snapshot of the sampling state (RNG stream +
-        shuffle order + counters) — captured at an epoch boundary it is
-        exactly the start-of-next-epoch state, enabling bitwise-exact
-        training resume (training.py::save_train_state)."""
+        """Snapshot of the sampling state (RNG stream + shuffle order +
+        counters) — captured at an epoch boundary it is exactly the
+        start-of-next-epoch state, enabling bitwise-exact training
+        resume (training.py::save_train_state). ``sample_shuffle`` stays
+        an ndarray: save_train_state stores it as a compact npz array
+        rather than a dataset-sized JSON list."""
         return {
             "rng_state": self._rng.bit_generator.state,
-            "sample_shuffle": np.asarray(self.sample_shuffle).tolist(),
+            "sample_shuffle": np.array(self.sample_shuffle),
             "counters": [
                 self.batch_counter,
                 self.full_counter,

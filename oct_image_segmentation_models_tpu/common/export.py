@@ -97,32 +97,19 @@ def export_inference_pipeline(
             f"{model_div} (the model's 2**pool_layers downsampling factor)"
         )
 
-    labels_fn, apply_fn, forward_variables, kind = None, None, loaded.variables, "parity"
-    if optimize:
-        from ..ops.inference import select_optimized_forward
+    from ..ops.inference import select_optimized_forward
 
-        labels_fn, apply_fn, forward_variables, kind = (
-            select_optimized_forward(
-                loaded.module,
-                loaded.variables,
-                model_config,
-                compute_dtype=compute_dtype,
-            )
+    # Shared fast-path selection (raises when compute_dtype != float32
+    # would land on the always-float32 parity forward).
+    labels_fn, apply_fn, forward_variables, kind, _s2d_div = (
+        select_optimized_forward(
+            loaded.module,
+            loaded.variables,
+            model_config,
+            compute_dtype=compute_dtype,
+            optimize=optimize,
         )
-
-    if compute_dtype != "float32" and kind == "parity":
-        # mirrors VolumeSegmenter's guard: the probs fallback always
-        # runs float32, so the requested dtype would be silently ignored
-        reason = (
-            "optimize=False"
-            if not optimize
-            else "the model has no optimized inference variant"
-        )
-        raise ValueError(
-            f"compute_dtype={compute_dtype!r} is only honored by the "
-            f"optimized fast paths (s2d U-Net / BN-folded DeepLabV3+), "
-            f"which are unavailable here ({reason})"
-        )
+    )
 
     pipeline = make_fused_pipeline(
         loaded.module,
@@ -227,6 +214,24 @@ class ExportedPipeline:
                 f"{expected}, got {got}; re-export with the desired "
                 "batch/geometry"
             )
+        if images_u8.dtype != np.uint8:
+            # The artifact embeds the preprocessing (x/255 etc.) — it
+            # consumes RAW uint8 pixels. A silent astype(uint8) would
+            # truncate already-normalized float images to all zeros, so
+            # only losslessly-representable integer inputs are accepted.
+            if not np.issubdtype(images_u8.dtype, np.integer):
+                raise ValueError(
+                    f"exported pipeline takes raw uint8 images (it "
+                    f"applies the model's preprocessing itself), got "
+                    f"dtype {images_u8.dtype}; pass the unnormalized "
+                    "pixel values"
+                )
+            if images_u8.min() < 0 or images_u8.max() > 255:
+                raise ValueError(
+                    f"integer image values outside [0, 255] "
+                    f"(min {images_u8.min()}, max {images_u8.max()}) "
+                    "cannot be represented as uint8 pixels"
+                )
         return self._call(images_u8.astype(np.uint8))
 
 

@@ -102,6 +102,11 @@ def evaluate_model(eval_params: EvaluationParameters) -> List[EvaluationOutput]:
         eval_images, eval_labels, eval_image_names = dl.load_testing_data(
             test_dataset_file
         )
+    if eval_images.shape[0] == 0:
+        raise ValueError(
+            f"test dataset {eval_params.test_dataset_path} contains no "
+            "test images — nothing to evaluate"
+        )
 
     eval_image_output_dirs = [
         eval_params.save_foldername / Path(f"image_{i}")

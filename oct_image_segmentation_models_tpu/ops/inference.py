@@ -30,34 +30,64 @@ from . import minpath as minpath_ops
 
 
 def select_optimized_forward(
-    module, variables, model_config, compute_dtype: str = "float32"
+    module,
+    variables,
+    model_config,
+    compute_dtype: str = "float32",
+    s2d_output: str = "labels_s2d",
+    optimize: bool = True,
 ):
     """Single decision point for the optimized inference forward.
 
-    Returns ``(labels_fn, apply_fn, forward_variables, kind)`` where
-    ``kind`` is "s2d" (U-Net space-to-depth labels path — pass
-    ``labels_fn`` to :func:`make_fused_pipeline`'s ``labels_apply_fn``),
-    "folded" (BN-folded DeepLabV3+ — pass ``apply_fn`` and use
+    Returns ``(s2d_fn, apply_fn, forward_variables, kind, s2d_div)``
+    where ``kind`` is "s2d" (U-Net space-to-depth path — with the
+    default ``s2d_output="labels_s2d"`` pass ``s2d_fn`` to
+    :func:`make_fused_pipeline`'s ``labels_apply_fn``; the staged
+    pipeline asks for ``s2d_output="probs"`` instead), "folded"
+    (BN-folded DeepLabV3+ — pass ``apply_fn`` and use
     ``forward_variables`` as the pipeline's weights argument), or
-    "parity" (no fast path; plain ``module.apply``). Shared by the
-    streaming segmenter and the StableHLO exporter so the selection
-    order and dtype plumbing cannot drift between surfaces.
+    "parity" (no fast path; plain ``module.apply``). ``s2d_div`` is the
+    spatial divisor inputs must satisfy to use the s2d path. Shared by
+    the staged pipeline, the streaming segmenter and the StableHLO
+    exporter so the selection order and dtype plumbing cannot drift
+    between surfaces.
+
+    Raises ``ValueError`` when ``compute_dtype`` is not float32 and no
+    fast path applies: the parity forward always runs float32, and
+    silently ignoring the requested dtype would misreport the
+    accuracy/memory tradeoff.
     """
     from ..models.deeplabv3plus import maybe_build_folded_apply
     from .s2d_unet import maybe_build_s2d_apply
 
     dtype = jnp.dtype(compute_dtype)
-    labels_fn, _s2d_div = maybe_build_s2d_apply(
-        module, variables, model_config, output="labels_s2d", dtype=dtype
-    )
-    if labels_fn is not None:
-        return labels_fn, None, variables, "s2d"
-    apply_fn, folded_vars = maybe_build_folded_apply(
-        module, variables, dtype=dtype
-    )
+    s2d_fn, s2d_div, apply_fn, folded_vars = None, 1, None, None
+    if optimize:
+        s2d_fn, s2d_div = maybe_build_s2d_apply(
+            module, variables, model_config, output=s2d_output, dtype=dtype
+        )
+        if s2d_fn is None:
+            apply_fn, folded_vars = maybe_build_folded_apply(
+                module, variables, dtype=dtype
+            )
+    if s2d_fn is not None:
+        return s2d_fn, None, variables, "s2d", s2d_div
     if apply_fn is not None:
-        return None, apply_fn, folded_vars, "folded"
-    return None, None, variables, "parity"
+        return None, apply_fn, folded_vars, "folded", 1
+    if compute_dtype != "float32":
+        reason = (
+            "optimize=False"
+            if not optimize
+            else "the model has no optimized inference variant"
+        )
+        raise ValueError(
+            f"compute_dtype={compute_dtype!r} is only honored by the "
+            f"optimized fast paths (s2d U-Net / BN-folded DeepLabV3+), "
+            f"which are unavailable here ({reason}); use "
+            "compute_dtype='float32' or an eligible model with "
+            "optimize=True"
+        )
+    return None, None, variables, "parity", 1
 
 
 class StagedPipeline:
@@ -86,61 +116,31 @@ class StagedPipeline:
     ):
         self.variables = variables
 
+        # Shared selection (s2d U-Net / BN-folded DeepLabV3+ / parity) —
+        # the staged pipeline needs probabilities per stage, so it asks
+        # for the s2d probs output rather than the fused labels tail.
+        # Raises if compute_dtype != float32 lands on the parity path.
+        s2d_fn, fold_fn, self._forward_variables, _kind, self._s2d_div = (
+            select_optimized_forward(
+                module,
+                variables,
+                model_config,
+                compute_dtype=compute_dtype,
+                s2d_output="probs",
+                optimize=optimize,
+            )
+        )
         self._predict_s2d = None
-        self._s2d_div = 1
-        fold_fn = None
-        folded_vars = None
-        if optimize:
-            from ..models.deeplabv3plus import maybe_build_folded_apply
-            from .s2d_unet import maybe_build_s2d_apply
+        if s2d_fn is not None:
 
-            s2d_fn, self._s2d_div = maybe_build_s2d_apply(
-                module, variables, model_config,
-                dtype=jnp.dtype(compute_dtype),
-            )
-            if s2d_fn is not None:
+            @jax.jit
+            def _predict_s2d(images):
+                x = preprocess_fn(images.astype(jnp.float32))
+                return s2d_fn(x)
 
-                @jax.jit
-                def _predict_s2d(images):
-                    x = preprocess_fn(images.astype(jnp.float32))
-                    return s2d_fn(x)
-
-                self._predict_s2d = _predict_s2d
-            else:
-                # DeepLabV3+ analog of the s2d fast path: BN folded into
-                # the convs, compute_dtype honored on the backbone. The
-                # folded weights stay a jit *argument* (captured
-                # constants >~100 MB fail remote compile, PLAN.md).
-                fold_fn, folded_vars = maybe_build_folded_apply(
-                    module, variables, dtype=jnp.dtype(compute_dtype)
-                )
-        if (
-            compute_dtype != "float32"
-            and self._predict_s2d is None
-            and fold_fn is None
-        ):
-            # The parity forward always runs float32; silently ignoring
-            # the requested dtype would misreport the accuracy/memory
-            # tradeoff (same guard as VolumeSegmenter / the exporter).
-            reason = (
-                "optimize=False"
-                if not optimize
-                else "the model has no optimized inference variant"
-            )
-            raise ValueError(
-                f"compute_dtype={compute_dtype!r} is only honored by the "
-                f"optimized fast paths (s2d U-Net / BN-folded DeepLabV3+), "
-                f"which are unavailable here ({reason})"
-            )
+            self._predict_s2d = _predict_s2d
         self._fold_fn = fold_fn
         self._compute_dtype = compute_dtype
-        # Resolved once: the weights the forward actually consumes —
-        # folded (BN into convs) when the fast path applies, the
-        # checkpoint variables otherwise. They stay a jit *argument*
-        # (captured constants >~100 MB fail remote compile, PLAN.md).
-        self._forward_variables = (
-            folded_vars if fold_fn is not None else variables
-        )
 
         @jax.jit
         def _predict(variables, images):

@@ -72,39 +72,22 @@ class VolumeSegmenter:
         # stack's HBM traffic (head/softmax stay float32); boundary rows
         # shift only where class probabilities are near-tied — see
         # tests/test_s2d_unet.py for the accuracy-tolerance check.
-        labels_fn = None
-        apply_fn = None
-        forward_variables = loaded_model.variables
-        if optimize:
-            from ..ops.inference import select_optimized_forward
+        from ..ops.inference import select_optimized_forward
 
-            # s2d U-Net labels path, or BN-folded DeepLabV3+ (whose
-            # folded weights become the pipeline's variables argument —
-            # not jit constants, see make_fused_pipeline); compute_dtype
-            # honored on the conv stack/backbone (head stays f32).
-            labels_fn, apply_fn, forward_variables, _kind = (
-                select_optimized_forward(
-                    loaded_model.module,
-                    loaded_model.variables,
-                    model_config,
-                    compute_dtype=compute_dtype,
-                )
+        # s2d U-Net labels path, or BN-folded DeepLabV3+ (whose folded
+        # weights become the pipeline's variables argument — not jit
+        # constants, see make_fused_pipeline); compute_dtype honored on
+        # the conv stack/backbone (head stays f32). The selector raises
+        # when compute_dtype != float32 lands on the parity path.
+        labels_fn, apply_fn, forward_variables, _kind, _s2d_div = (
+            select_optimized_forward(
+                loaded_model.module,
+                loaded_model.variables,
+                model_config,
+                compute_dtype=compute_dtype,
+                optimize=optimize,
             )
-        if compute_dtype != "float32" and labels_fn is None and apply_fn is None:
-            # The probs fallback always runs float32; silently ignoring the
-            # requested dtype would misreport the accuracy/memory tradeoff.
-            reason = (
-                "optimize=False"
-                if not optimize
-                else "the model has no optimized inference variant"
-            )
-            raise ValueError(
-                f"compute_dtype={compute_dtype!r} is only honored by the "
-                f"optimized fast paths (s2d U-Net / BN-folded DeepLabV3+), "
-                f"which are unavailable here ({reason}); use "
-                "compute_dtype='float32' or an eligible model with "
-                "optimize=True"
-            )
+        )
 
         self._forward_variables = forward_variables
         # No geometry fallback pipeline: any dims passing the

@@ -63,6 +63,34 @@ from .training_parameters import TrainingParams
 TRAIN_STATE_FILENAME = "train_state_latest.npz"
 
 
+def _split_meta_arrays(obj, out: dict):
+    """Replace ndarray values inside ``meta`` with npz-key markers.
+
+    Generator sampling states carry the full ``sample_shuffle``
+    permutation — dataset-sized int arrays that would otherwise be
+    JSON-encoded as Python lists on every epoch's checkpoint. They are
+    stored as compact npz arrays instead (keys ``metaarr_<n>``)."""
+    if isinstance(obj, np.ndarray):
+        key = f"metaarr_{len(out)}"
+        out[key] = obj
+        return {"__meta_array__": key}
+    if isinstance(obj, dict):
+        return {k: _split_meta_arrays(v, out) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_split_meta_arrays(v, out) for v in obj]
+    return obj
+
+
+def _join_meta_arrays(obj, data):
+    if isinstance(obj, dict):
+        if set(obj) == {"__meta_array__"}:
+            return np.asarray(data[obj["__meta_array__"]])
+        return {k: _join_meta_arrays(v, data) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_join_meta_arrays(v, data) for v in obj]
+    return obj
+
+
 def save_train_state(path: Path, tree, meta: dict) -> None:
     """Rolling full-train-state checkpoint for exact resume.
 
@@ -76,6 +104,7 @@ def save_train_state(path: Path, tree, meta: dict) -> None:
     """
     leaves, _ = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    meta = _split_meta_arrays(meta, arrays)
     tmp = Path(str(path) + ".tmp")
     with open(tmp, "wb") as fh:
         np.savez(fh, __meta__=np.frombuffer(
@@ -88,6 +117,7 @@ def load_train_state(path: Path):
     """Returns (meta dict, leaf list) saved by :func:`save_train_state`."""
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
+        meta = _join_meta_arrays(meta, data)
         n = sum(1 for k in data.files if k.startswith("leaf_"))
         leaves = [data[f"leaf_{i}"] for i in range(n)]
     return meta, leaves
@@ -896,6 +926,20 @@ def train_model(
         epochs_since_improvement = int(
             resume_meta["epochs_since_improvement"]
         )
+        if (
+            training_params.early_stopping
+            and epochs_since_improvement >= training_params.patience
+        ):
+            # The saved state was written in the very iteration whose
+            # end-of-epoch patience check would have stopped training
+            # (the uninterrupted run trained no further) — resuming must
+            # not run extra epochs, only finalize.
+            log.info(
+                f"Resumed train state is already early-stopped "
+                f"(patience {training_params.patience}); "
+                "skipping straight to finalization"
+            )
+            start_epoch = training_params.epochs
     if is_main_process:
         history.on_train_begin()
 
@@ -1118,11 +1162,11 @@ def train_model(
         # it back by run id, `common/utils.py:37-51`). Orbax checkpoints
         # are directories, which log_artifact does not take — the HDF5
         # final checkpoint is the round-trippable artifact.
+        # (model_config.json already lives at model/data/ — logged via
+        # tracker.log_dict at run start, matching the reference's early
+        # mlflow.log_dict — so only the checkpoint is uploaded here.)
         if final_path.is_file():
             tracker.log_artifact(final_path, artifact_path="model")
-        config_json = save_foldername / "model_config.json"
-        if config_json.is_file():
-            tracker.log_artifact(config_json, artifact_path="model/data")
     if tb_writer is not None:
         tb_writer.close()
     tracker.end_run()

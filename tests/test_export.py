@@ -222,6 +222,29 @@ def test_export_input_validation(unet_checkpoint, tmp_path):
         )
 
 
+def test_export_rejects_non_uint8_pixels(unet_checkpoint, tmp_path):
+    """The artifact embeds the preprocessing, so it consumes RAW uint8
+    pixels — a normalized float input must raise, not be silently
+    astype-truncated to all zeros; lossless integer inputs still work."""
+    out = export_inference_pipeline(
+        unet_checkpoint, tmp_path / "exported.hdf5", batch_size=2
+    )
+    ep = load_exported_pipeline(out)
+    imgs = _images()
+
+    with pytest.raises(ValueError, match="raw uint8 images"):
+        ep(imgs.astype(np.float32) / 255.0)
+
+    with pytest.raises(ValueError, match=r"outside \[0, 255\]"):
+        ep(imgs.astype(np.int32) - 300)
+
+    # int64 values in [0, 255] are losslessly representable — accepted
+    # and bit-identical to the uint8 call
+    labels_a, _, _ = ep(imgs)
+    labels_b, _, _ = ep(imgs.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(labels_a), np.asarray(labels_b))
+
+
 def test_export_artifact_format_checks(unet_checkpoint, tmp_path):
     not_artifact = tmp_path / "not_artifact.hdf5"
     with h5py.File(not_artifact, "w") as fh:

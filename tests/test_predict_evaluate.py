@@ -146,6 +146,30 @@ def test_evaluate_outputs(trained, tmp_path):
         assert np.nanmean(f["mean_dice_coef_macro"][:]) > 0.55
 
 
+def test_evaluate_empty_dataset_raises_clearly(trained, tmp_path):
+    """A 0-image test set must fail with a clear message at the
+    evaluate_model surface, not deep inside the device pipeline."""
+    root, ds, model_path = trained
+    empty = tmp_path / "empty.hdf5"
+    with h5py.File(ds, "r") as src, h5py.File(empty, "w") as dst:
+        for key in ("test_images", "test_labels", "test_images_source"):
+            arr = src[key][:0]
+            dst.create_dataset(key, data=arr)
+    with pytest.raises(ValueError, match="contains no\\s+test images"):
+        evaluate_model(
+            EvaluationParameters(
+                model_path=model_path,
+                mlflow_tracking_uri=None,
+                mlflow_run_uuid=None,
+                test_dataset_path=empty,
+                save_foldername=tmp_path / "eval_empty",
+                save_params=EvaluationSaveParams(),
+                graph_search=False,
+                metrics=["dice_coef_macro"],
+            )
+        )
+
+
 def test_evaluate_parallel_workers_match_serial(trained, tmp_path):
     """num_workers=2 (spawn process pool for the per-image host phase)
     must produce bitwise-identical per-image and overall artifacts."""

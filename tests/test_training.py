@@ -922,3 +922,89 @@ def test_exact_resume_with_probabilistic_augs(dataset, tmp_path):
     )
     for a, b in zip(_final_params(full), _final_params(resumed)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_from_early_stopped_state_skips_to_finalization(
+    dataset, tmp_path
+):
+    """A train state whose patience was already exhausted when it was
+    saved must resume straight to finalization — the uninterrupted run
+    trained no further, so a resumed one must not either."""
+    from oct_image_segmentation_models_tpu.training.training import (
+        load_train_state,
+        save_train_state,
+    )
+
+    part = train_model(
+        _params(
+            dataset,
+            tmp_path / "part",
+            epochs=2,
+            seed=7,
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+    state_file = part / "train_state_latest.npz"
+    meta, leaves = load_train_state(state_file)
+    # Rewrite the state as if the saving iteration's end-of-epoch
+    # patience check had fired (preemption between the save and the
+    # break). tree_flatten of the leaf list preserves leaf order.
+    meta["epochs_since_improvement"] = 3
+    save_train_state(state_file, leaves, meta)
+
+    resumed = train_model(
+        _params(
+            dataset,
+            tmp_path / "resumed",
+            model_architecture=None,
+            resume_train_state=state_file,
+            epochs=10,
+            seed=7,
+            early_stopping=True,
+            patience=3,
+        ),
+        None,
+    )
+    # Finalized (final checkpoint from the restored best weights) but
+    # trained zero extra epochs: no per-epoch stats or checkpoints.
+    assert (resumed / "model_final.hdf5").exists()
+    assert not list(resumed.glob("stats_epoch*.hdf5"))
+    assert not list(resumed.glob("model_epoch*.hdf5"))
+
+
+def test_train_state_meta_arrays_stored_as_npz(tmp_path):
+    """ndarray-valued meta entries (the generators' dataset-sized
+    sample_shuffle permutations) are stored as compact npz arrays, not
+    JSON-encoded lists, and round-trip exactly."""
+    from oct_image_segmentation_models_tpu.training.training import (
+        load_train_state,
+        save_train_state,
+    )
+
+    perm = np.random.default_rng(0).permutation(100_000)
+    meta = {
+        "epoch": 3,
+        "train_gen_state": {
+            "rng_state": {"state": 123},
+            "sample_shuffle": perm,
+            "counters": [1, 2, 3],
+        },
+        "nested": [{"arr": np.array([1.5, -2.5], np.float64)}],
+    }
+    tree = {"state": [np.ones((2, 2), np.float32)], "best": np.zeros(3)}
+    path = tmp_path / "ts.npz"
+    save_train_state(path, tree, meta)
+
+    meta2, leaves = load_train_state(path)
+    got = meta2["train_gen_state"]["sample_shuffle"]
+    assert isinstance(got, np.ndarray) and got.dtype == perm.dtype
+    np.testing.assert_array_equal(got, perm)
+    np.testing.assert_array_equal(meta2["nested"][0]["arr"], [1.5, -2.5])
+    assert meta2["train_gen_state"]["counters"] == [1, 2, 3]
+    assert len(leaves) == 2
+
+    # the embedded JSON blob must stay small — the 100k-entry
+    # permutation would be ~700 KB as a JSON list
+    with np.load(path) as data:
+        assert len(bytes(data["__meta__"])) < 2_000
