@@ -276,12 +276,11 @@ def test_calc_errors_matches_reference(ref_graph_search, ours):
 
 
 @pytest.fixture(scope="module")
-def ref_utils():
-    """Reference ``common/utils.py`` with its unavailable third-party
-    deps (mlflow, focal-loss, surface-distance) stubbed at import time —
-    the functions under test (`perform_argmax`, `:80-112`;
-    `convert_predictions_to_maps_semantic`, `:115-168`) touch none of
-    them."""
+def ref_common():
+    """Reference ``common/`` modules with their unavailable third-party
+    deps (mlflow, focal-loss, surface-distance, Keras-2-only attrs)
+    stubbed at import time — the functions under test touch none of
+    them.  Yields a dict of {utils, custom_losses, custom_metrics}."""
     import types
 
     import fake_mlflow
@@ -346,11 +345,19 @@ def ref_utils():
     sys.path.insert(0, REF_ROOT)
     try:
         try:
-            from oct_image_segmentation_models.common import utils
+            from oct_image_segmentation_models.common import (
+                custom_losses,
+                custom_metrics,
+                utils,
+            )
 
-            yield utils
+            yield {
+                "utils": utils,
+                "custom_losses": custom_losses,
+                "custom_metrics": custom_metrics,
+            }
         except Exception as exc:  # keras/typeguard version drift
-            pytest.skip(f"reference common.utils unimportable: {exc}")
+            pytest.skip(f"reference common modules unimportable: {exc}")
             yield None
     finally:
         sys.path.remove(REF_ROOT)
@@ -368,6 +375,11 @@ def ref_utils():
 
             if getattr(keras, "engine", None) is stubs["keras.engine"]:
                 del keras.engine
+
+
+@pytest.fixture(scope="module")
+def ref_utils(ref_common):
+    return ref_common["utils"]
 
 
 @pytest.mark.parametrize("binarize", [True, False])
@@ -408,6 +420,67 @@ def test_boundary_maps_match_reference(ref_utils, bg_ilm, bg_csi):
     )
     assert got.dtype == want.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+# ------------------------------------------------- losses / metrics
+
+
+def _rand_preds_labels(seed, b=2, x=8, y=6, c=3):
+    rng = np.random.default_rng(seed)
+    logits = rng.random((b, x, y, c)).astype(np.float32)
+    preds = logits / logits.sum(axis=-1, keepdims=True)
+    sparse = rng.integers(0, c, size=(b, x, y, 1)).astype(np.int32)
+    onehot = np.eye(c, dtype=np.float32)[sparse[..., 0]]
+    return preds, sparse, onehot
+
+
+@pytest.mark.parametrize("name", ["dice_loss_micro", "dice_loss_macro"])
+@pytest.mark.parametrize("sparse", [True, False])
+def test_dice_losses_match_reference_tf(ref_common, name, sparse):
+    """Our jnp dice losses equal the reference's TF implementations
+    (`custom_losses.py:48-81`) on the same inputs."""
+    from oct_image_segmentation_models_tpu.ops import losses
+
+    preds, y_sparse, y_onehot = _rand_preds_labels(41)
+    y = y_sparse if sparse else y_onehot
+    ref_fn = getattr(ref_common["custom_losses"], name)(
+        is_y_true_sparse=sparse, num_classes=3
+    )
+    our_fn = getattr(losses, name)(is_y_true_sparse=sparse, num_classes=3)
+    want = float(np.asarray(ref_fn(y, preds)))
+    got = float(np.asarray(our_fn(y, preds)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_bce_dice_loss_matches_reference_tf(ref_common):
+    """Reference bce_dice returns a per-pixel bce map plus a scalar dice
+    (`custom_losses.py:85-91`, mean-reduced by Keras fit); ours returns
+    the reduced scalar — compare against the mean of the reference's."""
+    from oct_image_segmentation_models_tpu.ops import losses
+
+    preds, _, y_onehot = _rand_preds_labels(43)
+    ref_fn = ref_common["custom_losses"].bce_dice_loss(num_classes=3)
+    our_fn = losses.bce_dice_loss(num_classes=3)
+    want = float(np.mean(np.asarray(ref_fn(y_onehot, preds))))
+    got = float(np.asarray(our_fn(y_onehot, preds)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["dice_coef_micro", "dice_coef_macro"])
+@pytest.mark.parametrize("sparse", [True, False])
+def test_dice_metrics_match_reference_tf(ref_common, name, sparse):
+    """Our jnp training-monitor metrics equal the reference's TF
+    implementations (`custom_metrics.py:19-77`), including the 0.5
+    thresholding and the (batch, class)-mean macro reduction."""
+    from oct_image_segmentation_models_tpu.ops import metrics
+
+    preds, y_sparse, y_onehot = _rand_preds_labels(47)
+    y = y_sparse if sparse else y_onehot
+    ref_fn = getattr(ref_common["custom_metrics"], name)(sparse, 3)
+    our_fn = getattr(metrics, name)(sparse, 3)
+    want = float(np.asarray(ref_fn(y, preds)))
+    got = float(np.asarray(our_fn(y, preds)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 # ------------------------------------------------------------- utils
