@@ -422,6 +422,162 @@ def test_boundary_maps_match_reference(ref_utils, bg_ilm, bg_csi):
     np.testing.assert_array_equal(got, want)
 
 
+# --------------------------------------------- plotting / augment
+
+
+@pytest.fixture(scope="module")
+def ref_plotting():
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from oct_image_segmentation_models.common import plotting
+
+        return plotting
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+@pytest.fixture(scope="module")
+def ref_augmentation():
+    """Reference ``common/augmentation.py`` with skimage stubbed (only
+    ``add_noise_aug`` calls ``random_noise``; the flip/no-op paths and
+    describers under test never touch it)."""
+    import types
+
+    try:
+        import skimage.util  # noqa: F401
+
+        inserted = []
+    except ImportError:
+        sk = types.ModuleType("skimage")
+        sku = types.ModuleType("skimage.util")
+        sku.random_noise = None
+        sk.util = sku
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.util"] = sku
+        inserted = ["skimage", "skimage.util"]
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from oct_image_segmentation_models.common import augmentation
+
+        yield augmentation
+    finally:
+        sys.path.remove(REF_ROOT)
+        for name in inserted:
+            sys.modules.pop(name, None)
+
+
+def _png(path):
+    from matplotlib import pyplot as plt
+
+    return np.asarray(plt.imread(str(path)))
+
+
+def test_save_image_plot_matches_reference(ref_plotting, tmp_path):
+    """Pixel-exact PNG parity for the per-image artifact plots
+    (reference `plotting.py:169-199`: 100-dpi figure sized so one array
+    element = one pixel)."""
+    from oct_image_segmentation_models_tpu.common import plotting
+
+    rng = np.random.default_rng(53)
+    image = rng.integers(0, 256, size=(48, 64)).astype(np.float64)
+    a, b = tmp_path / "ref.png", tmp_path / "ours.png"
+    ref_plotting.save_image_plot(image, a, cmap="gray", vmin=0, vmax=255)
+    plotting.save_image_plot(image, b, cmap="gray", vmin=0, vmax=255)
+    ia, ib = _png(a), _png(b)
+    assert ia.shape == ib.shape == (48, 64, 4)
+    np.testing.assert_array_equal(ib, ia)
+
+
+def test_save_image_plot_crop_matches_reference(ref_plotting, tmp_path):
+    from oct_image_segmentation_models_tpu.common import plotting
+
+    rng = np.random.default_rng(59)
+    image = rng.integers(0, 256, size=(40, 56)).astype(np.float64)
+    crop = ((4, 36), (8, 30))  # ((row0, row1), (col0, col1)) slices
+    a, b = tmp_path / "ref.png", tmp_path / "ours.png"
+    ref_plotting.save_image_plot_crop(image, a, cmap="gray", crop_bounds=crop)
+    plotting.save_image_plot_crop(image, b, cmap="gray", crop_bounds=crop)
+    np.testing.assert_array_equal(_png(b), _png(a))
+
+
+def test_save_segmentation_plot_matches_reference(ref_plotting, tmp_path):
+    """Overlay parity: truths solid / predictions dotted, zero rows
+    NaN-masked, same colour tables (reference `plotting.py:215-278`)."""
+    from oct_image_segmentation_models_tpu.common import plotting
+
+    rng = np.random.default_rng(61)
+    h, w, nb = 48, 64, 3
+    image = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+    truths = np.sort(rng.integers(1, h - 1, size=(nb, w)), axis=0).astype(
+        np.float64
+    )
+    preds = np.clip(
+        truths + rng.integers(-2, 3, size=truths.shape), 0, h - 1
+    ).astype(np.float64)
+    preds[0, 5] = 0  # exercises the zeros->NaN masking
+    a, b = tmp_path / "ref.png", tmp_path / "ours.png"
+    ref_plotting.save_segmentation_plot(
+        image, "gray", a, truths.copy(), preds.copy()
+    )
+    plotting.save_segmentation_plot(image, "gray", b, truths, preds)
+    np.testing.assert_array_equal(_png(b), _png(a))
+
+
+def test_save_cur_trainval_plot_matches_reference(ref_plotting, tmp_path):
+    from oct_image_segmentation_models_tpu.common import plotting
+
+    rng = np.random.default_rng(67)
+    n = 7
+    tr_a, va_a = rng.random(n), rng.random(n)
+    tr_l, va_l = rng.random(n) * 2, rng.random(n) * 2
+    a, b = tmp_path / "ref.png", tmp_path / "ours.png"
+    # epoch is the 0-based current epoch: the reference plots
+    # ``range(1, epoch + 2)`` against ``arrays[:epoch + 1]``
+    # (`plotting.py:132-159`)
+    args = ("dice_coef_micro", "loss", "unet", 50, n - 1)
+    ref_plotting.save_cur_trainval_plot(
+        *args, list(tr_a), list(va_a), list(tr_l), list(va_l), a
+    )
+    plotting.save_cur_trainval_plot(
+        *args, list(tr_a), list(va_a), list(tr_l), list(va_l), b
+    )
+    np.testing.assert_array_equal(_png(b), _png(a))
+
+
+def test_flip_aug_matches_reference(ref_augmentation):
+    from oct_image_segmentation_models_tpu.common import augmentation
+
+    rng = np.random.default_rng(71)
+    image = rng.random((12, 10, 1))
+    mask = rng.integers(0, 4, size=(12, 10, 1))
+    for flip_type in ("up-down", "left-right"):
+        args = {"flip_type": flip_type}
+        want_img, want_mask = ref_augmentation.flip_aug(image, mask, args)
+        got_img, got_mask = augmentation.flip_aug(image, mask, args)
+        np.testing.assert_array_equal(got_img, want_img)
+        np.testing.assert_array_equal(got_mask, want_mask)
+        assert augmentation.flip_aug(
+            image, mask, args, desc_only=True
+        ) == ref_augmentation.flip_aug(image, mask, args, desc_only=True)
+    # no-mask variant returns None for the mask
+    got_img, got_mask = augmentation.flip_aug(
+        image, None, {"flip_type": "up-down"}
+    )
+    want_img, want_mask = ref_augmentation.flip_aug(
+        image, None, {"flip_type": "up-down"}
+    )
+    np.testing.assert_array_equal(got_img, want_img)
+    assert got_mask is None and want_mask is None
+
+
+def test_augmentation_registry_matches_reference(ref_augmentation):
+    from oct_image_segmentation_models_tpu.common import augmentation
+
+    assert set(augmentation.augmentation_map) == set(
+        ref_augmentation.augmentation_map
+    )
+
+
 # ------------------------------------------------- losses / metrics
 
 
