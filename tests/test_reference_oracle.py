@@ -659,18 +659,23 @@ def test_generate_boundary_matches_reference(ref_mp_utils):
         )
 
 
-def test_create_area_mask_matches_reference():
+@pytest.fixture(scope="module")
+def ref_dc():
     sys.path.insert(0, REF_ROOT)
     try:
         try:
             from oct_image_segmentation_models.common import (
-                dataset_construction as ref_dc,
+                dataset_construction,
             )
+
+            return dataset_construction
         except Exception as exc:  # typeguard/keras version drift
             pytest.skip(f"reference dataset_construction unimportable: {exc}")
     finally:
         sys.path.remove(REF_ROOT)
 
+
+def test_create_area_mask_matches_reference(ref_dc):
     from oct_image_segmentation_models_tpu.common import (
         dataset_construction as dc,
     )
@@ -693,4 +698,102 @@ def test_create_area_mask_matches_reference():
     segs[:, 11] = 0  # whole column unusable -> image_height fallback
     want = ref_dc.create_area_mask((w, h, 1), segs.copy())
     got = dc.create_area_mask((w, h, 1), segs.copy())
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize(
+    "bg_mode,bg_margin", [("single", 0), ("extra", 1), ("extra", 2)]
+)
+def test_create_patch_labels_matches_reference(ref_dc, bg_mode, bg_margin):
+    """Patch-label maps bit-match, including the 'extra' mode's
+    overwrite order of boundary / adjacent-background / layer classes
+    (reference `dataset_construction.py:233-308`)."""
+    from oct_image_segmentation_models_tpu.common import (
+        dataset_construction as dc,
+    )
+
+    rng = np.random.default_rng(73)
+    w, h, nb = 20, 16, 3
+    image = rng.integers(0, 256, size=(w, h)).astype(np.uint8)
+    segs = np.sort(
+        rng.integers(3, h - 3, size=(nb, w)), axis=0
+    ).astype(np.int64)
+    segs[0, 2] = 0  # skipped columns
+    want = ref_dc.create_patch_labels(
+        image, segs.copy(), bg_mode=bg_mode, bg_margin=bg_margin
+    )
+    got = dc.create_patch_labels(
+        image, segs.copy(), bg_mode=bg_mode, bg_margin=bg_margin
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_whole_image_patches_match_reference(ref_dc):
+    """pad + per-pixel patch extraction (reference
+    `dataset_construction.py:311-392, 625-649`)."""
+    from oct_image_segmentation_models_tpu.common import (
+        dataset_construction as dc,
+    )
+
+    rng = np.random.default_rng(79)
+    w, h = 7, 6
+    patch_size = (3, 3)
+    # channels-last image, as construct_dataset feeds it (`:120-143`)
+    image = rng.integers(0, 256, size=(w, h, 1)).astype(np.uint8)
+    labels = rng.integers(0, 4, size=(w, h)).astype(np.uint8)
+
+    np.testing.assert_array_equal(
+        dc.pad_patch_image(image, patch_size),
+        ref_dc.pad_patch_image(image, patch_size),
+    )
+    want_p, want_l, _ = ref_dc.construct_patches_whole_image(
+        image, labels, patch_size
+    )
+    got_p, got_l, _ = dc.construct_patches_whole_image(
+        image, labels, patch_size
+    )
+    np.testing.assert_array_equal(np.asarray(got_p), want_p)
+    np.testing.assert_array_equal(np.asarray(got_l), want_l)
+
+
+@pytest.mark.parametrize("poly", [False, True])
+def test_flatten_image_boundary_matches_reference(ref_dc, poly):
+    from oct_image_segmentation_models_tpu.common import (
+        dataset_construction as dc,
+    )
+
+    rng = np.random.default_rng(83)
+    w, h = 16, 12
+    image = rng.integers(0, 256, size=(w, h, 1)).astype(np.uint8)
+    boundary = rng.integers(2, h - 2, size=(w,)).astype(np.int64)
+    want_img, want_off, want_fb = ref_dc.flatten_image_boundary(
+        image.copy(), boundary, poly=poly
+    )
+    got_img, got_off, got_fb = dc.flatten_image_boundary(
+        image.copy(), boundary, poly=poly
+    )
+    np.testing.assert_array_equal(np.asarray(got_img), want_img)
+    np.testing.assert_array_equal(np.asarray(got_off), want_off)
+    np.testing.assert_allclose(np.asarray(got_fb), want_fb, atol=1e-9)
+    # the recorded offsets must undo/redo identically
+    np.testing.assert_array_equal(
+        np.asarray(dc.roll_image_offset(image.copy(), got_off)),
+        ref_dc.roll_image_offset(image.copy(), want_off),
+    )
+
+
+def test_mask_optic_nerve_matches_reference(ref_dc):
+    from oct_image_segmentation_models_tpu.common import (
+        dataset_construction as dc,
+    )
+
+    rng = np.random.default_rng(89)
+    w, h = 14, 10
+    mask = rng.integers(0, 4, size=(w, h)).astype(np.uint8)
+    seg = np.sort(rng.integers(1, h - 1, size=(2, w)), axis=0).astype(
+        np.int64
+    )
+    onh = np.array([4, 9])
+    want = ref_dc.mask_optic_nerve(mask.copy(), seg.copy(), onh.copy())
+    got = dc.mask_optic_nerve(mask.copy(), seg.copy(), onh.copy())
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
