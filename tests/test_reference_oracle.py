@@ -422,6 +422,108 @@ def test_boundary_maps_match_reference(ref_utils, bg_ilm, bg_csi):
     np.testing.assert_array_equal(got, want)
 
 
+# ------------------------------------------------ model containers
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    sys.path.insert(0, REF_ROOT)
+    try:
+        try:
+            import oct_image_segmentation_models.models as ref_models_pkg
+
+            return ref_models_pkg
+        except Exception as exc:  # keras version drift
+            pytest.skip(f"reference models package unimportable: {exc}")
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+def test_model_registry_matches_reference(ref_models):
+    from oct_image_segmentation_models_tpu import models
+
+    assert set(models.model_name_map) == set(ref_models.model_name_map)
+    with pytest.raises(ValueError):
+        models.get_model_class("nope")
+    with pytest.raises(ValueError):
+        ref_models.get_model_class("nope")
+
+
+def test_unet_container_config_matches_reference(ref_models):
+    """Same kwargs -> the reference's full get_config() dict is a subset
+    of ours (ours adds round-trip keys like dtype), value-for-value."""
+    from oct_image_segmentation_models_tpu import models
+
+    kwargs = dict(
+        input_channels=1,
+        num_classes=4,
+        image_height=64,
+        image_width=96,
+        start_neurons=16,
+        pool_layers=3,
+        conv_layers=2,
+        enc_kernel=(3, 3),
+        dec_kernel=(2, 2),
+    )
+    want = ref_models.get_model_class("unet")(**kwargs).get_config()
+    got = models.get_model_class("unet")(**kwargs).get_config()
+    for key, val in want.items():
+        assert key in got, key
+        if isinstance(val, tuple):
+            assert tuple(got[key]) == val, key
+        else:
+            assert got[key] == val, key
+
+
+def test_deeplab_container_config_matches_reference(ref_models):
+    from oct_image_segmentation_models_tpu import models
+
+    kwargs = dict(
+        input_channels=3, num_classes=4, image_height=64, image_width=96
+    )
+    want = ref_models.get_model_class("deeplabv3plus")(**kwargs).get_config()
+    got = models.get_model_class("deeplabv3plus")(**kwargs).get_config()
+    for key, val in want.items():
+        assert got.get(key) == val, key
+
+
+def test_unet_preprocess_matches_reference(ref_models):
+    from oct_image_segmentation_models_tpu import models
+
+    kwargs = dict(
+        input_channels=1, num_classes=4, image_height=8, image_width=8
+    )
+    rng = np.random.default_rng(97)
+    x = rng.integers(0, 256, size=(2, 8, 8, 1)).astype(np.float32)
+    want = ref_models.get_model_class("unet")(
+        **kwargs
+    ).get_preprocess_input_fn()(x)
+    got = models.get_model_class("unet")(
+        **kwargs
+    ).get_preprocess_input_fn()(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-7)
+
+
+def test_deeplab_preprocess_matches_reference(ref_models):
+    """Our jnp caffe preprocess equals
+    keras.applications.resnet50.preprocess_input (RGB->BGR + ImageNet
+    mean subtraction) — reference `deeplabv3plus.py:83-84`."""
+    from oct_image_segmentation_models_tpu import models
+
+    kwargs = dict(
+        input_channels=3, num_classes=4, image_height=8, image_width=8
+    )
+    rng = np.random.default_rng(101)
+    x = rng.integers(0, 256, size=(2, 8, 8, 3)).astype(np.float32)
+    want = ref_models.get_model_class("deeplabv3plus")(
+        **kwargs
+    ).get_preprocess_input_fn()(x.copy())
+    got = models.get_model_class("deeplabv3plus")(
+        **kwargs
+    ).get_preprocess_input_fn()(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 # --------------------------------------------- plotting / augment
 
 
