@@ -321,3 +321,116 @@ def test_real_keras_resnet50_backbone_parity(tmp_path):
     assert low.shape == k_low.shape and high.shape == k_high.shape
     np.testing.assert_allclose(low, k_low, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(high, k_high, rtol=1e-3, atol=1e-3)
+
+
+# --------------------------------------------------------------------
+# The tests above rebuild the reference architectures from their
+# documented block structure; these two go further and run the
+# REFERENCE'S OWN ``build_model()`` (imported from /root/reference at
+# runtime) to produce the Keras model we import from — removing the
+# re-written-builder trust step entirely. Skipped off this rig.
+
+
+def _import_reference_model_class(name):
+    import sys
+
+    ref_root = "/root/reference"
+    import os
+
+    if not os.path.isdir(ref_root):
+        pytest.skip("upstream reference tree not available")
+    sys.path.insert(0, ref_root)
+    try:
+        try:
+            from oct_image_segmentation_models.models import get_model_class
+
+            return get_model_class(name)
+        except Exception as exc:  # keras version drift
+            pytest.skip(f"reference models unimportable: {exc}")
+    finally:
+        sys.path.remove(ref_root)
+
+
+def test_reference_own_unet_builder_forward_parity(tmp_path):
+    keras.backend.clear_session()
+    cls = _import_reference_model_class("unet")
+    container = cls(
+        input_channels=1,
+        num_classes=3,
+        image_height=32,
+        image_width=48,
+        start_neurons=4,
+        pool_layers=2,
+    )
+    model = container.build_model()  # reference models/unet.py:106-153
+    _randomize_bn_and_bias(model, seed=11)
+
+    h5_path = tmp_path / "model_epoch03.hdf5"
+    _write_keras_h5(h5_path, model, model_name="unet")
+    loaded, _ = model_io.load_keras_model(
+        h5_path, model_config=container.get_config()
+    )
+
+    x = np.random.RandomState(13).uniform(0, 1, (2, 32, 48, 1)).astype(
+        np.float32
+    )
+    keras_out = np.asarray(model(x, training=False))
+    flax_out = np.asarray(
+        loaded.module.apply(loaded.variables, x, training=False)
+    )
+    assert keras_out.shape == flax_out.shape == (2, 32, 48, 3)
+    np.testing.assert_allclose(flax_out, keras_out, rtol=1e-4, atol=1e-5)
+
+
+def test_reference_own_deeplab_builder_forward_parity(tmp_path, monkeypatch):
+    keras.backend.clear_session()
+    cls = _import_reference_model_class("deeplabv3plus")
+
+    # Two environment shims, semantics-preserving: (a) no egress, so
+    # force the reference's hard-coded ``weights="imagenet"``
+    # (`deeplabv3plus.py:91-93`) to random init — weight VALUES are
+    # irrelevant for import parity; (b) Keras 3 forbids tf.nn.relu on
+    # KerasTensors, so route the reference's ``tf.nn.relu`` call
+    # (`deeplabv3plus.py:30`) through the equivalent Activation layer.
+    real_resnet50 = keras.applications.ResNet50
+
+    def _offline_resnet50(*args, **kwargs):
+        kwargs["weights"] = None
+        return real_resnet50(*args, **kwargs)
+
+    monkeypatch.setattr(keras.applications, "ResNet50", _offline_resnet50)
+
+    real_relu = tf.nn.relu
+
+    def _symbolic_safe_relu(x, name=None):
+        # Only symbolic build-time calls need the layer detour; concrete
+        # tensors at predict time must use the real op (Keras's own relu
+        # dispatches through tf.nn.relu, so an unconditional patch
+        # recurses).
+        if isinstance(x, keras.KerasTensor):
+            return keras.layers.Activation("relu")(x)
+        return real_relu(x, name=name)
+
+    monkeypatch.setattr(tf.nn, "relu", _symbolic_safe_relu)
+
+    container = cls(
+        input_channels=3, num_classes=3, image_height=64, image_width=96
+    )
+    model = container.build_model()  # reference deeplabv3plus.py:86-131
+    _randomize_bn_and_bias(model, seed=17)
+
+    h5_path = tmp_path / "model_epoch05.hdf5"
+    _write_keras_h5(h5_path, model, model_name="deeplabv3plus")
+    loaded, _ = model_io.load_keras_model(
+        h5_path, model_config=container.get_config()
+    )
+
+    x = np.random.RandomState(19).normal(0, 1, (2, 64, 96, 3)).astype(
+        np.float32
+    )
+    keras_out = np.asarray(model(x, training=False))
+    flax_out = np.asarray(
+        loaded.module.apply(loaded.variables, x, training=False)
+    )
+    assert keras_out.shape == flax_out.shape == (2, 64, 96, 3)
+    np.testing.assert_allclose(flax_out, keras_out, rtol=1e-3, atol=1e-4)
