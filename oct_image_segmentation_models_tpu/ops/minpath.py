@@ -53,12 +53,18 @@ Zero-edge winners additionally settle no earlier than their
 predecessor (their entry is pushed mid-cohort), so their rank key takes
 the max of the own and predecessor priority fields.
 
-Verified against a faithful heapq oracle in ``tests/test_minpath.py``:
-bit-exact on realistic (single-ridge) boundary maps, flat tails, gaps,
-large jumps, and on sparse-/dense-random adversarial maps; residual
-divergences (~1% of columns on wide multi-row 255 plateaus) are
-equal-cost paths whose choice depends on cascade pop events deeper than
-the carried state (the returned path is always cost-optimal).
+Verified against a faithful heapq oracle in ``tests/test_minpath.py``
+and against the upstream package itself in
+``tests/test_reference_oracle.py``: bit-exact on realistic
+(single-ridge) boundary maps, flat tails, gaps, large jumps, and on
+sparse-/dense-random adversarial maps. Two residual divergence classes,
+both cost-optimal and budgeted (<0.05 px MAE): (a) ~1% of columns on
+wide multi-row 255 plateaus — equal-cost races decided by cascade pop
+events deeper than the carried state; (b) float64 pseudo-ties — paths
+with exactly equal rational cost whose left-to-right float64
+accumulations differ by an ulp, which the reference's heap resolves as
+a strict inequality (rounding noise that exact integer arithmetic
+cannot reproduce; see PLAN.md §4 for a measured instance).
 """
 
 from __future__ import annotations

@@ -127,11 +127,14 @@ def _path_cost(map_u8, delin, max_grad):
 
 def _assert_parity(maps_u8, got, want, max_grad, budget_mae=0.05):
     """Bit-equality, EXCEPT columns where our DP picked a different
-    *equal-cost* path: integer uint8 weights can tie exactly (e.g. two
-    2-column prefixes with identical pixel sums), and the kernel's
-    settle-race derivation is exact only to ancestor depth 4 (PLAN.md
-    §4).  Such races must still be cost-optimal and inside the
-    BASELINE.md 0.05 px budget."""
+    *equal-cost* path.  Two mechanisms produce those (PLAN.md §4):
+    float64 pseudo-ties — exactly-equal rational costs whose
+    left-to-right float64 accumulations differ by an ulp, which the
+    reference's heap resolves as a strict inequality (rounding noise no
+    exact-arithmetic implementation can reproduce; verified on seed 7
+    map 1: 0.8980392156862746 vs ...748) — and true ties raced beyond
+    the kernel's ancestor depth 4.  Both must still be cost-optimal and
+    inside the BASELINE.md 0.05 px budget."""
     got = got.astype(np.float64)
     for m in range(maps_u8.shape[0]):
         if not np.array_equal(got[m], want[m]):
@@ -158,8 +161,8 @@ def test_dense_random_maps_bitmatch_reference(
     got, _, _ = ours.segment_maps(maps, None, gs)
     # Dense random integer maps hit exact equal-cost prefix ties (found
     # by this very test: seed 7, map 1, cols 0-1 — two 2-column prefixes
-    # with pixel sums 396 each); those races are cost-optimal and
-    # budgeted rather than bit-matched.
+    # with pixel sums 396 each, a float64 pseudo-tie in the reference);
+    # those are cost-optimal and budgeted rather than bit-matched.
     _assert_parity(maps, got, want, max_grad)
 
 
