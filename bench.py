@@ -19,11 +19,18 @@ conv feeds the 128-wide MXU lane dimension fully) — numerically
 equivalent to the parity module to ~3e-4 in probability space.
 
 ``vs_baseline`` follows BASELINE.md's north star (">= 10x Keras-CPU
-B-scans/sec on one v5e chip"): the baseline is 10x the throughput of the
-same fused pipeline on the CPU backend (a conservative stand-in for the
-Keras-CPU reference, which is not installable here; measured once and
-cached in .bench_cpu_baseline.json), so vs_baseline >= 1.0 means the
-target is met.
+B-scans/sec on one v5e chip"): the baseline is 10x the measured
+throughput of the REFERENCE'S OWN pipeline on this host's CPU — the
+upstream package imported from /root/reference at runtime (its
+``build_model()`` Keras U-Net + ``perform_argmax`` /
+``convert_predictions_to_maps_semantic`` + heapq-Dijkstra
+``segment_maps``, the `prediction/prediction.py:70-160` flow minus
+artifact writing). Measured once and cached in
+.bench_cpu_baseline.json; vs_baseline >= 1.0 means the target is met.
+When the reference tree or TensorFlow is unavailable, the baseline
+falls back to the same fused JAX pipeline on the CPU backend (a
+conservative proxy — it is several times FASTER than the reference's
+Python Dijkstra, so it understates vs_baseline).
 """
 
 from __future__ import annotations
@@ -200,21 +207,211 @@ def _cpu_pipeline_hash():
     return digest.hexdigest()
 
 
+def _read_cache() -> dict:
+    if os.path.exists(CPU_CACHE):
+        try:
+            with open(CPU_CACHE) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            pass
+    return {}
+
+
+def _update_cache(entries: dict) -> None:
+    cache = _read_cache()
+    cache.update(entries)
+    with open(CPU_CACHE, "w") as fh:
+        json.dump(cache, fh)
+
+
 def measure_cpu_proxy(images_np):
     pipeline_hash = _cpu_pipeline_hash()
-    if os.path.exists(CPU_CACHE):
-        with open(CPU_CACHE) as fh:
-            cached = json.load(fh)
-        if cached.get("pipeline_hash") == pipeline_hash:
-            return cached["cpu_bscans_per_s"]
+    cached = _read_cache()
+    if cached.get("pipeline_hash") == pipeline_hash:
+        return cached["cpu_bscans_per_s"]
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         return float("nan")
     module, loop_factory = build_pipeline("float32", "xla", 1, mode="parity")
     tp = time_loop(module, loop_factory, cpu, images_np[:CPU_BATCH], 1)
-    with open(CPU_CACHE, "w") as fh:
-        json.dump({"cpu_bscans_per_s": tp, "pipeline_hash": pipeline_hash}, fh)
+    _update_cache({"cpu_bscans_per_s": tp, "pipeline_hash": pipeline_hash})
+    return tp
+
+
+REF_ROOT = "/root/reference"
+REF_BASELINE_VERSION = 1
+
+
+def _import_reference_predict_path():
+    """Import the upstream package's predict-path modules as a runtime
+    baseline oracle (no code is copied; the tree is read-only).
+
+    The predict path itself needs only TF/Keras + numpy/heapq, but the
+    reference's ``common.utils`` module-level imports pull in deps that
+    are not installed here (mlflow, focal-loss, surface-distance) and
+    Keras-2-only symbols (``keras.utils.losses_utils``,
+    ``keras.engine`` in a type annotation) — none of which the timed
+    path ever calls. Light stubs satisfy those imports; ``sys.modules``
+    and patched keras attributes are restored afterwards. Returns
+    ``(get_model_class, ref_utils, ref_graph_search)`` or ``None`` when
+    the tree / TF are unavailable.
+    """
+    import sys
+    import types
+
+    if not os.path.isdir(REF_ROOT):
+        return None
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+    stubs = {}
+
+    def stub(name, **attrs):
+        mod = types.ModuleType(name)
+        for key, val in attrs.items():
+            setattr(mod, key, val)
+        stubs[name] = mod
+        return mod
+
+    mlflow = stub("mlflow")
+    mlflow.exceptions = stub(
+        "mlflow.exceptions",
+        MlflowException=type("MlflowException", (Exception,), {}),
+    )
+    stub(
+        "focal_loss",
+        SparseCategoricalFocalLoss=type(
+            "SparseCategoricalFocalLoss", (), {}
+        ),
+    )
+    stub(
+        "surface_distance",
+        compute_surface_distances=None,
+        compute_average_surface_distance=None,
+        compute_robust_hausdorff=None,
+    )
+
+    try:
+        import keras as real_keras
+        import keras.utils as keras_utils
+    except ImportError:
+        return None
+
+    patched_losses_utils = not hasattr(keras_utils, "losses_utils")
+    if patched_losses_utils:
+        lu = stub("keras.utils.losses_utils")
+        lu.ReductionV2 = types.SimpleNamespace(
+            AUTO="auto",
+            NONE=None,
+            SUM="sum",
+            SUM_OVER_BATCH_SIZE="sum_over_batch_size",
+        )
+        keras_utils.losses_utils = lu
+    patched_engine = not hasattr(real_keras, "engine")
+    if patched_engine:
+        real_keras.engine = types.SimpleNamespace(
+            functional=types.SimpleNamespace(Functional=object)
+        )
+
+    saved = {name: sys.modules.get(name) for name in stubs}
+    sys.modules.update(stubs)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from oct_image_segmentation_models.common import utils as ref_utils
+        from oct_image_segmentation_models.min_path_processing import (
+            graph_search as ref_gs,
+        )
+        from oct_image_segmentation_models.models import get_model_class
+    except Exception:
+        return None
+    finally:
+        sys.path.remove(REF_ROOT)
+        for name, prev in saved.items():
+            if prev is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = prev
+        if patched_losses_utils:
+            delattr(keras_utils, "losses_utils")
+        if patched_engine:
+            delattr(real_keras, "engine")
+    return get_model_class, ref_utils, ref_gs
+
+
+def measure_reference_keras_cpu(images_np, n_images=1):
+    """True Keras-CPU baseline: the reference's own pipeline on this CPU.
+
+    Times the `prediction/prediction.py:70-160` flow with graph search —
+    ``build_model()`` Keras ``predict`` (batch 1) -> ``perform_argmax``
+    -> ``convert_predictions_to_maps_semantic`` -> transposes ->
+    heapq-Dijkstra ``segment_maps`` — for ``n_images`` flagship-scale
+    B-scans, artifact writing and area-mask reconstruction excluded on
+    both sides. One warmup ``predict`` is excluded (steady-state, like
+    the accelerated number). Cached: the reference tree is immutable, so
+    the measurement is keyed only on a methodology version. Returns
+    B-scans/s or nan.
+    """
+    cached = _read_cache()
+    if cached.get("reference_baseline_version") == REF_BASELINE_VERSION:
+        return cached["reference_keras_cpu_bscans_per_s"]
+
+    imported = _import_reference_predict_path()
+    if imported is None:
+        return float("nan")
+    get_model_class, ref_utils, ref_gs = imported
+
+    try:
+        container = get_model_class("unet")(
+            input_channels=1,
+            num_classes=NUM_CLASSES,
+            image_height=H,
+            image_width=W,
+            start_neurons=32,
+        )
+        model = container.build_model()
+        preprocess = container.get_preprocess_input_fn()
+
+        images = images_np[:n_images].astype(np.float64)
+        model.predict(
+            np.expand_dims(preprocess(images[0]), axis=0),
+            verbose=0,
+            batch_size=1,
+        )  # warmup: oneDNN autotuning + trace
+
+        t0 = time.perf_counter()
+        for img in images:
+            probs = model.predict(
+                np.expand_dims(preprocess(img), axis=0),
+                verbose=0,
+                batch_size=1,
+            )
+            _, categorical = ref_utils.perform_argmax(probs, bin=True)
+            maps = ref_utils.convert_predictions_to_maps_semantic(
+                np.array(categorical), bg_ilm=True, bg_csi=False
+            )
+            maps = np.squeeze(maps)
+            img_t = np.transpose(img, (1, 0, 2))
+            maps_t = np.transpose(maps, (0, 2, 1))
+            graph_structure = ref_gs.create_graph_structure(img_t.shape)
+            ref_gs.segment_maps(maps_t, None, graph_structure)
+        tp = n_images / (time.perf_counter() - t0)
+    except Exception as exc:
+        import sys
+
+        print(
+            f"bench: reference Keras-CPU baseline failed ({exc!r}); "
+            "falling back to the JAX-CPU proxy",
+            file=sys.stderr,
+            flush=True,
+        )
+        return float("nan")
+
+    _update_cache(
+        {
+            "reference_keras_cpu_bscans_per_s": tp,
+            "reference_baseline_version": REF_BASELINE_VERSION,
+        }
+    )
     return tp
 
 
@@ -279,8 +476,16 @@ def main():
     )
     tp_accel = time_loop(module, loop_factory, accel, images_np, K_ITERS)
 
+    tp_ref = measure_reference_keras_cpu(images_np)
     tp_cpu = measure_cpu_proxy(images_np)
-    baseline = 10.0 * tp_cpu
+    tp_base = tp_ref if np.isfinite(tp_ref) else tp_cpu
+    baseline_definition = (
+        "10x reference Keras-CPU (upstream package's own predict+min-path "
+        "on this host's CPU)"
+        if np.isfinite(tp_ref)
+        else "10x same-pipeline CPU throughput (JAX-CPU proxy)"
+    )
+    baseline = 10.0 * tp_base
     vs_baseline = tp_accel / baseline if np.isfinite(baseline) else None
 
     print(
@@ -302,10 +507,13 @@ def main():
                         if tie_parity == "fast"
                         else ""
                     ),
+                    "reference_keras_cpu_bscans_per_s": (
+                        round(tp_ref, 4) if np.isfinite(tp_ref) else None
+                    ),
                     "cpu_proxy_bscans_per_s": (
                         round(tp_cpu, 4) if np.isfinite(tp_cpu) else None
                     ),
-                    "baseline_definition": "10x same-pipeline CPU throughput",
+                    "baseline_definition": baseline_definition,
                     "timing": "best of 3 reps of K=10 pipeline "
                     "iterations inside one jit",
                 },
