@@ -1,0 +1,127 @@
+"""Tests for bench.py's reference Keras-CPU baseline.
+
+The ``vs_baseline`` denominator is the upstream package's own pipeline
+(Keras ``build_model()`` predict + numpy convert + heapq-Dijkstra
+``segment_maps``) imported from /root/reference at runtime with light
+stubs for its uninstalled deps. These tests cover the stub hygiene
+(``sys.modules`` and patched keras attributes are restored), the cache
+contract, and — on this rig — a small-scale end-to-end measurement.
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+_HAS_REF = os.path.isdir(bench.REF_ROOT)
+
+
+def _clear_ref_cache(monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "CPU_CACHE", str(tmp_path / "cache.json"))
+
+
+def test_import_restores_global_state(monkeypatch, tmp_path):
+    if not _HAS_REF:
+        pytest.skip("upstream reference tree not available")
+    pytest.importorskip("tensorflow")
+    import keras
+    import keras.utils as keras_utils
+
+    stub_names = ["mlflow", "focal_loss", "surface_distance"]
+    before = {name: sys.modules.get(name) for name in stub_names}
+    had_losses_utils = hasattr(keras_utils, "losses_utils")
+    had_engine = hasattr(keras, "engine")
+
+    imported = bench._import_reference_predict_path()
+    assert imported is not None
+    get_model_class, ref_utils, ref_gs = imported
+
+    # the stubs and attribute patches must not leak into this process
+    for name in stub_names:
+        assert sys.modules.get(name) is before[name], name
+    assert hasattr(keras_utils, "losses_utils") == had_losses_utils
+    assert hasattr(keras, "engine") == had_engine
+
+    # the imported oracle modules stay functional after restoration
+    assert callable(ref_utils.perform_argmax)
+    assert callable(ref_gs.segment_maps)
+    assert get_model_class("unet") is not None
+
+
+def test_measure_uses_cache_without_importing(monkeypatch, tmp_path):
+    _clear_ref_cache(monkeypatch, tmp_path)
+    with open(bench.CPU_CACHE, "w") as fh:
+        json.dump(
+            {
+                "reference_keras_cpu_bscans_per_s": 0.5,
+                "reference_baseline_version": bench.REF_BASELINE_VERSION,
+            },
+            fh,
+        )
+    monkeypatch.setattr(
+        bench,
+        "_import_reference_predict_path",
+        lambda: (_ for _ in ()).throw(AssertionError("must not import")),
+    )
+    assert bench.measure_reference_keras_cpu(None) == 0.5
+
+
+def test_measure_stale_version_invalidates_cache(monkeypatch, tmp_path):
+    _clear_ref_cache(monkeypatch, tmp_path)
+    with open(bench.CPU_CACHE, "w") as fh:
+        json.dump(
+            {
+                "reference_keras_cpu_bscans_per_s": 0.5,
+                "reference_baseline_version": bench.REF_BASELINE_VERSION - 1,
+            },
+            fh,
+        )
+    monkeypatch.setattr(bench, "_import_reference_predict_path", lambda: None)
+    assert np.isnan(bench.measure_reference_keras_cpu(None))
+
+
+def test_measure_nan_when_reference_unavailable(monkeypatch, tmp_path):
+    _clear_ref_cache(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "_import_reference_predict_path", lambda: None)
+    tp = bench.measure_reference_keras_cpu(np.zeros((1, 8, 8, 1), np.uint8))
+    assert np.isnan(tp)
+    # a failed measurement must not poison the cache
+    assert "reference_keras_cpu_bscans_per_s" not in bench._read_cache()
+
+
+def test_cache_update_preserves_other_keys(monkeypatch, tmp_path):
+    _clear_ref_cache(monkeypatch, tmp_path)
+    bench._update_cache({"cpu_bscans_per_s": 1.0, "pipeline_hash": "x"})
+    bench._update_cache({"reference_keras_cpu_bscans_per_s": 2.0})
+    cache = bench._read_cache()
+    assert cache["cpu_bscans_per_s"] == 1.0
+    assert cache["reference_keras_cpu_bscans_per_s"] == 2.0
+
+
+def test_small_scale_reference_measurement(monkeypatch, tmp_path):
+    """End-to-end against the real upstream package at a tiny geometry:
+    guards the stubbed import + predict + convert + Dijkstra flow against
+    keras/library drift without the ~1 min flagship-scale cost."""
+    if not _HAS_REF:
+        pytest.skip("upstream reference tree not available")
+    pytest.importorskip("tensorflow")
+    _clear_ref_cache(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "H", 32)
+    monkeypatch.setattr(bench, "W", 64)
+    images = np.random.default_rng(0).integers(
+        0, 255, size=(2, 32, 64, 1), dtype=np.uint8
+    )
+    tp = bench.measure_reference_keras_cpu(images, n_images=1)
+    assert np.isfinite(tp) and tp > 0
+    cache = bench._read_cache()
+    assert (
+        cache["reference_baseline_version"] == bench.REF_BASELINE_VERSION
+    )
+    assert cache["reference_keras_cpu_bscans_per_s"] == tp
