@@ -161,6 +161,24 @@ def cmd_export(args):
     print(f"Exported StableHLO inference artifact: {out}")
 
 
+def cmd_export_keras(args):
+    from .common.model_io import load_model_and_config, save_keras_weights
+
+    loaded, model_config = load_model_and_config(
+        Path(args.model),
+        mlflow_tracking_uri=args.mlflow_tracking_uri,
+        mlflow_run_uuid=args.mlflow_run_uuid,
+    )
+    out = save_keras_weights(
+        Path(args.output),
+        loaded.name,
+        model_config,
+        dict(loaded.variables),
+        write_sidecar=not args.no_sidecar,
+    )
+    print(f"Exported Keras weights checkpoint: {out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="octseg", description="TPU-native OCT image segmentation"
@@ -275,6 +293,23 @@ def main(argv=None):
     p_exp.add_argument("--mlflow-tracking-uri", default=None)
     p_exp.add_argument("--mlflow-run-uuid", default=None)
     p_exp.set_defaults(func=cmd_export)
+
+    p_keras = sub.add_parser(
+        "export-keras",
+        help="export a trained model's weights to a reference-consumable "
+        "Keras HDF5 (rebuild there with the reference's build_model() "
+        "and model.load_weights())",
+    )
+    p_keras.add_argument("model")
+    p_keras.add_argument("output")
+    p_keras.add_argument(
+        "--no-sidecar",
+        action="store_true",
+        help="skip writing model_config.json next to the output",
+    )
+    p_keras.add_argument("--mlflow-tracking-uri", default=None)
+    p_keras.add_argument("--mlflow-run-uuid", default=None)
+    p_keras.set_defaults(func=cmd_export_keras)
 
     args = parser.parse_args(argv)
     return args.func(args)

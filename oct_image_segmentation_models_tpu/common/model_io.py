@@ -583,6 +583,233 @@ def load_keras_deeplab_model(
 
 
 # ---------------------------------------------------------------------------
+# Keras weight EXPORT — the reverse migration path
+# ---------------------------------------------------------------------------
+
+
+def _keras_name(prefix: str, index: int) -> str:
+    """Keras default layer naming: conv2d, conv2d_1, conv2d_2, ..."""
+    return prefix if index == 0 else f"{prefix}_{index}"
+
+
+def _write_keras_layer(root, layer_name: str, named_weights) -> None:
+    """Write one layer in the Keras HDF5 weights layout: a group per
+    layer with a ``weight_names`` attribute and the datasets nested as
+    ``<layer>/<layer>/<weight>:0`` (the shape Keras ``save_weights``
+    produces and both Keras's legacy h5 loader and
+    :func:`_keras_weights_reader` consume)."""
+    grp = root.create_group(layer_name)
+    sub = grp.create_group(layer_name)
+    weight_names = []
+    for wname, arr in named_weights:
+        sub.create_dataset(f"{wname}:0", data=np.asarray(arr, np.float32))
+        weight_names.append(f"{layer_name}/{wname}:0".encode())
+    size = max(len(n) for n in weight_names)
+    grp.attrs["weight_names"] = np.array(weight_names, dtype=f"S{size}")
+
+
+def _finalize_keras_export(f, layer_names) -> None:
+    names = [n.encode() for n in layer_names]
+    size = max(len(n) for n in names)
+    f.attrs["layer_names"] = np.array(names, dtype=f"S{size}")
+    f.attrs["backend"] = np.bytes_("tensorflow")
+    # the reference pins TF/Keras 2.9 (`pyproject.toml:31`)
+    f.attrs["keras_version"] = np.bytes_("2.9.0")
+
+
+def _conv_weights(tree) -> list:
+    out = [("kernel", tree["kernel"])]
+    if "bias" in tree:
+        out.append(("bias", tree["bias"]))
+    return out
+
+
+def _bn_weights(param_tree, stats_tree) -> list:
+    return [
+        ("gamma", param_tree["scale"]),
+        ("beta", param_tree["bias"]),
+        ("moving_mean", stats_tree["mean"]),
+        ("moving_variance", stats_tree["var"]),
+    ]
+
+
+def _resnet50_pruned_layer_order() -> list:
+    """Weighted-layer order of the reference's DeepLabV3+ backbone —
+    ``keras.applications.ResNet50`` pruned at the ``conv4_block6_2_relu``
+    tap (reference `models/deeplabv3plus.py:91-95`), in the functional
+    graph's topological order (verified against a live build of the
+    reference's own ``build_model()``; downsampling blocks interleave
+    the shortcut as 1,1,2,2,0,3,0,3)."""
+    order = ["conv1_conv", "conv1_bn"]
+    for stage, n_blocks in ((2, 3), (3, 4), (4, 6)):
+        for block in range(1, n_blocks + 1):
+            pre = f"conv{stage}_block{block}"
+            if stage == 4 and block == 6:  # pruned at the 2_relu tap
+                order += [
+                    f"{pre}_1_conv", f"{pre}_1_bn",
+                    f"{pre}_2_conv", f"{pre}_2_bn",
+                ]
+            elif block == 1:
+                order += [
+                    f"{pre}_1_conv", f"{pre}_1_bn",
+                    f"{pre}_2_conv", f"{pre}_2_bn",
+                    f"{pre}_0_conv", f"{pre}_3_conv",
+                    f"{pre}_0_bn", f"{pre}_3_bn",
+                ]
+            else:
+                order += [
+                    f"{pre}_1_conv", f"{pre}_1_bn",
+                    f"{pre}_2_conv", f"{pre}_2_bn",
+                    f"{pre}_3_conv", f"{pre}_3_bn",
+                ]
+    return order
+
+
+# DeepLabV3+ head weighted-layer order in the reference model's graph:
+# the five parallel DSPP branch convs are batched before their batch
+# norms (verified against a live reference build). Entry i of
+# _DEEPLAB_HEAD_BLOCKS maps conv2d_i / batch_normalization_i to the Flax
+# param path (mirrors load_keras_deeplab_model's index mapping).
+_DEEPLAB_HEAD_LAYER_ORDER = (
+    ["conv2d", "batch_normalization"]
+    + [f"conv2d_{i}" for i in range(1, 5)]
+    + [f"batch_normalization_{i}" for i in range(1, 5)]
+    + [
+        name
+        for i in range(5, 9)
+        for name in (f"conv2d_{i}", f"batch_normalization_{i}")
+    ]
+    + ["conv2d_9"]
+)
+
+
+def save_keras_weights(
+    path: Path,
+    model_name: str,
+    model_config: dict,
+    variables: dict,
+    write_sidecar: bool = True,
+) -> Path:
+    """Export Flax variables to a reference-consumable Keras weights h5.
+
+    The reverse of :func:`load_keras_model` — lets a model trained here
+    migrate BACK to the reference (Keras/TF) ecosystem: rebuild the
+    architecture there with the reference's own ``build_model()`` and
+    call ``model.load_weights(path)``. Layers are written in the
+    reference model's weighted-layer order with Keras default names, so
+    both order-based (``by_name=False``, the default) and fresh-session
+    name-based loading work; :func:`load_keras_model` reads the file
+    back too (round-trip tested against real Keras in
+    ``tests/test_keras_export.py``).
+
+    ``write_sidecar`` also writes ``model_config.json`` next to the
+    checkpoint (the sidecar the reference trainer produces and this
+    framework's Keras importer requires). Returns the written path.
+
+    Caveat: order-based ``load_weights`` relies on Keras's functional
+    topological layer order, verified against Keras 3; the reference's
+    pinned Keras 2.9 uses the same graph-construction order for these
+    architectures, but name-based loading (fresh session) is the
+    belt-and-braces path.
+    """
+    path = Path(path)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    with h5py.File(path, "w") as f:
+        if model_name == "deeplabv3plus":
+            layer_names = _export_deeplab_layers(f, params, batch_stats)
+        elif model_name == "unet":
+            layer_names = _export_unet_layers(f, params, batch_stats)
+        else:
+            raise ValueError(
+                f"save_keras_weights supports 'unet' and 'deeplabv3plus', "
+                f"got {model_name!r}"
+            )
+        _finalize_keras_export(f, layer_names)
+        # minimal Keras-style model_config attribute: carries the model
+        # name load_keras_model dispatches on (Keras's own load_weights
+        # never reads it)
+        f.attrs["model_config"] = np.bytes_(
+            json.dumps(
+                {"class_name": "Functional", "config": {"name": model_name}}
+            )
+        )
+
+    if write_sidecar:
+        with open(path.parent / "model_config.json", "w") as fh:
+            json.dump(model_config, fh)
+    return path
+
+
+def _export_unet_layers(f, params, batch_stats) -> list:
+    """U-Net: ConvBlock_i -> conv2d_i + batch_normalization_i (creation
+    order, reference `models/unet.py:106-147`), softmax head last."""
+    blocks = sorted(
+        (k for k in params if k.startswith("ConvBlock_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    layer_names = []
+    for i, block in enumerate(blocks):
+        conv_name = _keras_name("conv2d", i)
+        bn_name = _keras_name("batch_normalization", i)
+        _write_keras_layer(f, conv_name, _conv_weights(params[block]["Conv_0"]))
+        _write_keras_layer(
+            f,
+            bn_name,
+            _bn_weights(
+                params[block]["BatchNorm_0"],
+                batch_stats[block]["BatchNorm_0"],
+            ),
+        )
+        layer_names += [conv_name, bn_name]
+    head_name = _keras_name("conv2d", len(blocks))
+    _write_keras_layer(f, head_name, _conv_weights(params["Conv_0"]))
+    layer_names.append(head_name)
+    return layer_names
+
+
+def _export_deeplab_layers(f, params, batch_stats) -> list:
+    """DeepLabV3+: Keras-named backbone by name, head by index (the
+    inverse of :func:`load_keras_deeplab_model`'s mapping)."""
+    backbone_order = _resnet50_pruned_layer_order()
+    missing = set(backbone_order) - set(params["resnet50"])
+    extra = set(params["resnet50"]) - set(backbone_order)
+    if missing or extra:
+        raise ValueError(
+            f"backbone layer set mismatch: missing {sorted(missing)}, "
+            f"unexpected {sorted(extra)}"
+        )
+    for name in backbone_order:
+        tree = params["resnet50"][name]
+        if "kernel" in tree:
+            _write_keras_layer(f, name, _conv_weights(tree))
+        else:
+            _write_keras_layer(
+                f, name, _bn_weights(tree, batch_stats["resnet50"][name])
+            )
+
+    head_blocks = [("DSPP_0", f"_ConvBlock_{i}") for i in range(6)] + [
+        (f"_ConvBlock_{i}",) for i in range(3)
+    ]
+    for i, block_path in enumerate(head_blocks):
+        p, b = params, batch_stats
+        for part in block_path:
+            p = p[part]
+            b = b[part]
+        _write_keras_layer(
+            f, _keras_name("conv2d", i), _conv_weights(p["Conv_0"])
+        )
+        _write_keras_layer(
+            f,
+            _keras_name("batch_normalization", i),
+            _bn_weights(p["BatchNorm_0"], b["BatchNorm_0"]),
+        )
+    _write_keras_layer(f, "conv2d_9", _conv_weights(params["Conv_0"]))
+    return backbone_order + _DEEPLAB_HEAD_LAYER_ORDER
+
+
+# ---------------------------------------------------------------------------
 # Orbax checkpoint backend (optional alternative to the HDF5 format)
 # ---------------------------------------------------------------------------
 
