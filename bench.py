@@ -224,11 +224,22 @@ def _update_cache(entries: dict) -> None:
         json.dump(cache, fh)
 
 
-def measure_cpu_proxy(images_np):
+def measure_cpu_proxy(images_np, required=True):
+    """JAX-CPU proxy baseline (fallback / diagnostic).
+
+    A cache hit is free; an actual measurement recompiles + re-times the
+    parity pipeline on the CPU backend (minutes on this 1-core box), so
+    when ``required`` is False (the reference Keras-CPU baseline already
+    supplied the denominator) a cache miss returns nan instead of
+    paying that cost for a detail field. BENCH_FORCE_CPU_PROXY=1
+    forces the measurement.
+    """
     pipeline_hash = _cpu_pipeline_hash()
     cached = _read_cache()
     if cached.get("pipeline_hash") == pipeline_hash:
         return cached["cpu_bscans_per_s"]
+    if not required and os.environ.get("BENCH_FORCE_CPU_PROXY") != "1":
+        return float("nan")
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
@@ -241,6 +252,24 @@ def measure_cpu_proxy(images_np):
 
 REF_ROOT = "/root/reference"
 REF_BASELINE_VERSION = 1
+
+
+def _ref_baseline_key(n_images):
+    """Cache key for the reference Keras-CPU baseline: methodology
+    version + the geometry/model constants the measurement depends on +
+    the measurement code itself, so edits to any of them regenerate the
+    cached denominator instead of silently skewing ``vs_baseline``
+    (same auto-invalidation contract as :func:`_cpu_pipeline_hash`)."""
+    import hashlib
+    import inspect
+
+    digest = hashlib.md5()
+    digest.update(
+        f"v{REF_BASELINE_VERSION} {H}x{W} c{NUM_CLASSES} n{n_images} "
+        "start_neurons32".encode()
+    )
+    digest.update(inspect.getsource(measure_reference_keras_cpu).encode())
+    return digest.hexdigest()
 
 
 def _import_reference_predict_path():
@@ -348,11 +377,16 @@ def measure_reference_keras_cpu(images_np, n_images=1):
     B-scans, artifact writing and area-mask reconstruction excluded on
     both sides. One warmup ``predict`` is excluded (steady-state, like
     the accelerated number). Cached: the reference tree is immutable, so
-    the measurement is keyed only on a methodology version. Returns
-    B-scans/s or nan.
+    the measurement is keyed on the methodology version, the benchmark
+    constants, and this function's own source (:func:`_ref_baseline_key`).
+    Measure on an otherwise-idle box — a concurrent CPU load (e.g. the
+    test suite on this 1-core host) deflates the denominator and
+    silently inflates every future ``vs_baseline``. Returns B-scans/s
+    or nan.
     """
+    key = _ref_baseline_key(n_images)
     cached = _read_cache()
-    if cached.get("reference_baseline_version") == REF_BASELINE_VERSION:
+    if cached.get("reference_baseline_key") == key:
         return cached["reference_keras_cpu_bscans_per_s"]
 
     imported = _import_reference_predict_path()
@@ -409,7 +443,7 @@ def measure_reference_keras_cpu(images_np, n_images=1):
     _update_cache(
         {
             "reference_keras_cpu_bscans_per_s": tp,
-            "reference_baseline_version": REF_BASELINE_VERSION,
+            "reference_baseline_key": key,
         }
     )
     return tp
@@ -477,7 +511,7 @@ def main():
     tp_accel = time_loop(module, loop_factory, accel, images_np, K_ITERS)
 
     tp_ref = measure_reference_keras_cpu(images_np)
-    tp_cpu = measure_cpu_proxy(images_np)
+    tp_cpu = measure_cpu_proxy(images_np, required=not np.isfinite(tp_ref))
     tp_base = tp_ref if np.isfinite(tp_ref) else tp_cpu
     baseline_definition = (
         "10x reference Keras-CPU (upstream package's own predict+min-path "

@@ -312,7 +312,15 @@ def main(argv=None):
     p_keras.set_defaults(func=cmd_export_keras)
 
     args = parser.parse_args(argv)
-    return args.func(args)
+    from .common.tracking import TrackingConnectionError
+
+    try:
+        return args.func(args)
+    except TrackingConnectionError as exc:
+        # Library code raises a catchable error; the exit-code decision
+        # lives here (reference exits inline, `training/training.py:162`).
+        print(f"octseg: {exc}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

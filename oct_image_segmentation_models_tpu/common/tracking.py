@@ -136,6 +136,13 @@ class MlflowTracker(NullTracker):
         self._mlflow.end_run()
 
 
+class TrackingConnectionError(RuntimeError):
+    """MLflow tracker construction failed (auth/transport). Raised as a
+    catchable library error; the CLI maps it to exit code 1 (the
+    reference calls ``sys.exit(1)`` inline, `training/training.py:148-162`,
+    which would kill an embedding interpreter)."""
+
+
 def get_tracker(mlflow_params: Optional[MLflowParameters]):
     """Tracker factory: MLflow if requested & importable, else local files."""
     if mlflow_params is None:
@@ -150,7 +157,7 @@ def get_tracker(mlflow_params: Optional[MLflowParameters]):
         return LocalTracker()
     except Exception as exc:
         # Auth/transport failures (e.g. a wrong MLFLOW_TRACKING_PASSWORD
-        # raising MlflowException from set_experiment) exit with the
+        # raising MlflowException from set_experiment) surface the
         # credential hint instead of a raw traceback — reference
         # `training/training.py:148-162`.
         try:
@@ -158,13 +165,13 @@ def get_tracker(mlflow_params: Optional[MLflowParameters]):
         except Exception:
             raise exc
         if isinstance(exc, MlflowException):
-            log.error(
-                "MLflow connection failed: %s — check the tracking URI and "
-                "MLFLOW_TRACKING_USERNAME/MLFLOW_TRACKING_PASSWORD "
-                "credentials",
-                exc,
+            msg = (
+                f"MLflow connection failed: {exc} — check the tracking URI "
+                "and MLFLOW_TRACKING_USERNAME/MLFLOW_TRACKING_PASSWORD "
+                "credentials"
             )
-            raise SystemExit(1)
+            log.error(msg)
+            raise TrackingConnectionError(msg) from exc
         raise
 
 

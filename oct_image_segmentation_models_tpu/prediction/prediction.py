@@ -23,6 +23,7 @@ import numpy as np
 from matplotlib import cm
 
 from ..common import host_pool, plotting, utils
+from ..common.profiling import DeviceStopwatch
 from ..models import get_model_class
 from ..ops.inference import StagedPipeline
 from .prediction_parameters import PredictionParams
@@ -48,15 +49,11 @@ class PredictionOutput:
         self.gs_pred_segs = gs_pred_segs
 
 
-def _sync(x):
-    """Order the host past a device computation by materializing ONE
-    element of its output. ``block_until_ready`` is unreliable over
-    remote-tunnel transports (returns before the device finishes; see
-    CLAUDE.md), but device ops execute in dispatch order, so a host read
-    of any derived element guarantees the producer completed — without
-    transferring the whole buffer.
-    """
-    np.asarray(x[(0,) * x.ndim])
+# Tunnel-safe device sync (one-element on-device slice + host read;
+# block_until_ready is unreliable over remote-tunnel transports). ONE
+# implementation for the whole package so a future transport fix lands
+# everywhere: common/profiling.py DeviceStopwatch._sync.
+_sync = DeviceStopwatch._sync
 
 
 def _batched(n, batch_size):

@@ -390,7 +390,9 @@ def save_training_params_file(
             if isinstance(val, (bool, int, float, np.integer, np.floating)):
                 f.attrs[f"opt_param: {key}"] = val
             elif isinstance(val, str):
-                f.attrs[f"opt_param: {key}"] = np.array(val, dtype="S100")
+                # unbounded bytes: a fixed S-width would silently
+                # truncate long values (e.g. schedule specs / paths)
+                f.attrs[f"opt_param: {key}"] = np.bytes_(val)
             elif callable(val):
                 # e.g. a learning-rate schedule: record its name, not a
                 # repr that embeds a per-process memory address
@@ -1136,6 +1138,10 @@ def train_model(
             import signal as _signal
 
             for _sig, _h in prev_handlers.items():
+                # signal.signal() returns None when the previous handler
+                # was installed from C — passing that back raises.
+                if _h is None:
+                    _h = _signal.SIG_DFL
                 _signal.signal(_sig, _h)
 
     if is_main_process:

@@ -61,7 +61,7 @@ def test_measure_uses_cache_without_importing(monkeypatch, tmp_path):
         json.dump(
             {
                 "reference_keras_cpu_bscans_per_s": 0.5,
-                "reference_baseline_version": bench.REF_BASELINE_VERSION,
+                "reference_baseline_key": bench._ref_baseline_key(1),
             },
             fh,
         )
@@ -73,18 +73,28 @@ def test_measure_uses_cache_without_importing(monkeypatch, tmp_path):
     assert bench.measure_reference_keras_cpu(None) == 0.5
 
 
-def test_measure_stale_version_invalidates_cache(monkeypatch, tmp_path):
+def test_measure_stale_key_invalidates_cache(monkeypatch, tmp_path):
     _clear_ref_cache(monkeypatch, tmp_path)
     with open(bench.CPU_CACHE, "w") as fh:
         json.dump(
             {
                 "reference_keras_cpu_bscans_per_s": 0.5,
-                "reference_baseline_version": bench.REF_BASELINE_VERSION - 1,
+                "reference_baseline_key": "stale-methodology",
             },
             fh,
         )
     monkeypatch.setattr(bench, "_import_reference_predict_path", lambda: None)
     assert np.isnan(bench.measure_reference_keras_cpu(None))
+
+
+def test_baseline_key_tracks_benchmark_constants(monkeypatch):
+    """Editing the benchmark geometry (H/W/NUM_CLASSES) or the timed
+    flow must regenerate the cached denominator — a stale cache would
+    silently skew every future ``vs_baseline``."""
+    base = bench._ref_baseline_key(1)
+    assert bench._ref_baseline_key(2) != base
+    monkeypatch.setattr(bench, "H", bench.H * 2)
+    assert bench._ref_baseline_key(1) != base
 
 
 def test_measure_nan_when_reference_unavailable(monkeypatch, tmp_path):
@@ -94,6 +104,26 @@ def test_measure_nan_when_reference_unavailable(monkeypatch, tmp_path):
     assert np.isnan(tp)
     # a failed measurement must not poison the cache
     assert "reference_keras_cpu_bscans_per_s" not in bench._read_cache()
+
+
+def test_cpu_proxy_lazy_when_not_required(monkeypatch, tmp_path):
+    """With the reference baseline available, a proxy cache miss must
+    not pay the multi-minute CPU compile+measure for a detail field."""
+    _clear_ref_cache(monkeypatch, tmp_path)
+    monkeypatch.delenv("BENCH_FORCE_CPU_PROXY", raising=False)
+    monkeypatch.setattr(
+        bench,
+        "build_pipeline",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("must not measure")
+        ),
+    )
+    assert np.isnan(bench.measure_cpu_proxy(None, required=False))
+    # a cache hit is free and still returned
+    bench._update_cache(
+        {"cpu_bscans_per_s": 3.0, "pipeline_hash": bench._cpu_pipeline_hash()}
+    )
+    assert bench.measure_cpu_proxy(None, required=False) == 3.0
 
 
 def test_cache_update_preserves_other_keys(monkeypatch, tmp_path):
@@ -121,7 +151,5 @@ def test_small_scale_reference_measurement(monkeypatch, tmp_path):
     tp = bench.measure_reference_keras_cpu(images, n_images=1)
     assert np.isfinite(tp) and tp > 0
     cache = bench._read_cache()
-    assert (
-        cache["reference_baseline_version"] == bench.REF_BASELINE_VERSION
-    )
+    assert cache["reference_baseline_key"] == bench._ref_baseline_key(1)
     assert cache["reference_keras_cpu_bscans_per_s"] == tp

@@ -118,8 +118,10 @@ def test_local_tracker(tmp_path):
 
 def test_get_tracker_mlflow_auth_failure_exits(monkeypatch, tmp_path):
     """An MlflowException at tracker construction (wrong credentials /
-    unreachable server) exits with the credential hint instead of a raw
-    traceback — reference `training/training.py:148-162`."""
+    unreachable server) raises a catchable TrackingConnectionError with
+    the credential hint (the CLI maps it to exit 1) instead of killing
+    the embedding interpreter — reference `training/training.py:148-162`
+    calls sys.exit inline."""
     import sys
 
     import fake_mlflow
@@ -138,10 +140,20 @@ def test_get_tracker_mlflow_auth_failure_exits(monkeypatch, tmp_path):
         raise fake_mlflow.MlflowException("API request failed: 401")
 
     monkeypatch.setattr(fake_mlflow, "set_experiment", boom)
-    with pytest.raises(SystemExit):
+    with pytest.raises(tracking.TrackingConnectionError, match="credentials"):
         tracking.get_tracker(
             MLflowParameters(tracking_uri=str(tmp_path), experiment="e")
         )
+
+    from oct_image_segmentation_models_tpu import cli
+
+    def raise_tracking(args):
+        raise tracking.TrackingConnectionError("MLflow connection failed")
+
+    monkeypatch.setattr(cli, "cmd_predict", raise_tracking)
+    assert (
+        cli.main(["predict", "m", "d", "o"]) == 1
+    ), "CLI must map TrackingConnectionError to exit code 1"
 
 
 def test_device_flip_rejects_unknown_flip_type():
