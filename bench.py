@@ -395,6 +395,24 @@ def measure_reference_keras_cpu(images_np, n_images=1):
     get_model_class, ref_utils, ref_gs = imported
 
     try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = 0.0
+    cpus = os.cpu_count() or 1
+    if load1 > 0.75 * cpus:
+        import sys
+
+        print(
+            f"bench: WARNING — measuring the reference Keras-CPU baseline "
+            f"under CPU contention (load {load1:.2f} on {cpus} CPU(s)); the "
+            "cached denominator will be deflated and vs_baseline inflated. "
+            "Re-run on an idle box (delete the reference_baseline_key entry "
+            f"from {CPU_CACHE}).",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    try:
         container = get_model_class("unet")(
             input_channels=1,
             num_classes=NUM_CLASSES,

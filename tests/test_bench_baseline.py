@@ -106,6 +106,27 @@ def test_measure_nan_when_reference_unavailable(monkeypatch, tmp_path):
     assert "reference_keras_cpu_bscans_per_s" not in bench._read_cache()
 
 
+def test_measure_warns_under_cpu_contention(monkeypatch, tmp_path, capsys):
+    """Measuring the denominator on a loaded box deflates it and
+    silently inflates vs_baseline — the measurement must say so."""
+    _clear_ref_cache(monkeypatch, tmp_path)
+
+    class _Boom(Exception):
+        pass
+
+    def fake_import():
+        # raise after the load check so the test stops before Keras work
+        return (lambda name: (_ for _ in ()).throw(_Boom()), None, None)
+
+    monkeypatch.setattr(bench, "_import_reference_predict_path", fake_import)
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (99.0, 0.0, 0.0))
+    tp = bench.measure_reference_keras_cpu(
+        np.zeros((1, 8, 8, 1), np.uint8), n_images=1
+    )
+    assert np.isnan(tp)  # the fake import's model ctor raised
+    assert "CPU contention" in capsys.readouterr().err
+
+
 def test_cpu_proxy_lazy_when_not_required(monkeypatch, tmp_path):
     """With the reference baseline available, a proxy cache miss must
     not pay the multi-minute CPU compile+measure for a detail field."""
