@@ -381,7 +381,8 @@ def measure_reference_keras_cpu(images_np, n_images=1):
     constants, and this function's own source (:func:`_ref_baseline_key`).
     Measure on an otherwise-idle box — a concurrent CPU load (e.g. the
     test suite on this 1-core host) deflates the denominator and
-    silently inflates every future ``vs_baseline``. Returns B-scans/s
+    inflates ``vs_baseline``; a contended measurement is used for the
+    current run (with a warning) but never cached. Returns B-scans/s
     or nan.
     """
     key = _ref_baseline_key(n_images)
@@ -399,15 +400,16 @@ def measure_reference_keras_cpu(images_np, n_images=1):
     except OSError:
         load1 = 0.0
     cpus = os.cpu_count() or 1
-    if load1 > 0.75 * cpus:
+    contended = load1 > 0.75 * cpus
+    if contended:
         import sys
 
         print(
             f"bench: WARNING — measuring the reference Keras-CPU baseline "
             f"under CPU contention (load {load1:.2f} on {cpus} CPU(s)); the "
-            "cached denominator will be deflated and vs_baseline inflated. "
-            "Re-run on an idle box (delete the reference_baseline_key entry "
-            f"from {CPU_CACHE}).",
+            "deflated denominator inflates THIS run's vs_baseline and will "
+            "NOT be cached — re-run on an idle box for a cacheable "
+            "measurement.",
             file=sys.stderr,
             flush=True,
         )
@@ -458,12 +460,16 @@ def measure_reference_keras_cpu(images_np, n_images=1):
         )
         return float("nan")
 
-    _update_cache(
-        {
-            "reference_keras_cpu_bscans_per_s": tp,
-            "reference_baseline_key": key,
-        }
-    )
+    if not contended:
+        # never persist a contention-deflated denominator: the cache
+        # would silently inflate every FUTURE vs_baseline, not just
+        # this run's
+        _update_cache(
+            {
+                "reference_keras_cpu_bscans_per_s": tp,
+                "reference_baseline_key": key,
+            }
+        )
     return tp
 
 

@@ -370,9 +370,11 @@ def save_training_params_file(
                         if isinstance(val, (int, float)):
                             f.attrs[attr] = np.array(val)
                         elif isinstance(val, str):
-                            f.attrs[attr] = np.array(val, dtype="S100")
+                            # unbounded bytes — a fixed S-width silently
+                            # truncates user-supplied values
+                            f.attrs[attr] = np.bytes_(val)
                         elif isinstance(val, list):
-                            f.attrs[attr] = np.array(str(val), dtype="S100")
+                            f.attrs[attr] = np.bytes_(str(val))
             if train_params.aug_mode == "one":
                 f.attrs["aug_probs"] = np.array(train_params.aug_probs)
         # Written for every aug_mode, incl. "none" (reference
@@ -380,10 +382,17 @@ def save_training_params_file(
         f.attrs["aug_fly"] = train_params.aug_fly
         f.attrs["aug_val"] = train_params.aug_val
 
-        f.attrs["optimizer"] = np.array(
-            getattr(train_params.opt_con, "__name__", str(train_params.opt_con)),
-            dtype="S100",
-        )
+        opt_con = train_params.opt_con
+        if isinstance(opt_con, str):
+            opt_name = opt_con
+        else:
+            # name, not repr: a GradientTransformation's repr embeds
+            # per-process memory addresses (and would truncate at a
+            # fixed S-width)
+            opt_name = getattr(
+                opt_con, "__name__", type(opt_con).__qualname__
+            )
+        f.attrs["optimizer"] = np.bytes_(opt_name)
         for key, val in opt_config.items():
             if val is None:
                 continue

@@ -108,7 +108,8 @@ def test_measure_nan_when_reference_unavailable(monkeypatch, tmp_path):
 
 def test_measure_warns_under_cpu_contention(monkeypatch, tmp_path, capsys):
     """Measuring the denominator on a loaded box deflates it and
-    silently inflates vs_baseline — the measurement must say so."""
+    inflates vs_baseline — the measurement must warn and must NOT
+    persist the deflated value into the cache."""
     _clear_ref_cache(monkeypatch, tmp_path)
 
     class _Boom(Exception):
@@ -119,12 +120,77 @@ def test_measure_warns_under_cpu_contention(monkeypatch, tmp_path, capsys):
         return (lambda name: (_ for _ in ()).throw(_Boom()), None, None)
 
     monkeypatch.setattr(bench, "_import_reference_predict_path", fake_import)
+    monkeypatch.setattr(bench.os, "cpu_count", lambda: 1)
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (99.0, 0.0, 0.0))
     tp = bench.measure_reference_keras_cpu(
         np.zeros((1, 8, 8, 1), np.uint8), n_images=1
     )
     assert np.isnan(tp)  # the fake import's model ctor raised
     assert "CPU contention" in capsys.readouterr().err
+
+
+def test_contended_measurement_not_cached(monkeypatch, tmp_path, capsys):
+    """A contention-deflated denominator is reported for the current run
+    but never written to the cache (a cached one would silently inflate
+    every FUTURE vs_baseline)."""
+    _clear_ref_cache(monkeypatch, tmp_path)
+
+    def fake_measure_flow():
+        # model whose predict flow is a cheap no-op: exercise the real
+        # timing + caching logic without TF
+        class _Model:
+            def predict(self, x, verbose=0, batch_size=1):
+                return np.zeros((1, 8, 8, 4), np.float32)
+
+        class _Container:
+            def build_model(self):
+                return _Model()
+
+            def get_preprocess_input_fn(self):
+                return lambda x: x
+
+        class _Utils:
+            @staticmethod
+            def perform_argmax(probs, bin=True):
+                return None, np.zeros((1, 4, 8, 8), np.float32)
+
+            @staticmethod
+            def convert_predictions_to_maps_semantic(cat, **kw):
+                return np.zeros((1, 2, 8, 8), np.float32)
+
+        class _GS:
+            @staticmethod
+            def create_graph_structure(shape):
+                return None
+
+            @staticmethod
+            def segment_maps(maps, truths, gs):
+                return None, None, None
+
+        # get_model_class(name) returns the container CLASS, which the
+        # measurement instantiates with the model kwargs
+        return (lambda name: (lambda **kw: _Container())), _Utils, _GS
+
+    monkeypatch.setattr(
+        bench, "_import_reference_predict_path", fake_measure_flow
+    )
+    monkeypatch.setattr(bench.os, "cpu_count", lambda: 1)
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (99.0, 0.0, 0.0))
+    tp = bench.measure_reference_keras_cpu(
+        np.zeros((1, 8, 8, 1), np.uint8), n_images=1
+    )
+    assert np.isfinite(tp) and tp > 0
+    assert "reference_baseline_key" not in bench._read_cache()
+
+    # idle box: the same measurement IS cached
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.0, 0.0, 0.0))
+    tp2 = bench.measure_reference_keras_cpu(
+        np.zeros((1, 8, 8, 1), np.uint8), n_images=1
+    )
+    assert np.isfinite(tp2)
+    assert bench._read_cache()["reference_baseline_key"] == (
+        bench._ref_baseline_key(1)
+    )
 
 
 def test_cpu_proxy_lazy_when_not_required(monkeypatch, tmp_path):

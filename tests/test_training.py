@@ -79,6 +79,67 @@ def test_train_with_augmentations_and_focal(dataset, tmp_path):
         assert "aug_1" in f.attrs
 
 
+def test_training_params_snapshot_unbounded_strings(dataset, tmp_path):
+    """String-valued snapshot attrs persist in full: a fixed S-width
+    silently truncates at the dtype boundary (numpy str->S cast does not
+    raise), and an opt_con without __name__ must record a stable name,
+    not a repr with a per-process memory address."""
+    import optax
+
+    from oct_image_segmentation_models_tpu.training.training import (
+        save_training_params_file,
+    )
+
+    long_val = "s" * 300
+    params = _params(
+        dataset,
+        tmp_path,
+        opt_con=optax.adam(1e-3),
+        opt_params={"schedule_spec": long_val},
+    )
+    tmp_path.mkdir(exist_ok=True)
+    save_training_params_file(
+        tmp_path, "summary", {"k": "v"}, "md5", None, "ts", params,
+        dict(params.opt_params),
+    )
+    with h5py.File(tmp_path / "training_params.hdf5", "r") as f:
+        assert f.attrs["opt_param: schedule_spec"] == long_val.encode()
+        optimizer = f.attrs["optimizer"]
+        if isinstance(optimizer, bytes):
+            optimizer = optimizer.decode()
+        assert "0x" not in optimizer and len(optimizer) < 100
+
+
+def test_signal_restore_tolerates_c_installed_previous_handler(
+    dataset, tmp_path, monkeypatch
+):
+    """signal.signal() returns None when the previous handler was
+    installed from C; the finally-block restore must not pass that None
+    back (CPython raises TypeError, masking the run's real outcome)."""
+    import signal as signal_module
+
+    calls = []
+    real_sig_dfl = signal_module.SIG_DFL
+
+    def fake_signal(sig, handler):
+        if handler is None:  # CPython's actual behavior
+            raise TypeError(
+                "signal handler must be signal.SIG_IGN, SIG_DFL, or a "
+                "callable object"
+            )
+        calls.append((sig, handler))
+        return None  # simulate: previous handler was installed from C
+
+    monkeypatch.setattr(signal_module, "signal", fake_signal)
+    folder = train_model(
+        _params(dataset, tmp_path, epochs=1, train_state_checkpoint=True),
+        None,
+    )
+    assert (folder / "model_final.hdf5").exists()
+    restores = [h for _, h in calls[2:]]
+    assert len(restores) == 2 and all(h == real_sig_dfl for h in restores)
+
+
 def test_training_params_snapshot_full_optimizer_config(dataset, tmp_path):
     """The reference records the optimizer's FULL config as
     ``opt_param: <key>`` attrs (`training/training.py:124-130`), not just
