@@ -75,7 +75,11 @@ def add_noise_aug(image, mask, aug_args, desc_only=False):
     mode = aug_args["mode"]
     mean = aug_args.get("mean", 0.0)
     variance = aug_args.get("variance", 0.01)
-    rng = aug_args.get("rng") or np.random.default_rng()
+    # Callers wanting reproducibility pass a seeded Generator under "rng"
+    # (BatchGenerator threads its own resumable stream in automatically).
+    rng = aug_args.get("rng")
+    if rng is None:
+        rng = np.random.default_rng()
     return _random_noise(image, mode, mean, variance, rng), mask
 
 

@@ -105,6 +105,18 @@ class BatchGenerator:
         self.num_batches = int(floor(1.0 * self.total_samples / self.batch_size))
         self.handle_epoch_end()
 
+    def _call_aug(self, aug_fn, image, label, aug_arg):
+        """Host-side aug call with the generator's seeded RNG threaded in.
+
+        Stochastic augs (add_noise) draw from ``aug_args['rng']`` when
+        present; without this every call would fall back to fresh OS
+        entropy, voiding the seed-reproducibility guarantee and the
+        bitwise-exact resume (the RNG stream is part of get_state()).
+        """
+        if isinstance(aug_arg, dict) and "rng" not in aug_arg:
+            aug_arg = dict(aug_arg, rng=self._rng)
+        return aug_fn(image, label, aug_arg)
+
     def _setup_augnofly_data(self):
         aug_images = np.zeros(
             (self.total_full_images, self.total_augs)
@@ -118,8 +130,8 @@ class BatchGenerator:
         for i in range(self.total_full_images):
             for j in range(self.total_augs):
                 aug_fn, aug_arg = self.aug_fn_args[j]
-                aug_images[i, j], aug_labels[i, j] = aug_fn(
-                    self.images[i], self.labels[i], aug_arg
+                aug_images[i, j], aug_labels[i, j] = self._call_aug(
+                    aug_fn, self.images[i], self.labels[i], aug_arg
                 )
         return aug_images, aug_labels
 
@@ -140,7 +152,9 @@ class BatchGenerator:
                 image, label = raw_image, raw_label
             elif self.aug_fly:
                 aug_fn, aug_arg = self.aug_fn_args[self.aug_counter]
-                image, label = aug_fn(raw_image, raw_label, aug_arg)
+                image, label = self._call_aug(
+                    aug_fn, raw_image, raw_label, aug_arg
+                )
             else:
                 image = self.aug_images[sample_ind, self.aug_counter]
                 label = self.aug_labels[sample_ind, self.aug_counter]
@@ -158,7 +172,9 @@ class BatchGenerator:
                 image, label = raw_image, raw_label
             elif self.aug_fly:
                 aug_fn, aug_arg = self.aug_fn_args[choice]
-                image, label = aug_fn(raw_image, raw_label, aug_arg)
+                image, label = self._call_aug(
+                    aug_fn, raw_image, raw_label, aug_arg
+                )
             else:
                 image = self.aug_images[sample_ind, choice]
                 label = self.aug_labels[sample_ind, choice]

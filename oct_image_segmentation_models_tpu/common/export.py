@@ -90,11 +90,11 @@ def export_inference_pipeline(
             "image_height/image_width must be given when the model config "
             "records no geometry"
         )
-    model_div = 2 ** getattr(container, "pool_layers", 0)
+    model_div = container.spatial_divisor
     if height % model_div or width % model_div:
         raise ValueError(
             f"export geometry {height}x{width} must be a multiple of "
-            f"{model_div} (the model's 2**pool_layers downsampling factor)"
+            f"{model_div} (the model's spatial downsampling factor)"
         )
 
     from ..ops.inference import select_optimized_forward

@@ -45,6 +45,17 @@ class BaseModel(abc.ABC):
     def get_preprocess_input_fn(self) -> Callable:
         """Return the input preprocessing function (jnp-compatible)."""
 
+    @property
+    def spatial_divisor(self) -> int:
+        """Input H/W must be multiples of this for the forward to trace.
+
+        Geometry guards (VolumeSegmenter, export_inference_pipeline) check
+        against this instead of guessing from architecture-specific
+        attributes — a wrong guess silently disables the guard and the
+        failure resurfaces as an opaque XLA concat shape error mid-trace.
+        """
+        return 1
+
     def apply_pretrained_weights(self, variables: dict) -> dict:
         """Hook: replace freshly-initialised variables with pretrained ones.
 

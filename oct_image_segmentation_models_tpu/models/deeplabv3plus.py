@@ -193,6 +193,13 @@ class DeeplabV3Plus(BaseModel):
             num_classes=self.num_classes, dtype=jnp.dtype(self.dtype)
         )
 
+    @property
+    def spatial_divisor(self) -> int:
+        # The decoder concatenates the DSPP output resized to exactly
+        # (H//4, W//4) with the stride-4 backbone tap, whose SAME-padded
+        # shape is ceil(H/4) — equal only when H and W divide by 4.
+        return 4
+
     def apply_pretrained_weights(self, variables: dict) -> dict:
         """Load the Keras-format ResNet50 ``.h5`` named by
         ``pretrained_weights`` into the backbone (conv kernels, BN

@@ -153,6 +153,11 @@ class UNet(BaseModel):
 
         return preprocess_input_inner
 
+    @property
+    def spatial_divisor(self) -> int:
+        # each encoder level halves H/W with a 2x2 max-pool
+        return 2**self.pool_layers
+
     def get_config(self) -> dict:
         config = super().get_config()
         config.update(

@@ -62,7 +62,7 @@ class VolumeSegmenter:
         container = get_model_class(loaded_model.name)(**model_config)
         # Divisibility requirement of the conv stack, taken from the
         # container (which has normalized config defaults applied).
-        self._model_div = 2 ** getattr(container, "pool_layers", 0)
+        self._model_div = container.spatial_divisor
 
         # s2d-transformed conv stack for eligible U-Nets (volumes have
         # fixed B-scan geometry, checked at segment time). The fast path
@@ -135,7 +135,7 @@ class VolumeSegmenter:
             raise ValueError(
                 f"B-scan spatial dims {volume.shape[1]}x{volume.shape[2]} "
                 f"must be multiples of {model_div} (the model's "
-                f"2**pool_layers downsampling factor)"
+                f"spatial downsampling factor)"
             )
 
         pipeline = self._pipeline

@@ -495,6 +495,15 @@ def train_model(
         usable = len(devices)
     else:
         usable = math.gcd(training_params.batch_size, len(devices))
+        if usable < len(devices):
+            # gcd(7, 8) = 1: a batch size coprime with the device count
+            # silently trains on one chip at 1/N throughput.
+            log.warning(
+                f"batch_size ({training_params.batch_size}) is not "
+                f"divisible by the device count ({len(devices)}); training "
+                f"on only {usable} of {len(devices)} devices — choose a "
+                "batch size divisible by the device count to use them all"
+            )
     mesh = create_mesh(devices[:usable])
     log.info(f"Number of devices: {usable}")
 
@@ -644,15 +653,23 @@ def train_model(
 
     start_epoch = 0
     resume_best = None
+    resume_es_best = None
     if resume_meta is not None:
+        snapshot = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
         template = {
             "state": state,
-            "best": {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-            },
+            "best": snapshot,
+            "es_best": snapshot,
         }
         t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        if len(t_leaves) != len(resume_leaves):
+            # Checkpoints written before the separate early-stopping
+            # snapshot existed carry only {state, best}.
+            template = {"state": state, "best": snapshot}
+            t_leaves, treedef = jax.tree_util.tree_flatten(template)
         if len(t_leaves) != len(resume_leaves):
             raise ValueError(
                 f"train-state checkpoint has {len(resume_leaves)} arrays "
@@ -671,6 +688,7 @@ def train_model(
 
             state = jax.device_put(state, replicated(mesh))
         resume_best = restored["best"]
+        resume_es_best = restored.get("es_best", restored["best"])
         start_epoch = int(resume_meta["epoch"])
         rng = jax.numpy.asarray(np.asarray(resume_meta["rng"], np.uint32))
         log.info(f"Resumed at epoch {start_epoch} (step {int(state.step)})")
@@ -792,6 +810,14 @@ def train_model(
         raise ValueError(
             f"Unknown model_save_monitor name {monitor_name!r}; valid names "
             f"for this run are {sorted(valid_monitors)}"
+        )
+    if monitor_mode not in ("min", "max"):
+        # Same failure shape for the mode: treating 'Max'/'maximize' as
+        # "not max" would silently converge best-checkpoint selection to
+        # the WORST epoch.
+        raise ValueError(
+            f"Unknown model_save_monitor mode {monitor_mode!r}; "
+            "must be 'min' or 'max'"
         )
     timestamp = utils.get_timestamp()
     # The run starts first so its id can nest the artifact folder
@@ -922,6 +948,11 @@ def train_model(
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
     }
+    # Early stopping tracks val_<metric>/max (its own monitor, which may
+    # differ from model_save_monitor) and — like Keras 2.9 EarlyStopping —
+    # restores its best snapshot only when stopping actually triggers.
+    es_best_variables = best_variables
+    stopped_early = False
     epochs_since_improvement = 0
     if resume_meta is not None:
         # Restore the generators' sampling state (RNG stream + shuffle
@@ -932,6 +963,7 @@ def train_model(
         train_gen.set_state(resume_meta["train_gen_state"])
         val_gen.set_state(resume_meta["val_gen_state"])
         best_variables = resume_best
+        es_best_variables = resume_es_best
         best_monitor = resume_meta["best_monitor"]
         best_es = resume_meta["best_es"]
         epochs_since_improvement = int(
@@ -951,6 +983,9 @@ def train_model(
                 "skipping straight to finalization"
             )
             start_epoch = training_params.epochs
+            # the uninterrupted run's patience check fired — finalization
+            # must see the same stopped-early restore semantics
+            stopped_early = True
     if is_main_process:
         history.on_train_begin()
 
@@ -1105,6 +1140,7 @@ def train_model(
                 if best_es is None or es_value > best_es:
                     best_es = es_value
                     epochs_since_improvement = 0
+                    es_best_variables = state_host
                 else:
                     epochs_since_improvement += 1
 
@@ -1114,6 +1150,7 @@ def train_model(
                     {
                         "state": jax.device_get(state),
                         "best": best_variables,
+                        "es_best": es_best_variables,
                     },
                     {
                         "epoch": epoch + 1,
@@ -1137,6 +1174,7 @@ def train_model(
                         f"Early stopping at epoch {epoch + 1} "
                         f"(patience {training_params.patience})"
                     )
+                    stopped_early = True
                     break
 
     finally:
@@ -1156,8 +1194,17 @@ def train_model(
     if is_main_process:
         history.on_train_end()
 
-    if training_params.restore_best_weights:
-        final_variables = best_variables
+    # Keras 2.9 EarlyStopping semantics (the reference adds the callback at
+    # `training/training.py:335-342`): restore_best_weights applies only
+    # when early stopping actually triggered, and restores the callback's
+    # OWN best (val_<metric>/max) — not model_save_monitor's best. A run
+    # that completes all its epochs keeps last-epoch weights.
+    if (
+        training_params.early_stopping
+        and stopped_early
+        and training_params.restore_best_weights
+    ):
+        final_variables = es_best_variables
     else:
         final_variables = {
             "params": jax.device_get(state.params),

@@ -109,6 +109,27 @@ def test_datagenerator_iterates_all_batches():
     assert len(batches) == 3
 
 
+def test_batchgen_noise_reproducible_with_seed():
+    """Stochastic augs draw from the generator's seeded RNG stream —
+    two generators with the same seed must emit bitwise-identical noisy
+    batches (the stream is part of get_state(), so this is also what
+    makes exact resume possible with noise augs)."""
+    fn_args = [(aug.add_noise_aug, {"mode": "gaussian", "variance": 0.01})]
+
+    def batches(seed):
+        images, labels = _images()
+        gen = BatchGenerator(
+            images, labels, 2, fn_args, "all", (), True, lambda x: x,
+            seed=seed,
+        )
+        return [gen.get_batch_list()[0] for _ in range(gen.num_batches)]
+
+    a, b, c = batches(3), batches(3), batches(4)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
 def test_noise_modes():
     rng = np.random.default_rng(0)
     img = rng.random((8, 8))

@@ -194,6 +194,32 @@ def test_export_deeplab_folded_forward(tmp_path):
     np.testing.assert_array_equal(np.asarray(labels), np.asarray(dl))
 
 
+def test_export_deeplab_geometry_guard(tmp_path):
+    """DeepLabV3+ has no pool_layers attr — the guard must still catch
+    dims its decoder concat cannot trace (H/W not divisible by 4) instead
+    of failing mid-trace with an opaque XLA concat shape error."""
+    cfg = dict(
+        input_channels=3, num_classes=3, image_height=64, image_width=64
+    )
+    container = get_model_class("deeplabv3plus")(**cfg)
+    module = container.build_model()
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32),
+        training=False,
+    )
+    path = tmp_path / "deeplab.hdf5"
+    save_model(path, "deeplabv3plus", container.get_config(), dict(variables))
+    with pytest.raises(ValueError, match="multiple of 4"):
+        export_inference_pipeline(
+            path,
+            tmp_path / "exported.hdf5",
+            batch_size=1,
+            image_height=66,
+            image_width=64,
+            platforms=("cpu",),
+        )
+
+
 def test_export_input_validation(unet_checkpoint, tmp_path):
     out = export_inference_pipeline(
         unet_checkpoint, tmp_path / "exported.hdf5", batch_size=2

@@ -17,6 +17,21 @@ def test_registry_names():
         get_model_class("nope")
 
 
+def test_spatial_divisor():
+    """Geometry guards key off container.spatial_divisor — a per-model
+    contract, not a guessed pool_layers attribute (DeepLabV3+ has none,
+    but its decoder concat still requires H/W % 4 == 0)."""
+    unet = get_model_class("unet")(
+        input_channels=1, num_classes=3, image_height=32, image_width=32,
+        pool_layers=3,
+    )
+    assert unet.spatial_divisor == 8
+    deeplab = get_model_class("deeplabv3plus")(
+        input_channels=3, num_classes=3, image_height=32, image_width=32
+    )
+    assert deeplab.spatial_divisor == 4
+
+
 def test_unet_forward_shapes_and_softmax():
     container = get_model_class("unet")(
         input_channels=1,

@@ -329,6 +329,105 @@ def test_unknown_monitor_name_raises(dataset, tmp_path):
         )
 
 
+def test_unknown_monitor_mode_raises(dataset, tmp_path):
+    """'Max'/'maximize' must not silently fall into the min branch and
+    converge best-checkpoint selection to the worst epoch."""
+    with pytest.raises(ValueError, match="model_save_monitor mode"):
+        train_model(
+            _params(dataset, tmp_path, model_save_monitor=("val_loss", "Max")),
+            None,
+        )
+
+
+def test_completed_run_keeps_last_epoch_weights(dataset, tmp_path):
+    """Keras 2.9 EarlyStopping restores best weights only when stopping
+    actually TRIGGERS (reference `training/training.py:335-342`): a run
+    that completes all its epochs finalizes last-epoch weights even with
+    restore_best_weights=True."""
+    from oct_image_segmentation_models_tpu.common import model_io
+
+    folder = train_model(
+        _params(
+            dataset,
+            tmp_path,
+            epochs=2,
+            model_save_best=False,
+            early_stopping=True,
+            patience=50,
+            restore_best_weights=True,
+        ),
+        None,
+    )
+    _, _, final_vars, _ = model_io.load_model(folder / "model_final.hdf5")
+    _, _, last_vars, _ = model_io.load_model(folder / "model_epoch02.hdf5")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_vars),
+        jax.tree_util.tree_leaves(last_vars),
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_stop_restores_es_best_weights(dataset, tmp_path):
+    """When early stopping triggers, the finalized weights must come from
+    the early-stopping callback's own best snapshot (val_<metric>/max) —
+    not from model_save_monitor's best and not from the last epoch."""
+    from oct_image_segmentation_models_tpu.common import model_io
+    from oct_image_segmentation_models_tpu.training.training import (
+        load_train_state,
+        save_train_state,
+    )
+
+    part = train_model(
+        _params(
+            dataset,
+            tmp_path / "part",
+            epochs=2,
+            seed=7,
+            train_state_checkpoint=True,
+        ),
+        None,
+    )
+    state_file = part / "train_state_latest.npz"
+    meta, leaves = load_train_state(state_file)
+    # The state tree flattens as sorted dict keys: best | es_best | state.
+    # Plant distinct sentinels in the two snapshots so the test can tell
+    # WHICH one finalization restored.
+    assert jax.tree_util.tree_leaves({"best": 0, "es_best": 1, "state": 2}) \
+        == [0, 1, 2]
+    _, _, part_vars, _ = model_io.load_model(part / "model_final.hdf5")
+    n_snap = len(jax.tree_util.tree_leaves(part_vars))
+    leaves = list(leaves)
+    for i in range(n_snap):
+        leaves[i] = np.full_like(np.asarray(leaves[i]), 0.25)
+        leaves[n_snap + i] = np.full_like(
+            np.asarray(leaves[n_snap + i]), 0.75
+        )
+    # rewrite as if the saving epoch's patience check had fired
+    meta["epochs_since_improvement"] = 3
+    save_train_state(state_file, leaves, meta)
+
+    resumed = train_model(
+        _params(
+            dataset,
+            tmp_path / "resumed",
+            model_architecture=None,
+            resume_train_state=state_file,
+            epochs=10,
+            seed=7,
+            early_stopping=True,
+            patience=3,
+            restore_best_weights=True,
+        ),
+        None,
+    )
+    _, _, final_vars, _ = model_io.load_model(resumed / "model_final.hdf5")
+    for leaf in jax.tree_util.tree_leaves(final_vars):
+        arr = np.asarray(leaf)
+        assert np.all(arr == np.asarray(0.75, arr.dtype)), (
+            "finalization restored the wrong snapshot"
+        )
+
+
 def test_mlflow_model_artifact_round_trip(dataset, tmp_path, monkeypatch):
     """Reference parity (`training/training.py:140-141` autolog +
     `common/utils.py:37-51` run-id load): train with an MLflow tracker,
@@ -949,16 +1048,23 @@ def test_sigterm_interrupt_saves_and_resumes(dataset, tmp_path):
 
 def test_exact_resume_with_probabilistic_augs(dataset, tmp_path):
     """aug_mode="one" draws per-sample aug choices from the generator's
-    RNG stream; exact resume must restore that stream (epoch-count
-    replay alone cannot) for the runs to stay bitwise-identical."""
+    RNG stream, and add_noise draws noise values from it; exact resume
+    must restore that stream (epoch-count replay alone cannot) for the
+    runs to stay bitwise-identical."""
     kw = dict(
         epochs=3,
         seed=5,
         aug_mode="one",
         aug_fly=True,
+        # force the HOST aug path: the noise draws must come from the
+        # generator's resumable RNG stream, not per-call OS entropy
+        aug_device="off",
         augmentations=[
             {"name": "flip", "arguments": {"flip_type": "left-right"}},
-            {"name": "flip", "arguments": {"flip_type": "up-down"}},
+            {
+                "name": "add_noise",
+                "arguments": {"mode": "gaussian", "variance": 0.01},
+            },
         ],
     )
     full = train_model(_params(dataset, tmp_path / "full", **kw), None)
