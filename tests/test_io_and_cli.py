@@ -347,7 +347,7 @@ def test_streaming_volume(tmp_path):
     assert labels.shape == (10, 16, 16)
     assert segs.shape == (10, 2, 16)
 
-    with pytest.raises(ValueError, match="pool_layers"):
+    with pytest.raises(ValueError, match="spatial downsampling"):
         seg.segment_volume(volume[:, :14])
 
     with pytest.raises(ValueError, match="empty volume"):
