@@ -20,11 +20,14 @@ the vertical variant (it is dead code upstream).
 from __future__ import annotations
 
 import heapq
+import logging
 from dataclasses import dataclass
 
 import numpy as np
 
 from ..ops import minpath as minpath_ops
+
+log = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -253,6 +256,14 @@ def segment_maps(prob_maps, truths, graph_structure: GraphStructure):
         # so raw float values delineate exactly, never truncated) and
         # vertical structures (which use single-assignment
         # delineate_boundary, `:557`, not the averaging variant)
+        log.warning(
+            "segment_maps: %s maps force the per-map host Dijkstra "
+            "(~1000x slower than the device DP); pass standard-graph "
+            "uint8 (0..255) prob_maps to take the batched TPU fast path",
+            "vertical-graph"
+            if graph_structure.vertical
+            else f"non-uint8 (dtype={prob_maps.dtype})",
+        )
         predictions = np.stack(
             [
                 delineate_boundary(prob_maps[m] / 255.0, graph_structure)

@@ -94,3 +94,24 @@ def test_vertical_variant_runs():
 def test_calc_errors_api():
     err = graph_search.calc_errors(np.array([4, 5]), np.array([np.nan, 3.0]))
     assert np.isnan(err[0]) and err[1] == 2.0
+
+
+def test_segment_maps_warns_on_host_fallback(caplog):
+    import logging
+
+    w, h = 10, 8
+    rng = np.random.default_rng(4)
+    rows = np.clip(4 + np.cumsum(rng.integers(-1, 2, w)), 1, h - 2)
+    m = _ridge(w, h, rows).astype(np.float64)  # non-uint8 → host Dijkstra
+    gs = graph_search.create_graph_structure((w, h))
+    with caplog.at_level(logging.WARNING, logger=graph_search.log.name):
+        preds, _, _ = graph_search.segment_maps(m[None], None, gs)
+    assert np.array_equal(preds[0].astype(int), rows)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("host Dijkstra" in s and "non-uint8" in s for s in msgs)
+
+    # uint8 standard maps take the device DP silently
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=graph_search.log.name):
+        graph_search.segment_maps(m[None].astype(np.uint8), None, gs)
+    assert not any("host Dijkstra" in r.getMessage() for r in caplog.records)
