@@ -199,10 +199,10 @@ def main(argv=None):
     p_pred.add_argument(
         "--minpath-tie-parity",
         choices=("exact", "fast"),
-        default="exact",
-        help="min-path tie-break mode: 'exact' bit-matches the reference "
-        "heap; 'fast' is cost-optimal and ~2.9x faster (<0.05 px "
-        "worst-case divergence)",
+        default="fast",
+        help="min-path tie-break mode: 'fast' (default) is cost-optimal "
+        "and ~2.9x faster, <0.05 px worst-case divergence; 'exact' "
+        "bit-matches the reference heap (migration validation)",
     )
     p_pred.add_argument(
         "--compute-dtype",
@@ -237,7 +237,7 @@ def main(argv=None):
     p_eval.add_argument(
         "--minpath-tie-parity",
         choices=("exact", "fast"),
-        default="exact",
+        default="fast",
         help="min-path tie-break mode (see `octseg predict --help`)",
     )
     p_eval.add_argument(
@@ -277,7 +277,7 @@ def main(argv=None):
     p_exp.add_argument("--no-maps", action="store_true")
     p_exp.add_argument("--no-optimize", action="store_true")
     p_exp.add_argument(
-        "--minpath-tie-parity", choices=("exact", "fast"), default="exact"
+        "--minpath-tie-parity", choices=("exact", "fast"), default="fast"
     )
     p_exp.add_argument(
         "--compute-dtype",

@@ -51,7 +51,9 @@ def export_inference_pipeline(
     bg_ilm: bool = True,
     bg_csi: bool = False,
     max_grad: int = 1,
-    minpath_tie_parity: str = "exact",
+    # "fast" = production default across the workflow surfaces (<0.05 px
+    # budget); "exact" = reference-heap bit parity.
+    minpath_tie_parity: str = "fast",
     optimize: bool = True,
     compute_dtype: str = "float32",
     platforms=("cpu", "tpu"),

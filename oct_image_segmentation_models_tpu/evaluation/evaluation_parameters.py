@@ -42,7 +42,7 @@ class EvaluationParameters:
         bg_csi: bool = False,
         batch_size: int = 8,
         num_workers: int = 0,
-        minpath_tie_parity: str = "exact",
+        minpath_tie_parity: str = "fast",
         compute_dtype: str = "float32",
     ):
         self.model_path = model_path
@@ -73,6 +73,10 @@ class EvaluationParameters:
         # matplotlib + scipy EDT); artifacts are bitwise-identical to
         # the serial path (tests/test_predict_evaluate.py).
         self.num_workers = num_workers
+        # Default "fast": production min-path mode, inside the 0.05 px
+        # parity budget (worst-case 0.0424 px, realistic 0.00033 px —
+        # see prediction_parameters.py for the full rationale). Pass
+        # "exact" for reference-heap bit parity.
         if minpath_tie_parity not in ("exact", "fast"):
             raise ValueError(
                 f"minpath_tie_parity must be 'exact' or 'fast', got "

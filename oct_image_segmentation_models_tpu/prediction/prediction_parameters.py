@@ -40,7 +40,7 @@ class PredictionParams:
         trim_window: tuple = (0, 0),
         col_error_range: tuple = None,
         batch_size: int = 8,
-        minpath_tie_parity: str = "exact",
+        minpath_tie_parity: str = "fast",
         compute_dtype: str = "float32",
         num_workers: int = 0,
     ) -> None:
@@ -63,8 +63,16 @@ class PredictionParams:
         # Device batch size for the fused pipeline (the reference is
         # hardwired to per-image batches, `prediction/prediction.py:75-81`).
         self.batch_size = batch_size
-        # Min-path tie-break mode: "exact" (reference-heap bit parity) or
-        # "fast" (cost-optimal, ~4x cheaper kernel; see ops/minpath.py).
+        # Min-path tie-break mode. Default "fast" (the production mode,
+        # ~2.9x cheaper kernel): cost-optimal paths whose only divergence
+        # from the reference heap is the resolution order of exact cost
+        # ties — worst-case 0.0424 px MAE on adversarial all-plateau
+        # maps, 0.00033 px on realistic ridge maps, both inside the
+        # 0.05 px parity budget (tests/test_minpath.py::
+        # test_flagship_scale_fast_tie_parity_budget). Pass "exact" for
+        # bit-parity with the reference heap (migration validation); the
+        # low-level min_path_processing/ops APIs keep "exact" as their
+        # default for the same reason.
         if minpath_tie_parity not in ("exact", "fast"):
             raise ValueError(
                 f"minpath_tie_parity must be 'exact' or 'fast', got "
