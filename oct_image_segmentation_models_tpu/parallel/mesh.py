@@ -47,8 +47,11 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = None):
 
     Multi-process (multi-host) meshes receive each process's *local*
     batch shard and assemble the global array from the per-process data
-    (``jax.make_array_from_process_local_data``); single-process
-    multi-device meshes receive the full global batch.
+    (``jax.make_array_from_process_local_data``); meshes whose devices
+    all belong to one process (single-process runtimes, or a
+    process-LOCAL mesh inside a multi-process runtime — the multi-host
+    serving path in ``prediction/streaming.py``) receive the full batch
+    for that mesh.
     """
     devices = mesh.devices.reshape(-1)
     if devices.size == 1:
@@ -56,7 +59,7 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = None):
             lambda x: jax.device_put(x, devices[0]), batch
         )
     sharding = batch_sharding(mesh, axis_name)
-    if jax.process_count() > 1:
+    if len({d.process_index for d in devices}) > 1:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(
                 sharding, np.asarray(x)

@@ -32,7 +32,10 @@ class VolumeSegmenter:
         with_graph_search: bool = True,
         optimize: bool = True,
         compute_dtype: str = "float32",
-        minpath_tie_parity: str = "exact",
+        # "fast" = production min-path mode, inside the 0.05 px parity
+        # budget; "exact" = reference-heap bit parity (see
+        # prediction_parameters.py for the rationale).
+        minpath_tie_parity: str = "fast",
         mesh=None,
     ):
         self.loaded_model = loaded_model
@@ -41,24 +44,42 @@ class VolumeSegmenter:
         # shard_map over the mesh's "data" axis, each device taking
         # batch/num_devices B-scans (see make_fused_pipeline). batch
         # must split evenly across devices.
-        self.mesh = mesh
-        if mesh is not None and batch_size % mesh.devices.size:
-            raise ValueError(
-                f"batch_size={batch_size} must be a multiple of the mesh "
-                f"size ({mesh.devices.size}) for data-parallel inference"
-            )
+        #
+        # Multi-controller runtimes (jax.process_count() > 1): every
+        # process calls segment_volume with the SAME full volume; each
+        # segments a contiguous per-process slice on its OWN devices
+        # (the pipeline runs over a process-LOCAL mesh, so the hot loop
+        # has no cross-host collectives — B-scans are independent), and
+        # the outputs are all-gathered host-side afterwards so every
+        # process returns full-volume results identical to a
+        # single-process run. batch_size is per-process in this mode.
+        self._multiproc = False
         if mesh is not None:
             import jax
 
             if jax.process_count() > 1:
-                # prefetch_to_mesh would treat each process's FULL batch
-                # as its local shard, silently duplicating every B-scan
-                # process_count times in the global batch.
-                raise NotImplementedError(
-                    "VolumeSegmenter(mesh=...) is single-controller; for "
-                    "multi-host serving, slice the volume per process and "
-                    "run one segmenter per process on its local devices"
-                )
+                local = [
+                    d
+                    for d in mesh.devices.flat
+                    if d.process_index == jax.process_index()
+                ]
+                if not local:
+                    raise ValueError(
+                        "VolumeSegmenter mesh holds no devices for "
+                        f"process {jax.process_index()}; every process "
+                        "must own a slice of the serving mesh"
+                    )
+                from ..parallel.mesh import create_mesh
+
+                mesh = create_mesh(local)
+                self._multiproc = True
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size={batch_size} must be a multiple of the "
+                f"{'per-process ' if self._multiproc else ''}mesh size "
+                f"({mesh.devices.size}) for data-parallel inference"
+            )
         container = get_model_class(loaded_model.name)(**model_config)
         # Divisibility requirement of the conv stack, taken from the
         # container (which has normalized config defaults applied).
@@ -115,6 +136,11 @@ class VolumeSegmenter:
         """Segment a ``(num_bscans, H, W, C)`` uint8 volume.
 
         Returns ``(labels u8 (N, H, W), boundary rows u16 (N, M, W))``.
+
+        Under a multi-process runtime every process passes the SAME
+        volume and receives the same full-volume outputs (per-process
+        contiguous slices segmented locally, host all-gather at the
+        end).
         """
         n = volume.shape[0]
         if n == 0:
@@ -122,6 +148,38 @@ class VolumeSegmenter:
                 "segment_volume requires at least one B-scan "
                 "(got an empty volume)"
             )
+        if self._multiproc:
+            return self._segment_volume_multiproc(volume, prefetch)
+        return self._segment_local(volume, prefetch)
+
+    def _segment_volume_multiproc(self, volume: np.ndarray, prefetch: int):
+        import jax
+        from jax.experimental import multihost_utils
+
+        n = volume.shape[0]
+        nprocs, pid = jax.process_count(), jax.process_index()
+        # Equal-size chunks (last process may pad with repeats of the
+        # final B-scan) so the all-gathered outputs stack rectangularly.
+        chunk = -(-n // nprocs)
+        lo = min(pid * chunk, n)
+        local = volume[lo : lo + chunk]
+        if local.shape[0] < chunk:
+            filler = np.repeat(volume[-1:], chunk - local.shape[0], axis=0)
+            local = (
+                np.concatenate([local, filler]) if local.size else filler
+            )
+        labels, segs = self._segment_local(local, prefetch)
+        # Host-side gather over all processes: (nprocs, chunk, ...) ->
+        # (nprocs * chunk, ...) -> trim the tail padding.
+        labels = multihost_utils.process_allgather(labels)
+        labels = labels.reshape((-1,) + labels.shape[2:])[:n]
+        if segs is not None:
+            segs = multihost_utils.process_allgather(segs)
+            segs = segs.reshape((-1,) + segs.shape[2:])[:n]
+        return labels, segs
+
+    def _segment_local(self, volume: np.ndarray, prefetch: int = 2):
+        n = volume.shape[0]
         b = self.batch_size
         pad = (-n) % b
         if pad:
