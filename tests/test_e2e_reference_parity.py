@@ -1,0 +1,482 @@
+"""END-TO-END artifact-tree parity against the UPSTREAM package.
+
+The strongest parity proof in the suite (VERDICT r2 "missing #1"): build
+ONE tiny U-Net checkpoint with the reference's own ``build_model()`` in
+real Keras, briefly fit it on a synthetic layered-OCT dataset so its
+predictions are realistic, then run
+
+- the UPSTREAM ``predict()`` and ``evaluate_model()`` drivers
+  (`/root/reference/oct_image_segmentation_models/prediction/prediction.py:48-186`,
+  `evaluation/evaluation.py:73-446`) with their unavailable third-party
+  deps stubbed (see :mod:`ref_stubs`), and
+- OUR drivers (``minpath_tie_parity="exact"``)
+
+on the same checkpoint + dataset, and diff the COMPLETE artifact trees:
+every HDF5 dataset and attribute, every CSV, every PNG (decoded pixels).
+
+Documented comparison normalizations (each tied to a reference anchor):
+- wall-clock attrs (``timestamp``, ``*_time``) compared for presence
+  only (`prediction/prediction.py:268-269`);
+- dice metric scalars (HDF5 datasets with "dice" in the name, and the
+  numeric cells of the metric CSVs) compared to float32-roundoff
+  tolerance (rtol 1e-6): the reference reduces them in TF float32
+  (`common/custom_metrics.py:19-100`) whose summation order is
+  backend-dependent — measured max divergence ~1e-8. Everything
+  STRUCTURAL (labels, boundary maps, delineations, per-column errors,
+  every PNG pixel) must be exactly equal;
+- path-valued attrs compared exactly (both sides receive the SAME
+  model/dataset paths);
+- upstream's ``categorical_pred_<i>.png`` branch is a latent crash
+  (``"categorical_pred_" + map_ind`` with int ``map_ind``,
+  `prediction/prediction.py:227`): the harness keeps
+  ``png_images=True`` with ``categorical_pred=False`` (the defaults) so
+  the upstream-crashing path stays off while every other PNG is
+  compared.
+
+Surface-distance / Hausdorff metrics are excluded: the upstream package
+needs the uninstallable DeepMind ``surface-distance`` package for them
+(`common/custom_metrics.py:103-119`) — environment-blocked, documented
+in VERDICT r2 missing #3.
+
+Skips off this rig (no /root/reference or no TF).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import ref_stubs
+from synth import make_dataset
+
+tf = pytest.importorskip("tensorflow")
+
+pytestmark = pytest.mark.skipif(
+    not Path(ref_stubs.REF_ROOT).is_dir(),
+    reason="upstream reference tree not available",
+)
+
+H, W, NUM_CLASSES = 32, 48, 4
+N_TEST = 2
+
+# Attributes whose values are wall-clock dependent: presence + dtype
+# kind must match, value may not (reference writes them at
+# `prediction/prediction.py:268-269`, `evaluation/evaluation.py:592-600`).
+VOLATILE_ATTRS = ("timestamp",)
+
+
+def _is_volatile(attr_name: str) -> bool:
+    return attr_name in VOLATILE_ATTRS or attr_name.endswith("_time")
+
+
+# --------------------------------------------------------------- assets
+
+
+def _build_assets(workdir: Path):
+    """Dataset + briefly-trained reference-Keras checkpoint + sidecar.
+
+    Runs INSIDE the upstream import context (the model comes from the
+    reference's own ``get_model_class("unet").build_model()``,
+    `models/unet.py:106-153`)."""
+    from tensorflow import keras
+
+    from oct_image_segmentation_models.models import get_model_class
+
+    ds_path = workdir / "dataset.hdf5"
+    make_dataset(
+        ds_path,
+        n_train=8,
+        n_val=2,
+        n_test=N_TEST,
+        h=H,
+        w=W,
+        num_classes=NUM_CLASSES,
+        seed=5,
+    )
+
+    keras.backend.clear_session()
+    keras.utils.set_random_seed(17)
+    container = get_model_class("unet")(
+        input_channels=1,
+        num_classes=NUM_CLASSES,
+        image_height=H,
+        image_width=W,
+        start_neurons=4,
+        pool_layers=2,
+    )
+    model = container.build_model()
+    import h5py
+
+    with h5py.File(ds_path, "r") as f:
+        train_images = f["train_images"][:]
+        train_labels = f["train_labels"][:]
+    preprocess = container.get_preprocess_input_fn()
+    model.compile(
+        optimizer=keras.optimizers.Adam(2e-3),
+        loss="sparse_categorical_crossentropy",
+    )
+    # ~30 epochs on 8 tiny images: enough for smooth layered predictions
+    # (realistic blurred-ridge boundary maps — the regime where the
+    # exact-tie DP bit-matches the reference heap, PLAN.md).
+    model.fit(
+        preprocess(train_images.astype(np.float32)),
+        train_labels,
+        epochs=30,
+        batch_size=4,
+        verbose=0,
+    )
+
+    model_dir = workdir / "model"
+    model_dir.mkdir(parents=True, exist_ok=True)
+    model_path = model_dir / "model_final.hdf5"
+    model.save(model_path)  # Keras legacy h5: config + model_weights
+    with open(model_dir / "model_config.json", "w") as fh:
+        json.dump(container.get_config(), fh)
+    return ds_path, model_path
+
+
+# --------------------------------------------------------------- drivers
+
+
+def _load_test_dataset_arrays(ds_path: Path):
+    import h5py
+
+    with h5py.File(ds_path, "r") as f:
+        images = f["test_images"][:]
+        names = [
+            Path(str(x, "ascii")) for x in f["test_images_source"][:]
+        ]
+    return images, names
+
+
+def _run_upstream(ds_path: Path, model_path: Path, out_root: Path):
+    """Reference predict() + evaluate_model() into out_root/{predict,eval}."""
+    from oct_image_segmentation_models.common.dataset import Dataset
+    from oct_image_segmentation_models.evaluation.evaluation import (
+        evaluate_model,
+    )
+    from oct_image_segmentation_models.evaluation.evaluation_parameters import (
+        EvaluationParameters,
+        EvaluationSaveParams,
+    )
+    from oct_image_segmentation_models.prediction.prediction import predict
+    from oct_image_segmentation_models.prediction.prediction_parameters import (
+        PredictionParams,
+        PredictionSaveParams,
+    )
+
+    # Environment-drift shim, not a behavior change: TF 2.9's
+    # to_categorical (the reference's runtime, its `pyproject.toml:31`)
+    # returned float32; Keras 3's returns float64, which crashes the
+    # reference's own dice_coef_macro on a float64+float32 AddV2
+    # (`common/custom_metrics.py:70`). Restore the 2.9 dtype so the
+    # reference code runs as it did on its pinned stack.
+    import oct_image_segmentation_models.evaluation.evaluation as ref_eval_mod
+
+    _orig_to_categorical = ref_eval_mod.to_categorical
+    ref_eval_mod.to_categorical = lambda x, num_classes=None: (
+        _orig_to_categorical(x, num_classes).astype(np.float32)
+    )
+
+    pred_dir = out_root / "predict"
+    images, names = _load_test_dataset_arrays(ds_path)
+    out_dirs = [pred_dir / f"image_{i}" for i in range(len(images))]
+    for d in out_dirs:
+        d.mkdir(parents=True, exist_ok=True)
+    predict(
+        PredictionParams(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            dataset=Dataset(images, None, names, out_dirs),
+            config_output_dir=pred_dir,
+            save_params=PredictionSaveParams(),
+            graph_search=True,
+        )
+    )
+
+    eval_dir = out_root / "eval"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    evaluate_model(
+        EvaluationParameters(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            test_dataset_path=ds_path,
+            save_foldername=eval_dir,
+            save_params=EvaluationSaveParams(),
+            graph_search=True,
+            metrics=["dice_coef_classes", "dice_coef_macro", "dice_coef_micro"],
+        )
+    )
+
+
+def _run_ours(ds_path: Path, model_path: Path, out_root: Path):
+    """Our drivers on the same checkpoint/dataset, exact tie parity."""
+    from oct_image_segmentation_models_tpu.common.dataset import Dataset
+    from oct_image_segmentation_models_tpu.evaluation.evaluation import (
+        evaluate_model,
+    )
+    from oct_image_segmentation_models_tpu.evaluation.evaluation_parameters import (
+        EvaluationParameters,
+        EvaluationSaveParams,
+    )
+    from oct_image_segmentation_models_tpu.prediction.prediction import (
+        predict,
+    )
+    from oct_image_segmentation_models_tpu.prediction.prediction_parameters import (
+        PredictionParams,
+        PredictionSaveParams,
+    )
+
+    pred_dir = out_root / "predict"
+    images, names = _load_test_dataset_arrays(ds_path)
+    out_dirs = [pred_dir / f"image_{i}" for i in range(len(images))]
+    for d in out_dirs:
+        d.mkdir(parents=True, exist_ok=True)
+    predict(
+        PredictionParams(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            dataset=Dataset(images, None, names, out_dirs),
+            config_output_dir=pred_dir,
+            save_params=PredictionSaveParams(),
+            graph_search=True,
+            minpath_tie_parity="exact",
+        )
+    )
+
+    eval_dir = out_root / "eval"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    evaluate_model(
+        EvaluationParameters(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            test_dataset_path=ds_path,
+            save_foldername=eval_dir,
+            save_params=EvaluationSaveParams(),
+            graph_search=True,
+            metrics=["dice_coef_classes", "dice_coef_macro", "dice_coef_micro"],
+            minpath_tie_parity="exact",
+        )
+    )
+
+
+# ------------------------------------------------------------ tree diff
+
+
+def _diff_hdf5(ref_path: Path, our_path: Path, rel: str, diffs: list):
+    import h5py
+
+    def walk(ref_g, our_g, prefix):
+        ref_keys, our_keys = set(ref_g), set(our_g)
+        for k in sorted(ref_keys - our_keys):
+            diffs.append(f"{rel}:{prefix}{k}: only in reference")
+        for k in sorted(our_keys - ref_keys):
+            diffs.append(f"{rel}:{prefix}{k}: only in ours")
+        for k in sorted(ref_keys & our_keys):
+            r, o = ref_g[k], our_g[k]
+            if isinstance(r, h5py.Group) != isinstance(o, h5py.Group):
+                diffs.append(f"{rel}:{prefix}{k}: group vs dataset")
+                continue
+            if isinstance(r, h5py.Group):
+                walk(r, o, f"{prefix}{k}/")
+                continue
+            rv, ov = r[()], o[()]
+            if r.dtype != o.dtype:
+                diffs.append(
+                    f"{rel}:{prefix}{k}: dtype {o.dtype} != {r.dtype}"
+                )
+            nan_ok = np.asarray(rv).dtype.kind == "f"
+            # Dice metric scalars are reduced in float32 by the
+            # reference's TF code; summation order is backend-dependent
+            # (oneDNN CPU vs XLA), so they match only to float32
+            # roundoff (measured max ~1e-8). Everything structural
+            # (labels, maps, delineations, errors) must be exact.
+            if "dice" in k and nan_ok:
+                if not np.allclose(
+                    np.asarray(rv, np.float64),
+                    np.asarray(ov, np.float64),
+                    rtol=1e-6,
+                    atol=1e-7,
+                    equal_nan=True,
+                ):
+                    diffs.append(
+                        f"{rel}:{prefix}{k}: dice values differ beyond "
+                        "float32-roundoff tolerance"
+                    )
+                continue
+            if np.shape(rv) != np.shape(ov):
+                diffs.append(
+                    f"{rel}:{prefix}{k}: shape {np.shape(ov)} != "
+                    f"{np.shape(rv)}"
+                )
+            elif not np.array_equal(
+                np.asarray(rv), np.asarray(ov), equal_nan=nan_ok
+            ):
+                delta = ""
+                try:
+                    d = np.abs(
+                        np.asarray(rv, np.float64) - np.asarray(ov, np.float64)
+                    )
+                    delta = f" (max |delta| {np.nanmax(d):.6g})"
+                except (TypeError, ValueError):
+                    pass
+                diffs.append(f"{rel}:{prefix}{k}: values differ{delta}")
+        # attributes at this level
+        ra, oa = dict(ref_g.attrs), dict(our_g.attrs)
+        for k in sorted(set(ra) - set(oa)):
+            diffs.append(f"{rel}:{prefix}@{k}: attr only in reference")
+        for k in sorted(set(oa) - set(ra)):
+            diffs.append(f"{rel}:{prefix}@{k}: attr only in ours")
+        for k in sorted(set(ra) & set(oa)):
+            if _is_volatile(k):
+                continue
+            if not np.array_equal(np.asarray(ra[k]), np.asarray(oa[k])):
+                diffs.append(
+                    f"{rel}:{prefix}@{k}: attr {oa[k]!r} != {ra[k]!r}"
+                )
+
+    with h5py.File(ref_path, "r") as rf, h5py.File(our_path, "r") as of:
+        walk(rf, of, "")
+
+
+def _diff_png(ref_path: Path, our_path: Path, rel: str, diffs: list):
+    from matplotlib import image as mpimg
+
+    r, o = mpimg.imread(ref_path), mpimg.imread(our_path)
+    if r.shape != o.shape:
+        diffs.append(f"{rel}: PNG shape {o.shape} != {r.shape}")
+    elif not np.array_equal(r, o):
+        diffs.append(
+            f"{rel}: PNG pixels differ "
+            f"({(r != o).mean() * 100:.3f}% of components)"
+        )
+
+
+def diff_trees(ref_root: Path, our_root: Path) -> list:
+    """Full recursive artifact diff; returns human-readable differences."""
+    diffs = []
+    ref_files = {
+        p.relative_to(ref_root).as_posix()
+        for p in ref_root.rglob("*")
+        if p.is_file()
+    }
+    our_files = {
+        p.relative_to(our_root).as_posix()
+        for p in our_root.rglob("*")
+        if p.is_file()
+    }
+    for rel in sorted(ref_files - our_files):
+        diffs.append(f"{rel}: only in reference tree")
+    for rel in sorted(our_files - ref_files):
+        diffs.append(f"{rel}: only in our tree")
+    for rel in sorted(ref_files & our_files):
+        rp, op = ref_root / rel, our_root / rel
+        if rel.endswith((".hdf5", ".h5")):
+            _diff_hdf5(rp, op, rel, diffs)
+        elif rel.endswith(".png"):
+            _diff_png(rp, op, rel, diffs)
+        elif rel.endswith(".csv"):
+            _diff_csv(rp, op, rel, diffs)
+        else:  # anything else: exact bytes
+            if rp.read_bytes() != op.read_bytes():
+                diffs.append(f"{rel}: file contents differ")
+    return diffs
+
+
+def _diff_csv(ref_path: Path, our_path: Path, rel: str, diffs: list):
+    """Cell-wise CSV compare: numeric cells to float32-roundoff
+    tolerance (the metric CSVs print the dice scalars, see _diff_hdf5's
+    dice note), everything else exact. Integer CSVs (segmentation maps,
+    gs boundaries) compare exactly either way."""
+    ref_rows = ref_path.read_text().strip().splitlines()
+    our_rows = our_path.read_text().strip().splitlines()
+    if len(ref_rows) != len(our_rows):
+        diffs.append(
+            f"{rel}: {len(our_rows)} rows != {len(ref_rows)}"
+        )
+        return
+    for i, (rr, orow) in enumerate(zip(ref_rows, our_rows)):
+        rc, oc = rr.split(","), orow.split(",")
+        if len(rc) != len(oc):
+            diffs.append(f"{rel}: row {i}: column count differs")
+            continue
+        for j, (a, b) in enumerate(zip(rc, oc)):
+            if a == b:
+                continue
+            try:
+                fa, fb = float(a), float(b)
+            except ValueError:
+                diffs.append(f"{rel}: row {i} col {j}: {b!r} != {a!r}")
+                continue
+            if not np.isclose(fa, fb, rtol=1e-6, atol=1e-7, equal_nan=True):
+                diffs.append(f"{rel}: row {i} col {j}: {fb!r} != {fa!r}")
+
+
+# ----------------------------------------------------------------- test
+
+
+@pytest.fixture(scope="module")
+def parity_run(tmp_path_factory):
+    work = tmp_path_factory.mktemp("e2e_parity")
+    with ref_stubs.upstream_package():
+        ds_path, model_path = _build_assets(work)
+        _run_upstream(ds_path, model_path, work / "ref_out")
+    _run_ours(ds_path, model_path, work / "our_out")
+    return work
+
+
+def test_full_driver_artifact_tree_parity(parity_run):
+    work = parity_run
+    diffs = diff_trees(work / "ref_out", work / "our_out")
+    assert not diffs, (
+        "artifact trees diverge:\n  " + "\n  ".join(diffs)
+    )
+
+
+def test_parity_run_covers_expected_artifacts(parity_run):
+    """Guard against vacuous green: the tree must actually contain the
+    full artifact set (per-image prediction + gs + eval files, config
+    snapshots, overall aggregates)."""
+    ref = parity_run / "ref_out"
+    expected = [
+        "predict/prediction_params.hdf5",
+        "predict/image_0/prediction_info.hdf5",
+        "predict/image_0/segmentation_map.csv",
+        "predict/image_0/raw_image.png",
+        "predict/image_0/graph_search_prediction_info.hdf5",
+        "predict/image_0/gs_boundaries.csv",
+        "predict/image_0/gs_segmentation_map.csv",
+        "predict/image_0/gs_predicted_segmentation_map.png",
+        "predict/image_0/gs_predicted_boundaries_ovelay_plot.png",
+        "eval/eval_params.hdf5",
+        "eval/image_0/evaluation_results.hdf5",
+        "eval/image_0/gs_evaluation_results.hdf5",
+        "eval/overall_evaluation_results.hdf5",
+        "eval/overall_evaluation_results.csv",
+    ]
+    missing = [rel for rel in expected if not (ref / rel).exists()]
+    assert not missing, f"reference run did not produce: {missing}"
+
+
+if __name__ == "__main__":  # manual iteration: python test_e2e_...py DIR
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # never touch the TPU here
+    work = Path(sys.argv[1])
+    work.mkdir(parents=True, exist_ok=True)
+    with ref_stubs.upstream_package():
+        ds_path, model_path = _build_assets(work)
+        _run_upstream(ds_path, model_path, work / "ref_out")
+    _run_ours(ds_path, model_path, work / "our_out")
+    out = diff_trees(work / "ref_out", work / "our_out")
+    print(f"{len(out)} differences")
+    for d in out:
+        print(" ", d)
