@@ -48,13 +48,26 @@ def _build_stubs():
         fl.SparseCategoricalFocalLoss = SparseCategoricalFocalLoss
         stubs["focal_loss"] = fl
     if "surface_distance" not in sys.modules:
+        # Not a dead stub: OUR reimplementation of the DeepMind
+        # surface-distance algorithm exposes the package's exact API
+        # (common/surface_distance.py — contour-length-weighted
+        # distances, hand-verified against worked examples), so the
+        # upstream eval driver's ASD/Hausdorff branches RUN and the
+        # harness compares them end-to-end. Both sides then share the
+        # metric implementation — this proves DRIVER parity for those
+        # branches; value parity against the real DeepMind package
+        # stays a deploy-time check (it is uninstallable offline).
+        from oct_image_segmentation_models_tpu.common import (
+            surface_distance as our_sd,
+        )
+
         sd = types.ModuleType("surface_distance")
         for name in (
             "compute_surface_distances",
             "compute_average_surface_distance",
             "compute_robust_hausdorff",
         ):
-            setattr(sd, name, None)
+            setattr(sd, name, getattr(our_sd, name))
         stubs["surface_distance"] = sd
     return stubs
 

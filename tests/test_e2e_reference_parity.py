@@ -33,10 +33,13 @@ Documented comparison normalizations (each tied to a reference anchor):
   the upstream-crashing path stays off while every other PNG is
   compared.
 
-Surface-distance / Hausdorff metrics are excluded: the upstream package
-needs the uninstallable DeepMind ``surface-distance`` package for them
-(`common/custom_metrics.py:103-119`) — environment-blocked, documented
-in VERDICT r2 missing #3.
+All five eval metrics run, including average-surface-distance and
+Hausdorff: upstream needs the offline-uninstallable DeepMind
+``surface-distance`` package for those (`common/custom_metrics.py:103-119`),
+so :mod:`ref_stubs` provides that package's API from OUR
+reimplementation — the upstream DRIVER branches then execute and are
+compared end-to-end (driver parity; value parity against the real
+DeepMind package remains a deploy-time check, VERDICT r2 missing #3).
 
 Skips off this rig (no /root/reference or no TF).
 """
@@ -62,6 +65,16 @@ pytestmark = pytest.mark.skipif(
 
 H, W, NUM_CLASSES = 32, 48, 4
 N_TEST = 2
+# All five eval metrics: the ASD/Hausdorff branches run because
+# ref_stubs provides the DeepMind surface-distance API from OUR
+# reimplementation (driver parity; see ref_stubs._build_stubs).
+ALL_METRICS = [
+    "dice_coef_classes",
+    "dice_coef_macro",
+    "dice_coef_micro",
+    "average_surface_distance",
+    "hausdorff_distance",
+]
 
 # Attributes whose values are wall-clock dependent: presence + dtype
 # kind must match, value may not (reference writes them at
@@ -210,7 +223,7 @@ def _run_upstream(ds_path: Path, model_path: Path, out_root: Path):
             save_foldername=eval_dir,
             save_params=EvaluationSaveParams(),
             graph_search=True,
-            metrics=["dice_coef_classes", "dice_coef_macro", "dice_coef_micro"],
+            metrics=ALL_METRICS,
         )
     )
 
@@ -262,7 +275,7 @@ def _run_ours(ds_path: Path, model_path: Path, out_root: Path):
             save_foldername=eval_dir,
             save_params=EvaluationSaveParams(),
             graph_search=True,
-            metrics=["dice_coef_classes", "dice_coef_macro", "dice_coef_micro"],
+            metrics=ALL_METRICS,
             minpath_tie_parity="exact",
         )
     )
