@@ -113,12 +113,30 @@ def upstream_package():
         keras.engine = eng
         patched_keras_attrs["engine"] = (keras, eng)
 
+    def _evict_upstream():
+        # Typeguard evaluates the reference's annotations at DEF time,
+        # baking in whatever keras.engine stub was active when the
+        # module first imported. Evicting on entry guarantees a fresh
+        # import bound to OUR isinstance-transparent Functional even if
+        # another test (e.g. test_reference_oracle's ref_common, which
+        # uses a plain stub) imported the package first; evicting on
+        # exit keeps the favor symmetric. Without this the e2e test is
+        # test-order-dependent.
+        for name in [
+            n
+            for n in sys.modules
+            if n == "oct_image_segmentation_models"
+            or n.startswith("oct_image_segmentation_models.")
+        ]:
+            del sys.modules[name]
+
     inserted = []
     for name, mod in stubs.items():
         if name not in sys.modules:
             sys.modules[name] = mod
             inserted.append(name)
     sys.path.insert(0, REF_ROOT)
+    _evict_upstream()
     try:
         pkg = importlib.import_module("oct_image_segmentation_models")
         for sub in (
@@ -139,6 +157,7 @@ def upstream_package():
         yield pkg
     finally:
         sys.path.remove(REF_ROOT)
+        _evict_upstream()
         for name in inserted:
             sys.modules.pop(name, None)
         for attr, (owner, val) in patched_keras_attrs.items():

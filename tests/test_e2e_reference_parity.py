@@ -168,6 +168,26 @@ def _load_test_dataset_arrays(ds_path: Path):
 
 def _run_upstream(ds_path: Path, model_path: Path, out_root: Path):
     """Reference predict() + evaluate_model() into out_root/{predict,eval}."""
+    # Environment-drift shim, not a behavior change: TF 2.9's
+    # to_categorical (the reference's runtime, its `pyproject.toml:31`)
+    # returned float32; Keras 3's returns float64, which crashes the
+    # reference's own dice_coef_macro on a float64+float32 AddV2
+    # (`common/custom_metrics.py:70`). Restore the 2.9 dtype (and the
+    # module attribute afterwards) so the reference code runs as it did
+    # on its pinned stack.
+    import oct_image_segmentation_models.evaluation.evaluation as ref_eval_mod
+
+    _orig_to_categorical = ref_eval_mod.to_categorical
+    ref_eval_mod.to_categorical = lambda x, num_classes=None: (
+        _orig_to_categorical(x, num_classes).astype(np.float32)
+    )
+    try:
+        _run_upstream_body(ds_path, model_path, out_root)
+    finally:
+        ref_eval_mod.to_categorical = _orig_to_categorical
+
+
+def _run_upstream_body(ds_path: Path, model_path: Path, out_root: Path):
     from oct_image_segmentation_models.common.dataset import Dataset
     from oct_image_segmentation_models.evaluation.evaluation import (
         evaluate_model,
@@ -180,19 +200,6 @@ def _run_upstream(ds_path: Path, model_path: Path, out_root: Path):
     from oct_image_segmentation_models.prediction.prediction_parameters import (
         PredictionParams,
         PredictionSaveParams,
-    )
-
-    # Environment-drift shim, not a behavior change: TF 2.9's
-    # to_categorical (the reference's runtime, its `pyproject.toml:31`)
-    # returned float32; Keras 3's returns float64, which crashes the
-    # reference's own dice_coef_macro on a float64+float32 AddV2
-    # (`common/custom_metrics.py:70`). Restore the 2.9 dtype so the
-    # reference code runs as it did on its pinned stack.
-    import oct_image_segmentation_models.evaluation.evaluation as ref_eval_mod
-
-    _orig_to_categorical = ref_eval_mod.to_categorical
-    ref_eval_mod.to_categorical = lambda x, num_classes=None: (
-        _orig_to_categorical(x, num_classes).astype(np.float32)
     )
 
     pred_dir = out_root / "predict"
@@ -313,7 +320,12 @@ def _diff_hdf5(ref_path: Path, our_path: Path, rel: str, diffs: list):
             # roundoff (measured max ~1e-8). Everything structural
             # (labels, maps, delineations, errors) must be exact.
             if "dice" in k and nan_ok:
-                if not np.allclose(
+                if np.shape(rv) != np.shape(ov):
+                    diffs.append(
+                        f"{rel}:{prefix}{k}: shape {np.shape(ov)} != "
+                        f"{np.shape(rv)}"
+                    )
+                elif not np.allclose(
                     np.asarray(rv, np.float64),
                     np.asarray(ov, np.float64),
                     rtol=1e-6,

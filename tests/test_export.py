@@ -77,10 +77,13 @@ def test_export_round_trip_bit_matches_live_pipeline(
         loaded.module, loaded.variables, cfg, output="labels_s2d"
     )
     container = get_model_class("unet")(**cfg)
+    # match the export surface's default tie mode ("fast") — the claim
+    # under test is exported == live for the SAME configuration
     direct = make_fused_pipeline(
         loaded.module,
         container.get_preprocess_input_fn(),
         minpath_backend="xla",
+        minpath_tie_parity="fast",
         labels_apply_fn=labels_fn,
         num_classes=loaded.output_classes,
     )
@@ -125,10 +128,13 @@ def test_export_symbolic_batch(unet_checkpoint, tmp_path):
         loaded.module, loaded.variables, cfg, output="labels_s2d"
     )
     container = get_model_class("unet")(**cfg)
+    # match the export surface's default tie mode ("fast") — the claim
+    # under test is exported == live for the SAME configuration
     direct = make_fused_pipeline(
         loaded.module,
         container.get_preprocess_input_fn(),
         minpath_backend="xla",
+        minpath_tie_parity="fast",
         labels_apply_fn=labels_fn,
         num_classes=loaded.output_classes,
     )

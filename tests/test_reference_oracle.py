@@ -283,101 +283,28 @@ def ref_common():
     """Reference ``common/`` modules with their unavailable third-party
     deps (mlflow, focal-loss, surface-distance, Keras-2-only attrs)
     stubbed at import time — the functions under test touch none of
-    them.  Yields a dict of {utils, custom_losses, custom_metrics}."""
-    import types
+    them. Stub machinery is shared with the e2e harness
+    (:func:`ref_stubs.upstream_package`) so the two cannot drift.
+    Yields a dict of {utils, custom_losses, custom_metrics}."""
+    import contextlib
 
-    import fake_mlflow
+    import ref_stubs
 
-    stubs = {"mlflow": fake_mlflow, "mlflow.exceptions": fake_mlflow.exceptions}
-    if "focal_loss" not in sys.modules:
-        fl = types.ModuleType("focal_loss")
-
-        class SparseCategoricalFocalLoss:  # import-time stand-in only
-            def __init__(self, *args, **kwargs):
-                raise NotImplementedError
-
-        fl.SparseCategoricalFocalLoss = SparseCategoricalFocalLoss
-        stubs["focal_loss"] = fl
-    if "surface_distance" not in sys.modules:
-        sd = types.ModuleType("surface_distance")
-        for name in (
-            "compute_surface_distances",
-            "compute_average_surface_distance",
-            "compute_robust_hausdorff",
-        ):
-            setattr(sd, name, None)
-        stubs["surface_distance"] = sd
-    try:
-        from keras.utils import losses_utils  # noqa: F401 (TF 2.x only)
-    except ImportError:
-        # Keras 3 dropped keras.utils.losses_utils; the reference only
-        # reads ReductionV2.AUTO from it (`custom_losses.py:109`).
-        import keras
-
-        lu = types.ModuleType("keras.utils.losses_utils")
-
-        class ReductionV2:
-            AUTO = "auto"
-
-        lu.ReductionV2 = ReductionV2
-        stubs["keras.utils.losses_utils"] = lu
-        keras.utils.losses_utils = lu
-    import keras as _keras
-
-    if not hasattr(_keras, "engine"):
-        # Keras 3 dropped keras.engine; the reference only names
-        # keras.engine.functional.Functional in a (def-time-evaluated)
-        # return annotation (`common/utils.py:29`).
-        eng = types.ModuleType("keras.engine")
-        fun = types.ModuleType("keras.engine.functional")
-
-        class Functional:  # annotation stand-in only
-            pass
-
-        fun.Functional = Functional
-        eng.functional = fun
-        stubs["keras.engine"] = eng
-        stubs["keras.engine.functional"] = fun
-        _keras.engine = eng
-
-    inserted = []
-    for name, mod in stubs.items():
-        if name not in sys.modules:
-            sys.modules[name] = mod
-            inserted.append(name)
-    sys.path.insert(0, REF_ROOT)
-    try:
+    with contextlib.ExitStack() as stack:
         try:
+            stack.enter_context(ref_stubs.upstream_package())
             from oct_image_segmentation_models.common import (
                 custom_losses,
                 custom_metrics,
                 utils,
             )
-
-            yield {
-                "utils": utils,
-                "custom_losses": custom_losses,
-                "custom_metrics": custom_metrics,
-            }
         except Exception as exc:  # keras/typeguard version drift
             pytest.skip(f"reference common modules unimportable: {exc}")
-            yield None
-    finally:
-        sys.path.remove(REF_ROOT)
-        for name in inserted:
-            sys.modules.pop(name, None)
-        if "keras.utils.losses_utils" in stubs:
-            import keras
-
-            if getattr(keras.utils, "losses_utils", None) is stubs[
-                "keras.utils.losses_utils"
-            ]:
-                del keras.utils.losses_utils
-        if "keras.engine" in stubs:
-            import keras
-
-            if getattr(keras, "engine", None) is stubs["keras.engine"]:
-                del keras.engine
+        yield {
+            "utils": utils,
+            "custom_losses": custom_losses,
+            "custom_metrics": custom_metrics,
+        }
 
 
 @pytest.fixture(scope="module")
