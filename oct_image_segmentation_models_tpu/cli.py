@@ -179,7 +179,7 @@ def cmd_export_keras(args):
     print(f"Exported Keras weights checkpoint: {out}")
 
 
-def main(argv=None):
+def build_parser():
     parser = argparse.ArgumentParser(
         prog="octseg", description="TPU-native OCT image segmentation"
     )
@@ -310,7 +310,11 @@ def main(argv=None):
     p_keras.add_argument("--mlflow-tracking-uri", default=None)
     p_keras.add_argument("--mlflow-run-uuid", default=None)
     p_keras.set_defaults(func=cmd_export_keras)
+    return parser
 
+
+def main(argv=None):
+    parser = build_parser()
     args = parser.parse_args(argv)
     from .common.tracking import TrackingConnectionError
 

@@ -443,3 +443,48 @@ def test_invalid_tie_parity_rejected(trained, tmp_path):
             metrics=["dice_coef_macro"],
             minpath_tie_parity="bogus",
         )
+
+
+def test_workflow_surfaces_default_to_fast_tie_parity():
+    """The documented production default (MIGRATION.md divergences):
+    every workflow surface defaults minpath_tie_parity="fast" while the
+    low-level graph-search/ops APIs stay "exact". Pins the r3 flip so a
+    silent revert (changing user outputs AND the bench headline's
+    meaning) cannot pass the suite."""
+    import inspect
+
+    from oct_image_segmentation_models_tpu.cli import build_parser
+    from oct_image_segmentation_models_tpu.common.export import (
+        export_inference_pipeline,
+    )
+    from oct_image_segmentation_models_tpu.evaluation.evaluation_parameters import (
+        EvaluationParameters,
+    )
+    from oct_image_segmentation_models_tpu.ops import minpath
+    from oct_image_segmentation_models_tpu.prediction.prediction_parameters import (
+        PredictionParams,
+    )
+    from oct_image_segmentation_models_tpu.prediction.streaming import (
+        VolumeSegmenter,
+    )
+
+    def default_of(fn, name="minpath_tie_parity"):
+        return inspect.signature(fn).parameters[name].default
+
+    assert default_of(PredictionParams.__init__) == "fast"
+    assert default_of(EvaluationParameters.__init__) == "fast"
+    assert default_of(VolumeSegmenter.__init__) == "fast"
+    assert default_of(export_inference_pipeline) == "fast"
+
+    parser = build_parser()
+    for cmd, m, d, o in (
+        ("predict", "model.h5", "ds.h5", "out"),
+        ("evaluate", "model.h5", "ds.h5", "out"),
+        ("export", "model.h5", "out.h5", None),
+    ):
+        argv = [cmd, m, d] + ([o] if o else [])
+        args = parser.parse_args(argv)
+        assert args.minpath_tie_parity == "fast", cmd
+
+    # The low-level APIs keep reference bit-parity as their contract.
+    assert default_of(minpath.delineate, "tie_parity") == "exact"

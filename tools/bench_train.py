@@ -105,9 +105,18 @@ def measure_tpu_train(
 
     import jax.random as jrandom
 
+    # TWO warmup steps: the first compiles for the fresh
+    # create_train_state signature; the second recompiles once more for
+    # the jit-output state's layouts/shardings (donated buffers come
+    # back with compiler-chosen layouts — measured ~30 s one-time on the
+    # remote compiler, then ~0.15 s/step steady; timing from the first
+    # post-compile step silently averages the recompile in, which is
+    # how an early version of this tool read 20x slow).
     print("bench_train: compiling train step...", file=sys.stderr, flush=True)
     state, loss, _ = train_step(state, images, labels, jrandom.PRNGKey(0))
-    float(loss)  # compile + drain
+    float(loss)  # compile #1 + drain
+    state, loss, _ = train_step(state, images, labels, jrandom.PRNGKey(1))
+    float(loss)  # compile #2 (output-layout signature) + drain
     print(
         f"bench_train: compiled; timing {n_steps} steps...",
         file=sys.stderr,
@@ -116,7 +125,7 @@ def measure_tpu_train(
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss, _ = train_step(
-            state, images, labels, jrandom.PRNGKey(i + 1)
+            state, images, labels, jrandom.PRNGKey(i + 2)
         )
     float(loss)  # drain the async chain
     dt = time.perf_counter() - t0
@@ -260,7 +269,12 @@ def main():
         file=sys.stderr,
         flush=True,
     )
-    tp_ref = measure_reference_train_keras_cpu()
+    if os.environ.get("BENCH_TRAIN_SKIP_REF", "0") == "1":
+        # TPU-phase-only run (e.g. while the box is otherwise busy and
+        # the CPU denominator could not be cached anyway).
+        tp_ref = float("nan")
+    else:
+        tp_ref = measure_reference_train_keras_cpu()
     baseline = 10.0 * tp_ref
     vs_baseline = tp_accel / baseline if np.isfinite(baseline) else None
 
@@ -284,7 +298,7 @@ def main():
                     "bce_dice_loss, batch 1, steady-state step on this "
                     "host's CPU)",
                     "timing": f"{N_STEPS} real train-step dispatches "
-                    "after 1 compile/warmup step (includes per-dispatch "
+                    "after 2 compile/warmup steps (includes per-dispatch "
                     "host round trip, like the real training loop)",
                 },
             }

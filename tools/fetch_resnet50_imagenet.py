@@ -25,6 +25,7 @@ Verify an already-downloaded file without fetching:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import tempfile
 import urllib.request
@@ -47,14 +48,15 @@ def md5_of(path: Path) -> str:
     return h.hexdigest()
 
 
-def verify(path: Path) -> None:
+def verify(path: Path, display_name=None) -> None:
     digest = md5_of(path)
     if digest != MD5:
         sys.exit(
-            f"CHECKSUM MISMATCH for {path}: got md5 {digest}, expected "
-            f"{MD5} — delete the file and re-download"
+            f"CHECKSUM MISMATCH for {display_name or path}: got md5 "
+            f"{digest}, expected {MD5} — re-download (a partial download "
+            "is discarded automatically)"
         )
-    print(f"OK: {path} md5={digest}")
+    print(f"OK: {display_name or path} md5={digest}")
 
 
 def fetch(dest: Path) -> None:
@@ -63,10 +65,12 @@ def fetch(dest: Path) -> None:
         verify(dest)
         return
     print(f"Downloading {URL}\n  -> {dest}")
-    tmp = Path(tempfile.mkstemp(dir=dest.parent, suffix=".part")[1])
+    fd, tmp_name = tempfile.mkstemp(dir=dest.parent, suffix=".part")
+    os.close(fd)
+    tmp = Path(tmp_name)
     try:
         urllib.request.urlretrieve(URL, tmp)  # nosec: pinned https URL
-        verify(tmp)
+        verify(tmp, display_name=dest)
         tmp.replace(dest)
     finally:
         tmp.unlink(missing_ok=True)
