@@ -265,6 +265,15 @@ volume = rng.integers(0, 255, (10, h, w, 1), dtype=np.uint8)
 labels, rows = seg.segment_volume(volume)
 np.save(f"{outdir}/serve_labels{pid}.npy", labels)
 np.save(f"{outdir}/serve_rows{pid}.npy", rows)
+
+# Uneven split (7 = 4 + 3, exercises the tail-process filler) and a
+# volume smaller than nprocs*chunk coverage (1 scan: process 1 gets an
+# empty slice and segments pure filler).
+for n in (7, 1):
+    lab_n, rows_n = seg.segment_volume(volume[:n])
+    assert lab_n.shape[0] == n and rows_n.shape[0] == n
+    np.save(f"{outdir}/serve_labels{pid}_n{n}.npy", lab_n)
+    np.save(f"{outdir}/serve_rows{pid}_n{n}.npy", rows_n)
 """
 
 
@@ -334,3 +343,12 @@ def test_two_process_volume_serving(tmp_path):
     want_labels, want_rows = seg.segment_volume(volume)
     assert np.array_equal(labels[0], want_labels)
     assert np.array_equal(rows[0], want_rows)
+
+    # Uneven (7) and smaller-than-mesh (1) volumes: full-volume outputs
+    # on every process, equal to the single-process run.
+    for n in (7, 1):
+        for pid in range(2):
+            ln = np.load(tmp_path / f"serve_labels{pid}_n{n}.npy")
+            rn = np.load(tmp_path / f"serve_rows{pid}_n{n}.npy")
+            assert np.array_equal(ln, want_labels[:n]), (n, pid)
+            assert np.array_equal(rn, want_rows[:n]), (n, pid)

@@ -84,6 +84,13 @@ def test_predict_outputs(trained, tmp_path):
             assert "predicted_labels" in f and "boundary_maps" in f
             assert "categorical_pred" in f
             assert f.attrs["predict_time"] >= 0
+        # categorical_pred=True + png_images=True writes the per-class
+        # PNGs — the exact configuration that CRASHES upstream
+        # ('"categorical_pred_" + map_ind' with int map_ind, reference
+        # `prediction/prediction.py:227`); fixed here, documented in
+        # MIGRATION.md.
+        for m in range(3):
+            assert (d / f"categorical_pred_{m}.png").exists()
         # The min-path delineation should sit on the boundary-map ridges.
         for m in range(2):
             ridge_rows = np.argmax(out.boundary_maps[m], axis=0)
