@@ -535,13 +535,42 @@ def main():
     # other mode is measured too and disclosed in the same JSON
     # (BENCH_SKIP_ALT=1 skips the second measurement).
     tie_parity = os.environ.get("BENCH_TIE_PARITY", "fast")
+    import sys as _sys
+
+    t_start = time.time()
+    print(
+        f"bench: compiling + timing the {tie_parity}-tie pipeline...",
+        file=_sys.stderr,
+        flush=True,
+    )
     module, loop_factory = build_pipeline(
         "float32", "auto", K_ITERS, mode="s2d", tie_parity=tie_parity
     )
     tp_accel = time_loop(module, loop_factory, accel, images_np, K_ITERS)
     alt_parity = "exact" if tie_parity == "fast" else "fast"
     tp_alt = None
-    if os.environ.get("BENCH_SKIP_ALT", "0") != "1":
+    # The remote compiler has a degraded mode where big compiles take
+    # 15-20 min (PLAN.md r3 gotcha). If the headline measurement already
+    # burned that long, skip the disclosure-only alt-mode measurement
+    # rather than risk the caller's timeout killing the whole run.
+    alt_budget = float(os.environ.get("BENCH_ALT_BUDGET_S", "900"))
+    if os.environ.get("BENCH_SKIP_ALT", "0") == "1":
+        pass
+    elif time.time() - t_start > alt_budget:
+        print(
+            f"bench: headline measurement took {time.time() - t_start:.0f}s "
+            "(degraded compile window?); skipping the alt-tie-mode "
+            "measurement",
+            file=_sys.stderr,
+            flush=True,
+        )
+    else:
+        print(
+            f"bench: {tp_accel:.1f} B-scans/s; compiling + timing the "
+            f"{alt_parity}-tie mode...",
+            file=_sys.stderr,
+            flush=True,
+        )
         _, alt_factory = build_pipeline(
             "float32", "auto", K_ITERS, mode="s2d", tie_parity=alt_parity
         )
