@@ -167,14 +167,14 @@ class DeeplabV3Plus(BaseModel):
 
     def get_config(self) -> dict:
         config = super().get_config()
-        # without these, the checkpoint config round-trip would rebuild
-        # containers with float32 / no-pretrained defaults
-        config.update(
-            {
-                "dtype": self.dtype,
-                "pretrained_weights": self.pretrained_weights,
-            }
-        )
+        # Recorded only when non-default: the checkpoint round-trip must
+        # rebuild bfloat16/pretrained containers faithfully, but a
+        # default config must stay consumable by the reference's own
+        # ``DeepLabv3Plus(**config)`` (unknown keys raise there).
+        if str(self.dtype) != "float32":
+            config["dtype"] = self.dtype
+        if self.pretrained_weights is not None:
+            config["pretrained_weights"] = self.pretrained_weights
         return config
 
     def get_preprocess_input_fn(self) -> Callable:

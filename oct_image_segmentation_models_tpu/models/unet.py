@@ -167,11 +167,14 @@ class UNet(BaseModel):
                 "conv_layers": self.conv_layers,
                 "enc_kernel": self.enc_kernel,
                 "dec_kernel": self.dec_kernel,
-                # without this, the checkpoint config round-trip would
-                # rebuild a float32 container for a bfloat16-trained model
-                "dtype": self.dtype,
             }
         )
+        # Recorded only when non-default: a bfloat16-trained model must
+        # round-trip its dtype, but a float32 config must stay
+        # consumable by the reference's own ``UNet(**config)``
+        # (`models/unet.py:62-74` — unknown keys raise there).
+        if str(self.dtype) != "float32":
+            config["dtype"] = self.dtype
         return config
 
     def build_model(self) -> UNetModule:

@@ -230,6 +230,59 @@ def make_eval_step(
     return jax.jit(sharded)
 
 
+_OPTIMIZER_FACTORIES = None  # populated below (optax must be imported)
+
+
+def _optimizer_factories():
+    global _OPTIMIZER_FACTORIES
+    if _OPTIMIZER_FACTORIES is None:
+        _OPTIMIZER_FACTORIES = {
+            "adam": optax.adam,
+            "adamw": optax.adamw,
+            "sgd": optax.sgd,
+            "rmsprop": optax.rmsprop,
+            "adagrad": optax.adagrad,
+            "nadam": optax.nadam,
+            "adamax": optax.adamax,
+        }
+    return _OPTIMIZER_FACTORIES
+
+
+def resolved_optimizer_config(opt_con, opt_params: dict) -> dict:
+    """The optimizer's full effective config in Keras-style key names —
+    the analog of the reference's ``optimizer.get_config()`` snapshot
+    (`training/training.py:124-130`): user params merged over the
+    factory's scalar defaults, so run artifacts record beta_1/beta_2/
+    epsilon etc. even when the user only set the learning rate.
+
+    Non-name optimizers (a ready optax transformation or factory) have
+    no introspectable Keras-style surface; their snapshot is the user's
+    params, unchanged."""
+    import inspect
+
+    params = dict(opt_params)
+    if isinstance(opt_con, optax.GradientTransformation) or callable(opt_con):
+        return params
+    name = str(opt_con).lower()
+    factory = _optimizer_factories().get(name)
+    if factory is None:
+        return params
+    to_keras = {"b1": "beta_1", "b2": "beta_2", "eps": "epsilon"}
+    if name == "rmsprop":
+        to_keras["decay"] = "rho"
+    cfg = {"name": name}
+    for pname, p in inspect.signature(factory).parameters.items():
+        if p.default is inspect.Parameter.empty:
+            continue
+        if isinstance(p.default, (bool, int, float, str)):
+            cfg[to_keras.get(pname, pname)] = p.default
+    if "epsilon" in cfg:
+        cfg["epsilon"] = 1e-7  # build_optimizer's Keras-default epsilon
+    cfg["learning_rate"] = 0.01 if name == "sgd" else 1e-3
+    cfg.update(params)
+    return cfg
+
+
 def build_optimizer(opt_con, opt_params: dict) -> optax.GradientTransformation:
     """Optimizer factory accepting a name ('Adam', 'sgd', ...) with
     Keras-style kwargs, an optax factory, or a ready transformation —
@@ -243,21 +296,25 @@ def build_optimizer(opt_con, opt_params: dict) -> optax.GradientTransformation:
     if callable(opt_con):
         return opt_con(**params)
     name = str(opt_con).lower()
-    factories = {
-        "adam": optax.adam,
-        "adamw": optax.adamw,
-        "sgd": optax.sgd,
-        "rmsprop": optax.rmsprop,
-        "adagrad": optax.adagrad,
-        "nadam": optax.nadam,
-        "adamax": optax.adamax,
-    }
+    factories = _optimizer_factories()
     if name not in factories:
         raise ValueError(f"Unknown optimizer: {opt_con}")
     # Keras default learning rates (the surface opt_params mirrors):
     # every optimizer here defaults to 1e-3 EXCEPT SGD's 0.01.
     params.setdefault("learning_rate", 0.01 if name == "sgd" else 1e-3)
+    if "eps" in inspect_signature_params(factories[name]):
+        # Keras's epsilon default is 1e-7 (optax's is 1e-8); the
+        # reference's optimizers run with 1e-7, so name-based
+        # construction mirrors that (reference `training/training.py:193`
+        # via keras.optimizers defaults).
+        params.setdefault("eps", 1e-7)
     if name == "rmsprop" and "rho" in params:
         # Keras RMSprop calls optax's ``decay`` "rho"
         params["decay"] = params.pop("rho")
     return factories[name](**params)
+
+
+def inspect_signature_params(fn):
+    import inspect
+
+    return inspect.signature(fn).parameters

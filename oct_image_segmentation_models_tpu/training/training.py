@@ -56,6 +56,7 @@ from ..parallel.train_step import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    resolved_optimizer_config,
 )
 from . import training_callbacks
 from .training_parameters import TrainingParams
@@ -384,7 +385,18 @@ def save_training_params_file(
 
         opt_con = train_params.opt_con
         if isinstance(opt_con, str):
-            opt_name = opt_con
+            # the reference records the Keras class __name__
+            # (`training/training.py:120-122`): "Adam", not "adam"
+            keras_names = {
+                "adam": "Adam",
+                "adamw": "AdamW",
+                "sgd": "SGD",
+                "rmsprop": "RMSprop",
+                "adagrad": "Adagrad",
+                "nadam": "Nadam",
+                "adamax": "Adamax",
+            }
+            opt_name = keras_names.get(opt_con.lower(), opt_con)
         else:
             # name, not repr: a GradientTransformation's repr embeds
             # per-process memory addresses (and would truncate at a
@@ -399,9 +411,10 @@ def save_training_params_file(
             if isinstance(val, (bool, int, float, np.integer, np.floating)):
                 f.attrs[f"opt_param: {key}"] = val
             elif isinstance(val, str):
-                # unbounded bytes: a fixed S-width would silently
-                # truncate long values (e.g. schedule specs / paths)
-                f.attrs[f"opt_param: {key}"] = np.bytes_(val)
+                # plain assignment (h5py variable-length unicode) —
+                # exactly what the reference's writer stores
+                # (`training/training.py:128-130`)
+                f.attrs[f"opt_param: {key}"] = val
             elif callable(val):
                 # e.g. a learning-rate schedule: record its name, not a
                 # repr that embeds a per-process memory address
@@ -891,10 +904,12 @@ def train_model(
         f"({image_height}x{image_width}x{input_channels}), {num_classes} classes"
     )
     # The reference snapshots the optimizer's FULL config as
-    # ``opt_param: <key>`` attrs (`training/training.py:124-130`); the
-    # optax analog of ``opt.get_config()`` is the user's constructor
-    # params.
-    opt_config = dict(training_params.opt_params)
+    # ``opt_param: <key>`` attrs (`training/training.py:124-130`);
+    # resolve user params over the factory's defaults with Keras-style
+    # names so the artifact records beta_1/beta_2/epsilon etc. too.
+    opt_config = resolved_optimizer_config(
+        training_params.opt_con, training_params.opt_params
+    )
     if is_main_process:
         save_training_params_file(
             save_foldername,

@@ -79,6 +79,8 @@ def _run_dir() -> Path:
 
 
 def log_params(params: dict) -> None:
+    if _state["run"] is None:  # real mlflow would auto-start; the
+        return  # reference calls this even with tracking disabled
     out = _run_dir() / "params.json"
     merged = json.loads(out.read_text()) if out.exists() else {}
     merged.update({k: str(v) for k, v in params.items()})
@@ -91,6 +93,8 @@ def log_metrics(metrics: dict, step: int = 0) -> None:
 
 
 def log_dict(d: dict, artifact_path: str) -> None:
+    if _state["run"] is None:
+        return
     dest = _state["run"].artifact_dir / artifact_path
     dest.parent.mkdir(parents=True, exist_ok=True)
     dest.write_text(json.dumps(d, indent=2, default=str))

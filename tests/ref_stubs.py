@@ -69,6 +69,35 @@ def _build_stubs():
         ):
             setattr(sd, name, getattr(our_sd, name))
         stubs["surface_distance"] = sd
+    if "skimage" not in sys.modules:
+        try:
+            import skimage.util  # noqa: F401 — use the real one if present
+        except ImportError:
+            # The reference only needs skimage.util.random_noise
+            # (`common/augmentation.py:2`); our augmentation module
+            # replicates its semantics (oracle-tested), so adapt it to
+            # the skimage signature.
+            from oct_image_segmentation_models_tpu.common.augmentation import (
+                _random_noise,
+            )
+
+            def random_noise(image, mode="gaussian", seed=None, **kwargs):
+                import numpy as np
+
+                return _random_noise(
+                    image,
+                    mode,
+                    kwargs.get("mean", 0.0),
+                    kwargs.get("var", 0.01),
+                    np.random.default_rng(seed),
+                )
+
+            sk = types.ModuleType("skimage")
+            sku = types.ModuleType("skimage.util")
+            sku.random_noise = random_noise
+            sk.util = sku
+            stubs["skimage"] = sk
+            stubs["skimage.util"] = sku
     return stubs
 
 

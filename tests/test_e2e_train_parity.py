@@ -1,0 +1,343 @@
+"""Training-driver artifact-CONTRACT parity against the UPSTREAM package.
+
+Companion to the predict/evaluate artifact-tree harness
+(test_e2e_reference_parity.py): runs the reference's own
+``train_model()`` (`/root/reference/oct_image_segmentation_models/training/training.py:135-408`)
+and OUR trainer on the same tiny dataset and config, then compares the
+run-folder CONTRACT: the artifact file set, ``model_config.json``
+content, every ``training_params.hdf5`` attribute, and the rolling
+``stats_epochNN.hdf5`` schema. Checkpoint *internals* are not compared
+(upstream writes Keras full-model h5, we write the native format —
+`octseg export-keras` is the documented bridge), and weight values
+cannot match across frameworks — the contract is what downstream
+tooling consumes.
+
+The reference pins TF 2.9 (`pyproject.toml:31`); running its trainer on
+this rig's Keras 3 needs environment-drift shims, each anchored to the
+exact incompatibility (none changes the artifact contract under test):
+
+1. ``tf.distribute.MirroredStrategy`` -> default-scope stand-in: Keras 3
+   dropped tf.distribute integration entirely (a model built inside a
+   MirroredStrategy scope cannot ``fit``); on this 1-CPU-device rig the
+   reference's single-host strategy (`training/training.py:185-188`) is
+   semantically the default strategy.
+2. ``ModelCheckpoint`` filepath: Keras 3 rejects ``.hdf5`` at __init__
+   even though ``model.save`` still writes legacy h5; TF 2.9 accepted it
+   (`training/training.py:318-326`).
+3. float32 generator batches: TF 2.9 auto-cast the reference
+   DataGenerator's float64 output inside ``fit``; Keras 3 does not.
+4. ascii model summary: Keras 3 summaries use Unicode box art; the
+   reference stores the summary as ascii S1000 (`training/training.py:57`).
+5. h5-compatible optimizer config: Keras 3's ``optimizer.get_config()``
+   contains None/dict values h5py cannot store as attrs
+   (`training/training.py:124-130` stored TF 2.9's flat config).
+
+Skips off this rig (no /root/reference or no TF).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import types
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pytest
+
+import ref_stubs
+from synth import make_dataset
+
+tf = pytest.importorskip("tensorflow")
+
+pytestmark = pytest.mark.skipif(
+    not Path(ref_stubs.REF_ROOT).is_dir(),
+    reason="upstream reference tree not available",
+)
+
+# Framework-specific optimizer knobs (scalar attrs only one side's Adam
+# exposes); everything else must match by name AND value.
+KERAS_ONLY_OPT_KNOBS = {
+    "opt_param: amsgrad",
+    "opt_param: ema_momentum",
+    "opt_param: use_ema",
+}
+OPTAX_ONLY_OPT_KNOBS = {
+    "opt_param: eps_root",
+    "opt_param: nesterov",
+}
+# Value compared for presence only (wall clock / framework-rendered).
+PRESENCE_ONLY_ATTRS = {"timestamp", "model_summary"}
+
+# Beyond-reference artifacts our trainer adds (each a documented
+# capability: final-weights file, local tracker, curve plot, the
+# MLflow-layout model artifact).
+OUR_EXTRA_FILES = {
+    "model_final.hdf5",
+    "mlflow_metrics.jsonl",
+    "mlflow_params.json",
+    "performance_plot.png",
+    "model/model_final.hdf5",
+    "model/data/model_config.json",
+}
+
+TRAIN_CONFIG = dict(
+    loss="dice_loss_macro",
+    metric="dice_coef_macro",
+    epochs=2,
+    batch_size=2,
+    model_hyperparameters={"start_neurons": 2, "pool_layers": 2},
+    augmentations=[
+        {"name": "flip", "arguments": {"flip_type": "left-right"}}
+    ],
+    aug_mode="all",
+    aug_fly=True,
+)
+
+
+@contextlib.contextmanager
+def _keras3_train_shims():
+    """Install the five environment-drift shims (module docstring) on
+    the imported upstream training module; restore on exit."""
+    from tensorflow import keras
+
+    import oct_image_segmentation_models.common.data_generator as ref_dg
+    import oct_image_segmentation_models.training.training as ref_train_mod
+
+    saved = {
+        "ModelCheckpoint": ref_train_mod.ModelCheckpoint,
+        "data_gen": ref_train_mod.data_gen,
+        "save_training_params_file": ref_train_mod.save_training_params_file,
+        "tf": ref_train_mod.tf,
+    }
+
+    class _DefaultScopeStrategy:  # shim 1
+        num_replicas_in_sync = 1
+        _extended = types.SimpleNamespace(
+            _collective_ops=types.SimpleNamespace(
+                _pool=types.SimpleNamespace(close=lambda: None)
+            )
+        )
+
+        def scope(self):
+            return contextlib.nullcontext()
+
+    class _TFProxy:
+        def __getattr__(self, name):
+            return getattr(tf, name)
+
+    tfp = _TFProxy()
+    tfp.distribute = types.SimpleNamespace(
+        MirroredStrategy=lambda: _DefaultScopeStrategy()
+    )
+
+    class H5ModelCheckpoint(keras.callbacks.ModelCheckpoint):  # shim 2
+        def __init__(self, filepath, **kw):
+            super().__init__(str(filepath).replace(".hdf5", ".keras"), **kw)
+            self.filepath = str(filepath)
+
+    class F32DataGenerator(ref_dg.DataGenerator):  # shim 3
+        def __getitem__(self, idx):
+            x, y = super().__getitem__(idx)
+            return np.asarray(x, np.float32), np.asarray(y, np.float32)
+
+    _orig_stpf = ref_train_mod.save_training_params_file
+
+    def _shimmed_stpf(  # shims 4 + 5
+        save_foldername,
+        model_summary,
+        model_config,
+        training_dataset_md5,
+        c_weight,
+        timestamp,
+        training_params,
+        optimizer,
+    ):
+        cfg = {
+            k: v
+            for k, v in optimizer.get_config().items()
+            if isinstance(v, (int, float, str, bool, np.ndarray))
+        }
+        opt = types.SimpleNamespace(get_config=lambda: cfg)
+        return _orig_stpf(
+            save_foldername,
+            model_summary.encode("ascii", "replace").decode("ascii"),
+            model_config,
+            training_dataset_md5,
+            c_weight,
+            timestamp,
+            training_params,
+            opt,
+        )
+
+    ref_train_mod.tf = tfp
+    ref_train_mod.ModelCheckpoint = H5ModelCheckpoint
+    ref_train_mod.data_gen = types.SimpleNamespace(
+        DataGenerator=F32DataGenerator
+    )
+    ref_train_mod.save_training_params_file = _shimmed_stpf
+    try:
+        yield ref_train_mod
+    finally:
+        for name, val in saved.items():
+            setattr(ref_train_mod, name, val)
+
+
+def _single_run_dir(root: Path) -> Path:
+    runs = [p for p in root.iterdir() if p.is_dir()]
+    assert len(runs) == 1, runs
+    return runs[0]
+
+
+@pytest.fixture(scope="module")
+def train_runs(tmp_path_factory):
+    work = tmp_path_factory.mktemp("e2e_train_parity")
+    ds = make_dataset(
+        work / "ds.hdf5",
+        n_train=6,
+        n_val=2,
+        n_test=2,
+        h=32,
+        w=48,
+        num_classes=3,
+        seed=9,
+    )
+
+    with ref_stubs.upstream_package():
+        from tensorflow import keras
+
+        with _keras3_train_shims() as ref_train_mod:
+            from oct_image_segmentation_models.training.training_parameters import (  # noqa: E501
+                TrainingParams as RefTrainingParams,
+            )
+
+            ref_train_mod.train_model(
+                RefTrainingParams(
+                    model_architecture="unet",
+                    training_dataset_path=ds,
+                    initial_model=None,
+                    results_location=work / "ref_train",
+                    opt_con=keras.optimizers.Adam,
+                    opt_params={"learning_rate": 1e-3},
+                    **TRAIN_CONFIG,
+                ),
+                None,
+            )
+
+    from oct_image_segmentation_models_tpu.training import (
+        TrainingParams,
+        train_model,
+    )
+
+    train_model(
+        TrainingParams(
+            model_architecture="unet",
+            training_dataset_path=ds,
+            initial_model=None,
+            results_location=work / "our_train",
+            opt_con="adam",
+            opt_params={"learning_rate": 1e-3},
+            **TRAIN_CONFIG,
+        ),
+        None,
+    )
+    return (
+        _single_run_dir(work / "ref_train"),
+        _single_run_dir(work / "our_train"),
+    )
+
+
+def test_artifact_file_set_contract(train_runs):
+    ref_dir, our_dir = train_runs
+    ref_files = {
+        p.relative_to(ref_dir).as_posix()
+        for p in ref_dir.rglob("*")
+        if p.is_file()
+    }
+    our_files = {
+        p.relative_to(our_dir).as_posix()
+        for p in our_dir.rglob("*")
+        if p.is_file()
+    }
+    assert ref_files, "upstream produced no artifacts"
+    missing = ref_files - our_files
+    assert not missing, f"missing reference artifacts: {sorted(missing)}"
+    extras = our_files - ref_files
+    assert extras <= OUR_EXTRA_FILES, (
+        f"undocumented extra artifacts: {sorted(extras - OUR_EXTRA_FILES)}"
+    )
+    # Both trainers selected the same best-only checkpoint epochs and
+    # kept the same rolling stats file.
+    assert {f for f in ref_files if f.startswith("model_epoch")} == {
+        f for f in our_files if f.startswith("model_epoch")
+    }
+    assert {f for f in ref_files if f.startswith("stats_epoch")} == {
+        f for f in our_files if f.startswith("stats_epoch")
+    }
+
+
+def test_model_config_identical(train_runs):
+    ref_dir, our_dir = train_runs
+    ref_cfg = json.loads((ref_dir / "model_config.json").read_text())
+    our_cfg = json.loads((our_dir / "model_config.json").read_text())
+    assert our_cfg == ref_cfg
+    # and ours is consumable by the UPSTREAM container (no extra keys)
+    with ref_stubs.upstream_package():
+        from oct_image_segmentation_models.models import get_model_class
+
+        container = get_model_class("unet")(**our_cfg)
+        assert container.get_config()["num_classes"] == 3
+
+
+def _to_comparable(val):
+    if isinstance(val, bytes):
+        return val.decode("utf-8", "replace")
+    if isinstance(val, np.bytes_):
+        return bytes(val).decode("utf-8", "replace")
+    return val
+
+
+def test_training_params_attr_contract(train_runs):
+    ref_dir, our_dir = train_runs
+    with h5py.File(ref_dir / "training_params.hdf5") as rf, h5py.File(
+        our_dir / "training_params.hdf5"
+    ) as of:
+        ra, oa = dict(rf.attrs), dict(of.attrs)
+    assert set(ra) - set(oa) <= KERAS_ONLY_OPT_KNOBS, (
+        sorted(set(ra) - set(oa) - KERAS_ONLY_OPT_KNOBS)
+    )
+    assert set(oa) - set(ra) <= OPTAX_ONLY_OPT_KNOBS, (
+        sorted(set(oa) - set(ra) - OPTAX_ONLY_OPT_KNOBS)
+    )
+    mismatches = []
+    for key in sorted(set(ra) & set(oa)):
+        if key in PRESENCE_ONLY_ATTRS:
+            continue
+        rv, ov = _to_comparable(ra[key]), _to_comparable(oa[key])
+        if isinstance(rv, (float, np.floating)) and isinstance(
+            ov, (float, np.floating)
+        ):
+            # Keras round-trips floats through float32 variables
+            # (e.g. learning_rate 0.001 -> 0.0010000000474974513)
+            if not np.isclose(float(rv), float(ov), rtol=1e-6, atol=0):
+                mismatches.append((key, rv, ov))
+        elif isinstance(rv, np.ndarray) or isinstance(ov, np.ndarray):
+            r_arr = np.asarray(rv).astype(str)
+            o_arr = np.asarray(ov).astype(str)
+            if r_arr.shape != o_arr.shape or not (r_arr == o_arr).all():
+                mismatches.append((key, rv, ov))
+        elif rv != ov:
+            mismatches.append((key, rv, ov))
+    assert not mismatches, mismatches
+
+
+def test_stats_file_schema_contract(train_runs):
+    ref_dir, our_dir = train_runs
+    name = f"stats_epoch{TRAIN_CONFIG['epochs']:02d}.hdf5"
+    with h5py.File(ref_dir / name) as rf, h5py.File(our_dir / name) as of:
+        assert set(rf) == set(of)
+        for key in rf:
+            assert rf[key].shape == of[key].shape, key
+            assert rf[key].dtype == of[key].dtype, key
+        assert set(rf.attrs) == set(of.attrs)

@@ -103,7 +103,8 @@ def test_training_params_snapshot_unbounded_strings(dataset, tmp_path):
         dict(params.opt_params),
     )
     with h5py.File(tmp_path / "training_params.hdf5", "r") as f:
-        assert f.attrs["opt_param: schedule_spec"] == long_val.encode()
+        assert f.attrs["opt_param: schedule_spec"] == long_val  # plain
+            # unicode, matching the reference writer (`training/training.py:128-130`)
         optimizer = f.attrs["optimizer"]
         if isinstance(optimizer, bytes):
             optimizer = optimizer.decode()
@@ -162,7 +163,7 @@ def test_training_params_snapshot_full_optimizer_config(dataset, tmp_path):
         assert f.attrs["opt_param: learning_rate"] == pytest.approx(1e-3)
         assert f.attrs["opt_param: b1"] == pytest.approx(0.95)
         assert not f.attrs["opt_param: nesterov"]
-        assert f.attrs["opt_param: mu_dtype"] == b"bfloat16"
+        assert f.attrs["opt_param: mu_dtype"] == "bfloat16"
         # recorded for every aug_mode, incl. "none" (reference
         # `training/training.py:117-118`)
         assert "aug_fly" in f.attrs and "aug_val" in f.attrs
@@ -986,7 +987,10 @@ def test_sigterm_interrupt_saves_and_resumes(dataset, tmp_path):
     def fire_when_epoch2_done():
         deadline = time.time() + 120
         while time.time() < deadline:
-            runs = list(run_dir.glob("*/*/stats_epoch*.hdf5"))
+            # rolling stats live at <results_location>/<ts>_unet/
+            # (one level; a deeper glob here silently never fired and
+            # the test passed only when early stopping kicked in first)
+            runs = list(run_dir.glob("*/stats_epoch*.hdf5"))
             if any(int(p.name[len("stats_epoch"):-len(".hdf5")]) >= 2
                    for p in runs):
                 os.kill(os.getpid(), signal.SIGTERM)
