@@ -23,6 +23,7 @@ for the reference's MirroredStrategy step
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -230,56 +231,82 @@ def make_eval_step(
     return jax.jit(sharded)
 
 
-_OPTIMIZER_FACTORIES = None  # populated below (optax must be imported)
+# --- name-based optimizer surface (one source of truth for both the
+# --- constructed transformation and the artifact snapshot) ----------
+
+_OPTIMIZER_FACTORIES = {
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+    "adagrad": optax.adagrad,
+    "nadam": optax.nadam,
+    "adamax": optax.adamax,
+}
+# Keras arg names (the user surface, mirroring the reference's
+# keras.optimizers kwargs) <-> optax factory arg names.
+_KERAS_TO_OPTAX = {"beta_1": "b1", "beta_2": "b2", "epsilon": "eps"}
+_OPTAX_TO_KERAS = {v: k for k, v in _KERAS_TO_OPTAX.items()}
+# Keras's epsilon default (optax's is 1e-8); the reference's optimizers
+# run with 1e-7 (`training/training.py:193` via keras.optimizers).
+_KERAS_EPSILON_DEFAULT = 1e-7
 
 
-def _optimizer_factories():
-    global _OPTIMIZER_FACTORIES
-    if _OPTIMIZER_FACTORIES is None:
-        _OPTIMIZER_FACTORIES = {
-            "adam": optax.adam,
-            "adamw": optax.adamw,
-            "sgd": optax.sgd,
-            "rmsprop": optax.rmsprop,
-            "adagrad": optax.adagrad,
-            "nadam": optax.nadam,
-            "adamax": optax.adamax,
-        }
-    return _OPTIMIZER_FACTORIES
+def _keras_default_learning_rate(name: str) -> float:
+    # every Keras optimizer here defaults to 1e-3 EXCEPT SGD's 0.01
+    return 0.01 if name == "sgd" else 1e-3
+
+
+def _resolve_named_params(name: str, opt_params: dict) -> dict:
+    """User params (Keras OR optax arg names accepted) resolved over
+    the Keras-semantics defaults, in OPTAX arg names — exactly what the
+    factory is called with."""
+    params = {
+        _KERAS_TO_OPTAX.get(k, k): v for k, v in dict(opt_params).items()
+    }
+    params.setdefault("learning_rate", _keras_default_learning_rate(name))
+    if "eps" in inspect.signature(_OPTIMIZER_FACTORIES[name]).parameters:
+        params.setdefault("eps", _KERAS_EPSILON_DEFAULT)
+    if name == "rmsprop" and "rho" in params:
+        # Keras RMSprop calls optax's ``decay`` "rho"
+        params["decay"] = params.pop("rho")
+    return params
 
 
 def resolved_optimizer_config(opt_con, opt_params: dict) -> dict:
     """The optimizer's full effective config in Keras-style key names —
     the analog of the reference's ``optimizer.get_config()`` snapshot
-    (`training/training.py:124-130`): user params merged over the
-    factory's scalar defaults, so run artifacts record beta_1/beta_2/
-    epsilon etc. even when the user only set the learning rate.
+    (`training/training.py:124-130`). Derived from the SAME resolution
+    path ``build_optimizer`` constructs with (user params over
+    Keras-semantics defaults), then the factory's remaining scalar
+    defaults, so the artifact records beta_1/beta_2/epsilon etc. and
+    can never contradict what the optimizer actually ran with.
 
     Non-name optimizers (a ready optax transformation or factory) have
     no introspectable Keras-style surface; their snapshot is the user's
     params, unchanged."""
-    import inspect
-
-    params = dict(opt_params)
     if isinstance(opt_con, optax.GradientTransformation) or callable(opt_con):
-        return params
+        return dict(opt_params)
     name = str(opt_con).lower()
-    factory = _optimizer_factories().get(name)
+    factory = _OPTIMIZER_FACTORIES.get(name)
     if factory is None:
-        return params
-    to_keras = {"b1": "beta_1", "b2": "beta_2", "eps": "epsilon"}
-    if name == "rmsprop":
-        to_keras["decay"] = "rho"
+        return dict(opt_params)
+
+    def keras_key(optax_key):
+        if name == "rmsprop" and optax_key == "decay":
+            return "rho"
+        return _OPTAX_TO_KERAS.get(optax_key, optax_key)
+
     cfg = {"name": name}
     for pname, p in inspect.signature(factory).parameters.items():
-        if p.default is inspect.Parameter.empty:
-            continue
-        if isinstance(p.default, (bool, int, float, str)):
-            cfg[to_keras.get(pname, pname)] = p.default
-    if "epsilon" in cfg:
-        cfg["epsilon"] = 1e-7  # build_optimizer's Keras-default epsilon
-    cfg["learning_rate"] = 0.01 if name == "sgd" else 1e-3
-    cfg.update(params)
+        if p.default is not inspect.Parameter.empty and isinstance(
+            p.default, (bool, int, float, str)
+        ):
+            cfg[keras_key(pname)] = p.default
+    cfg.update(
+        (keras_key(k), v)
+        for k, v in _resolve_named_params(name, opt_params).items()
+    )
     return cfg
 
 
@@ -287,34 +314,17 @@ def build_optimizer(opt_con, opt_params: dict) -> optax.GradientTransformation:
     """Optimizer factory accepting a name ('Adam', 'sgd', ...) with
     Keras-style kwargs, an optax factory, or a ready transformation —
     covering the reference's ``opt_con``/``opt_params`` surface
-    (`training/training.py:190-193`)."""
+    (`training/training.py:190-193`). Name-based construction uses
+    Keras defaults (learning rate, epsilon=1e-7) so training numerics
+    match the reference's keras.optimizers."""
     if isinstance(opt_con, optax.GradientTransformation):
         return opt_con
-    params = dict(opt_params)
-    rename = {"beta_1": "b1", "beta_2": "b2", "epsilon": "eps"}
-    params = {rename.get(k, k): v for k, v in params.items()}
     if callable(opt_con):
+        params = {
+            _KERAS_TO_OPTAX.get(k, k): v for k, v in dict(opt_params).items()
+        }
         return opt_con(**params)
     name = str(opt_con).lower()
-    factories = _optimizer_factories()
-    if name not in factories:
+    if name not in _OPTIMIZER_FACTORIES:
         raise ValueError(f"Unknown optimizer: {opt_con}")
-    # Keras default learning rates (the surface opt_params mirrors):
-    # every optimizer here defaults to 1e-3 EXCEPT SGD's 0.01.
-    params.setdefault("learning_rate", 0.01 if name == "sgd" else 1e-3)
-    if "eps" in inspect_signature_params(factories[name]):
-        # Keras's epsilon default is 1e-7 (optax's is 1e-8); the
-        # reference's optimizers run with 1e-7, so name-based
-        # construction mirrors that (reference `training/training.py:193`
-        # via keras.optimizers defaults).
-        params.setdefault("eps", 1e-7)
-    if name == "rmsprop" and "rho" in params:
-        # Keras RMSprop calls optax's ``decay`` "rho"
-        params["decay"] = params.pop("rho")
-    return factories[name](**params)
-
-
-def inspect_signature_params(fn):
-    import inspect
-
-    return inspect.signature(fn).parameters
+    return _OPTIMIZER_FACTORIES[name](**_resolve_named_params(name, opt_params))

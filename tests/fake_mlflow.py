@@ -88,6 +88,8 @@ def log_params(params: dict) -> None:
 
 
 def log_metrics(metrics: dict, step: int = 0) -> None:
+    if _state["run"] is None:
+        return
     with open(_run_dir() / "metrics.jsonl", "a") as fh:
         fh.write(json.dumps({"step": step, **metrics}, default=str) + "\n")
 
@@ -101,6 +103,8 @@ def log_dict(d: dict, artifact_path: str) -> None:
 
 
 def log_artifact(local_path, artifact_path: str | None = None) -> None:
+    if _state["run"] is None:
+        return
     dest_dir = _state["run"].artifact_dir
     if artifact_path:
         dest_dir = dest_dir / artifact_path

@@ -74,9 +74,13 @@ def _build_stubs():
             import skimage.util  # noqa: F401 — use the real one if present
         except ImportError:
             # The reference only needs skimage.util.random_noise
-            # (`common/augmentation.py:2`); our augmentation module
-            # replicates its semantics (oracle-tested), so adapt it to
-            # the skimage signature.
+            # (`common/augmentation.py:2`), and only ever calls it with
+            # mode/mean/var on non-negative [0,1] images
+            # (`augmentation.py:93`); our augmentation module replicates
+            # THOSE semantics (oracle-tested). Anything outside that
+            # envelope (salt/pepper `amount`, `clip`, signed images whose
+            # skimage range is [-1,1]) raises instead of silently acting
+            # as a wrong oracle.
             from oct_image_segmentation_models_tpu.common.augmentation import (
                 _random_noise,
             )
@@ -84,6 +88,18 @@ def _build_stubs():
             def random_noise(image, mode="gaussian", seed=None, **kwargs):
                 import numpy as np
 
+                unsupported = set(kwargs) - {"mean", "var"}
+                if mode not in ("gaussian", "speckle") or unsupported:
+                    raise NotImplementedError(
+                        f"skimage stub: mode={mode!r} kwargs="
+                        f"{sorted(unsupported)} outside the replicated "
+                        "envelope (gaussian/speckle with mean/var)"
+                    )
+                if np.asarray(image).min() < 0:
+                    raise NotImplementedError(
+                        "skimage stub: signed images clip to [-1,1] in "
+                        "real skimage; the replica only handles [0,1]"
+                    )
                 return _random_noise(
                     image,
                     mode,

@@ -271,11 +271,61 @@ def test_build_optimizer_keras_defaults_and_renames():
     updates, _ = sgd.update(grads, sgd.init(params), params)
     np.testing.assert_allclose(np.asarray(updates["w"]), -0.01, rtol=1e-6)
 
+    # Keras-semantics epsilon default (1e-7, not optax's 1e-8)
     rms = build_optimizer("rmsprop", {"rho": 0.5})
-    ref = optax.rmsprop(learning_rate=1e-3, decay=0.5)
+    ref = optax.rmsprop(learning_rate=1e-3, decay=0.5, eps=1e-7)
     u1, _ = rms.update(grads, rms.init(params), params)
     u2, _ = ref.update(grads, ref.init(params), params)
-    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]))
+    np.testing.assert_array_equal(np.asarray(u1["w"]), np.asarray(u2["w"]))
+
+
+def test_build_optimizer_uses_keras_epsilon_default():
+    """Name-based optimizers must run with Keras's epsilon=1e-7 (the
+    reference's keras.optimizers default), not optax's 1e-8 — this is
+    actual training numerics, not just the artifact snapshot."""
+    import optax
+
+    from oct_image_segmentation_models_tpu.parallel.train_step import (
+        build_optimizer,
+    )
+
+    params = {"w": np.full(3, 1e-4, np.float32)}
+    grads = {"w": np.full(3, 1e-5, np.float32)}  # eps-scale gradients
+    adam = build_optimizer("adam", {"learning_rate": 1e-3})
+    want = optax.adam(1e-3, eps=1e-7)
+    not_want = optax.adam(1e-3, eps=1e-8)
+    u, _ = adam.update(grads, adam.init(params), params)
+    uw, _ = want.update(grads, want.init(params), params)
+    un, _ = not_want.update(grads, not_want.init(params), params)
+    np.testing.assert_array_equal(np.asarray(u["w"]), np.asarray(uw["w"]))
+    assert not np.array_equal(np.asarray(u["w"]), np.asarray(un["w"]))
+
+    # user overrides still win (optax OR Keras arg names)
+    explicit = build_optimizer("adam", {"eps": 1e-8})
+    ue, _ = explicit.update(grads, explicit.init(params), params)
+    np.testing.assert_array_equal(np.asarray(ue["w"]), np.asarray(un["w"]))
+
+
+def test_resolved_optimizer_config_canonicalizes_user_params():
+    """The artifact snapshot must record the value the optimizer RAN
+    with under the Keras attr name — never a stale default next to an
+    optax-named duplicate."""
+    from oct_image_segmentation_models_tpu.parallel.train_step import (
+        resolved_optimizer_config,
+    )
+
+    cfg = resolved_optimizer_config("adam", {"b1": 0.95})
+    assert cfg["beta_1"] == 0.95
+    assert "b1" not in cfg
+    assert cfg["beta_2"] == 0.999
+    assert cfg["epsilon"] == 1e-7
+    assert cfg["learning_rate"] == 1e-3
+    assert cfg["name"] == "adam"
+
+    cfg = resolved_optimizer_config("rmsprop", {"decay": 0.5})
+    assert cfg["rho"] == 0.5 and "decay" not in cfg
+    cfg = resolved_optimizer_config("rmsprop", {"rho": 0.4})
+    assert cfg["rho"] == 0.4 and "decay" not in cfg
 
 
 def test_train_step_honors_custom_mesh_axis_name():

@@ -161,7 +161,13 @@ def test_training_params_snapshot_full_optimizer_config(dataset, tmp_path):
     )
     with h5py.File(folder / "training_params.hdf5", "r") as f:
         assert f.attrs["opt_param: learning_rate"] == pytest.approx(1e-3)
-        assert f.attrs["opt_param: b1"] == pytest.approx(0.95)
+        # user params are canonicalized to the Keras attr names the
+        # reference's snapshot uses (b1 -> beta_1), with the factory's
+        # remaining defaults filled in — and no stale duplicate keys
+        assert f.attrs["opt_param: beta_1"] == pytest.approx(0.95)
+        assert "opt_param: b1" not in f.attrs
+        assert f.attrs["opt_param: beta_2"] == pytest.approx(0.999)
+        assert f.attrs["opt_param: epsilon"] == pytest.approx(1e-7)
         assert not f.attrs["opt_param: nesterov"]
         assert f.attrs["opt_param: mu_dtype"] == "bfloat16"
         # recorded for every aug_mode, incl. "none" (reference
