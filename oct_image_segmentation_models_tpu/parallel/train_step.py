@@ -243,6 +243,20 @@ _OPTIMIZER_FACTORIES = {
     "nadam": optax.nadam,
     "adamax": optax.adamax,
 }
+# The Keras class __name__ for each factory key — what the pinned TF 2.9
+# reference records both as the ``optimizer`` artifact attr
+# (`training/training.py:120-122`) and as ``optimizer.get_config()["name"]``
+# (`training/training.py:124-130`). One table serves both writers so the
+# two attrs in one artifact can never disagree on casing.
+KERAS_OPTIMIZER_NAMES = {
+    "adam": "Adam",
+    "adamw": "AdamW",
+    "sgd": "SGD",
+    "rmsprop": "RMSprop",
+    "adagrad": "Adagrad",
+    "nadam": "Nadam",
+    "adamax": "Adamax",
+}
 # Keras arg names (the user surface, mirroring the reference's
 # keras.optimizers kwargs) <-> optax factory arg names.
 _KERAS_TO_OPTAX = {"beta_1": "b1", "beta_2": "b2", "epsilon": "eps"}
@@ -297,7 +311,9 @@ def resolved_optimizer_config(opt_con, opt_params: dict) -> dict:
             return "rho"
         return _OPTAX_TO_KERAS.get(optax_key, optax_key)
 
-    cfg = {"name": name}
+    # TF 2.9's get_config()["name"] carries the Keras class casing
+    # ("Adam"); Keras 3 lowercased it, but the reference pins TF 2.9.
+    cfg = {"name": KERAS_OPTIMIZER_NAMES.get(name, name)}
     for pname, p in inspect.signature(factory).parameters.items():
         if p.default is not inspect.Parameter.empty and isinstance(
             p.default, (bool, int, float, str)

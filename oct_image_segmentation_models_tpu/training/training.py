@@ -35,6 +35,7 @@ from typing import Optional
 
 import h5py
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..common import custom_losses, custom_metrics
@@ -52,6 +53,7 @@ from ..models import get_model_class
 from ..parallel.input_pipeline import prefetch_to_mesh
 from ..parallel.mesh import create_mesh
 from ..parallel.train_step import (
+    KERAS_OPTIMIZER_NAMES,
     build_optimizer,
     create_train_state,
     make_eval_step,
@@ -386,17 +388,9 @@ def save_training_params_file(
         opt_con = train_params.opt_con
         if isinstance(opt_con, str):
             # the reference records the Keras class __name__
-            # (`training/training.py:120-122`): "Adam", not "adam"
-            keras_names = {
-                "adam": "Adam",
-                "adamw": "AdamW",
-                "sgd": "SGD",
-                "rmsprop": "RMSprop",
-                "adagrad": "Adagrad",
-                "nadam": "Nadam",
-                "adamax": "Adamax",
-            }
-            opt_name = keras_names.get(opt_con.lower(), opt_con)
+            # (`training/training.py:120-122`): "Adam", not "adam" —
+            # same table resolved_optimizer_config uses for cfg["name"]
+            opt_name = KERAS_OPTIMIZER_NAMES.get(opt_con.lower(), opt_con)
         else:
             # name, not repr: a GradientTransformation's repr embeds
             # per-process memory addresses (and would truncate at a
@@ -959,6 +953,8 @@ def train_model(
 
     best_monitor = None
     best_es = None
+    best_ckpt_path = None
+    best_ckpt_variables = None
     best_variables = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -1141,8 +1137,16 @@ def train_model(
                 best_monitor = monitored
                 best_variables = state_host
             if (improved or not training_params.model_save_best) and is_main_process:
+                # remember the file AND the weights it holds (with
+                # model_save_best=False the last file is last-epoch
+                # weights, not best-monitor weights) for the precise-BN
+                # re-save at finalization
+                best_ckpt_path = (
+                    save_foldername / f"model_epoch{epoch + 1:02d}{ckpt_suffix}"
+                )
+                best_ckpt_variables = state_host
                 ckpt_save(
-                    save_foldername / f"model_epoch{epoch + 1:02d}{ckpt_suffix}",
+                    best_ckpt_path,
                     model_name,
                     model_container.get_config(),
                     state_host,
@@ -1225,6 +1229,66 @@ def train_model(
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
         }
+
+    # Precise-BN finalization (ops/bn_refresh.py): replace the rolling
+    # BatchNorm statistics — a momentum-0.99 trajectory average that
+    # lags the final weights — with exact population statistics of the
+    # (un-augmented) training data under those weights. One extra pass
+    # over the training set; measurably restores eval-mode accuracy to
+    # train-mode level (see bn_refresh module docstring). Multi-host
+    # runs compute over the local shard (only process 0 saves).
+    if training_params.bn_precise_stats and final_variables.get(
+        "batch_stats"
+    ):
+        from ..ops.bn_refresh import compute_precise_batch_stats
+
+        n_full = (len(train_images) // local_batch_size) * local_batch_size
+        log.info(
+            "Finalizing BatchNorm statistics: exact population stats over "
+            f"{n_full} training images (bn_precise_stats=True; set False "
+            "for reference-exact rolling statistics)"
+        )
+
+        def _stat_batches():
+            for start in range(0, n_full, local_batch_size):
+                yield jnp.asarray(
+                    preprocess_fn(
+                        train_images[start : start + local_batch_size].astype(
+                            np.float32
+                        )
+                    )
+                )
+
+        def _with_precise_stats(variables):
+            return {
+                "params": variables["params"],
+                "batch_stats": jax.device_get(
+                    compute_precise_batch_stats(
+                        compute_module,
+                        variables["params"],
+                        variables["batch_stats"],
+                        _stat_batches(),
+                        jax.random.PRNGKey(
+                            0
+                            if training_params.seed is None
+                            else training_params.seed
+                        ),
+                    )
+                ),
+            }
+
+        final_variables = _with_precise_stats(final_variables)
+        # The best-on-monitor checkpoint is what reference-workflow users
+        # deploy (`model_epochNN`); re-save it with precise statistics
+        # under ITS OWN weights so it gets the same eval-mode fix.
+        if best_ckpt_path is not None and is_main_process:
+            ckpt_save(
+                best_ckpt_path,
+                model_name,
+                model_container.get_config(),
+                _with_precise_stats(best_ckpt_variables),
+            )
+
     if is_main_process:
         final_path = save_foldername / f"model_final{ckpt_suffix}"
         ckpt_save(

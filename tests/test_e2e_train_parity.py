@@ -326,6 +326,17 @@ def test_training_params_attr_contract(train_runs):
         if key in PRESENCE_ONLY_ATTRS:
             continue
         rv, ov = _to_comparable(ra[key]), _to_comparable(oa[key])
+        if key == "opt_param: name":
+            # Casing drift in the HARNESS only: the pinned TF 2.9
+            # reference snapshots get_config()["name"] with the Keras
+            # class casing ("Adam", `training/training.py:124-130`);
+            # Keras 3 (this rig) lowercased it. We record the TF 2.9
+            # casing — matching the sibling "optimizer" attr — so
+            # compare case-insensitively here and pin our casing.
+            assert ov == "Adam", ov
+            if rv.lower() != ov.lower():
+                mismatches.append((key, rv, ov))
+            continue
         if isinstance(rv, (float, np.floating)) and isinstance(
             ov, (float, np.floating)
         ):

@@ -320,7 +320,9 @@ def test_resolved_optimizer_config_canonicalizes_user_params():
     assert cfg["beta_2"] == 0.999
     assert cfg["epsilon"] == 1e-7
     assert cfg["learning_rate"] == 1e-3
-    assert cfg["name"] == "adam"
+    # TF 2.9 get_config()["name"] casing, matching the sibling
+    # "optimizer" artifact attr (ADVICE r3)
+    assert cfg["name"] == "Adam"
 
     cfg = resolved_optimizer_config("rmsprop", {"decay": 0.5})
     assert cfg["rho"] == 0.5 and "decay" not in cfg
