@@ -55,6 +55,7 @@ class TrainingParams:
         train_state_checkpoint: bool = False,
         resume_train_state: Union[Path, str, None] = None,
         resume_config_check: str = "strict",
+        bn_precise_stats: bool = True,
     ):
         n_sources = sum(
             x is not None
@@ -159,6 +160,15 @@ class TrainingParams:
                 f"got {resume_config_check!r}"
             )
         self.resume_config_check = resume_config_check
+        # Finalize the saved checkpoint's BatchNorm statistics as exact
+        # population statistics of the training data under the final
+        # weights ("precise BN", ops/bn_refresh.py) instead of the
+        # Keras-style momentum-0.99 rolling average — the rolling stats
+        # lag the trained weights (init residual 0.99^steps) and
+        # measurably degrade eval-mode accuracy (r4: held-out dice
+        # 0.51 -> 0.985 on the synthetic task). False restores
+        # reference-exact finalization.
+        self.bn_precise_stats = bool(bn_precise_stats)
 
         # "val_acc" default is rewritten to the configured metric
         # (reference `training_parameters.py:131-136`).

@@ -1,0 +1,209 @@
+"""Precise-BN finalization (ops/bn_refresh.py) — algebra + trainer wiring."""
+
+import flax.linen as nn
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from oct_image_segmentation_models_tpu.ops.bn_refresh import (
+    compute_precise_batch_stats,
+)
+
+from synth import make_dataset
+
+
+class _ConvBN(nn.Module):
+    """Minimal module honoring the training-forward contract."""
+
+    features: int = 3
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = nn.Conv(self.features, (1, 1), use_bias=True)(x)
+        x = nn.BatchNorm(
+            use_running_average=not training, momentum=0.99, epsilon=1e-3
+        )(x)
+        return x
+
+
+def _population_stats_of_conv(params, batches):
+    """Direct numpy population stats of the conv output (per channel,
+    over batch+spatial of ALL batches) — what precise BN must recover."""
+    w = np.asarray(params["Conv_0"]["kernel"])[0, 0]  # (Cin, Cout)
+    b = np.asarray(params["Conv_0"]["bias"])
+    ys = [x.reshape(-1, x.shape[-1]) @ w + b for x in batches]
+    y = np.concatenate(ys, axis=0)
+    return y.mean(axis=0), y.var(axis=0)
+
+
+def test_precise_stats_match_population():
+    rng = np.random.default_rng(0)
+    batches = [rng.normal(2.0, 3.0, (4, 8, 8, 2)).astype(np.float32)
+               for _ in range(5)]
+    module = _ConvBN()
+    variables = module.init(jax.random.PRNGKey(0), batches[0])
+    stats = compute_precise_batch_stats(
+        module,
+        variables["params"],
+        variables["batch_stats"],
+        batches,
+        jax.random.PRNGKey(1),
+    )
+    want_mean, want_var = _population_stats_of_conv(
+        variables["params"], batches
+    )
+    got = stats["BatchNorm_0"]
+    np.testing.assert_allclose(np.asarray(got["mean"]), want_mean,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["var"]), want_var,
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_precise_stats_anchor_independent():
+    """The algebraic extraction cancels the anchor statistics exactly —
+    any same-shaped batch_stats tree gives the same result (up to the
+    1/(1-m) f32 amplification)."""
+    rng = np.random.default_rng(1)
+    batches = [rng.normal(0, 1, (2, 4, 4, 2)).astype(np.float32)
+               for _ in range(3)]
+    module = _ConvBN()
+    variables = module.init(jax.random.PRNGKey(0), batches[0])
+    a = compute_precise_batch_stats(
+        module, variables["params"], variables["batch_stats"], batches,
+        jax.random.PRNGKey(2),
+    )
+    skewed = jax.tree_util.tree_map(
+        lambda x: x + 7.5, variables["batch_stats"]
+    )
+    b = compute_precise_batch_stats(
+        module, variables["params"], skewed, batches, jax.random.PRNGKey(2),
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_empty_batches_raise():
+    module = _ConvBN()
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 4, 4, 2), np.float32)
+    )
+    with pytest.raises(ValueError):
+        compute_precise_batch_stats(
+            module, variables["params"], variables["batch_stats"], [],
+            jax.random.PRNGKey(0),
+        )
+
+
+@pytest.fixture(scope="module")
+def trained_small(tmp_path_factory):
+    """One short training run (precise BN on, the default) + its data."""
+    from oct_image_segmentation_models_tpu.training import (
+        TrainingParams,
+        train_model,
+    )
+
+    work = tmp_path_factory.mktemp("bn_refresh")
+    ds = make_dataset(work / "ds.hdf5", n_train=12, n_val=4, n_test=2,
+                      h=32, w=48, num_classes=3, seed=33)
+    params = dict(
+        model_architecture="unet",
+        training_dataset_path=ds,
+        initial_model=None,
+        opt_con="adam",
+        opt_params={"learning_rate": 1e-3},
+        loss="dice_loss_macro",
+        metric="dice_coef_macro",
+        epochs=12,
+        batch_size=2,
+        model_hyperparameters={"start_neurons": 4, "pool_layers": 2},
+        seed=1,
+    )
+    folder_on = train_model(
+        TrainingParams(results_location=work / "on", **params), None
+    )
+    folder_off = train_model(
+        TrainingParams(
+            results_location=work / "off", bn_precise_stats=False, **params
+        ),
+        None,
+    )
+    return ds, folder_on, folder_off
+
+
+def test_trainer_finalizes_precise_stats(trained_small):
+    """The shipped checkpoint's eval-mode quality must match its
+    train-mode (batch-stats) quality — the r4 bug was a 0.51-vs-0.99
+    held-out dice gap from stale rolling statistics."""
+    from oct_image_segmentation_models_tpu.common.model_io import (
+        load_model_and_config,
+    )
+
+    ds, folder_on, _ = trained_small
+    loaded, _cfg = load_model_and_config(folder_on / "model_final.hdf5")
+    with h5py.File(ds, "r") as f:
+        x = f["val_images"][:].astype(np.float32) / 255.0
+        t = f["val_labels"][:][..., 0]
+
+    variables = {
+        "params": loaded.variables["params"],
+        "batch_stats": loaded.variables["batch_stats"],
+    }
+    out_eval = loaded.module.apply(variables, x, training=False)
+    out_train = loaded.module.apply(
+        variables,
+        x,
+        training=True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"],
+    )[0]
+
+    def dice_macro(out):
+        p = np.argmax(np.asarray(out), -1)
+        return np.mean(
+            [
+                2 * ((p == c) & (t == c)).sum()
+                / max((p == c).sum() + (t == c).sum(), 1)
+                for c in range(3)
+            ]
+        )
+
+    d_eval, d_train = dice_macro(out_eval), dice_macro(out_train)
+    assert d_eval > d_train - 0.05, (
+        f"eval-mode dice {d_eval:.3f} lags train-mode {d_train:.3f}: "
+        "precise-BN finalization not effective"
+    )
+
+
+def test_bn_precise_stats_off_keeps_rolling_stats(trained_small):
+    """bn_precise_stats=False restores reference-exact finalization:
+    the two runs share weights-trajectory determinism (same seed), so
+    params match and ONLY the saved statistics differ."""
+    from oct_image_segmentation_models_tpu.common.model_io import (
+        load_model_and_config,
+    )
+
+    _ds, folder_on, folder_off = trained_small
+    on, _ = load_model_and_config(folder_on / "model_final.hdf5")
+    off, _ = load_model_and_config(folder_off / "model_final.hdf5")
+    p_on = jax.tree_util.tree_leaves(on.variables["params"])
+    p_off = jax.tree_util.tree_leaves(off.variables["params"])
+    for a, b in zip(p_on, p_off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s_on = np.concatenate(
+        [
+            np.asarray(x).ravel()
+            for x in jax.tree_util.tree_leaves(on.variables["batch_stats"])
+        ]
+    )
+    s_off = np.concatenate(
+        [
+            np.asarray(x).ravel()
+            for x in jax.tree_util.tree_leaves(off.variables["batch_stats"])
+        ]
+    )
+    assert not np.array_equal(s_on, s_off)
