@@ -250,19 +250,46 @@ def segment_maps(prob_maps, truths, graph_structure: GraphStructure):
                 prob_maps, max_grad=graph_structure.max_grad
             )
         ).astype(np.uint16)
+    elif not graph_structure.vertical:
+        # FLOAT maps (the reference's `astype("float64")` at `:553` is a
+        # discarded no-op, so raw float values delineate exactly there).
+        # Integer-valued floats ARE the uint8/255 grid — the integer DP
+        # is bit-exact to the reference's float64 heap on that grid;
+        # anything else runs the batched device float DP ("fast" tie
+        # semantics: cost-optimal, first-order heap preference —
+        # divergence from the reference's heap occurs only on
+        # equal-cost ties and is budgeted in tests/test_minpath.py).
+        ok, maps_u8 = _exact_u8(prob_maps / 255.0)
+        if ok:
+            predictions = np.asarray(
+                minpath_ops.delineate(
+                    maps_u8, max_grad=graph_structure.max_grad
+                )
+            ).astype(np.uint16)
+        else:
+            log.info(
+                "segment_maps: non-quantized float maps "
+                "(dtype=%s) take the device float DP — cost-optimal "
+                "'fast' tie semantics (the reference's float64 heap "
+                "tie order is rounding-noise-dependent and not "
+                "reproducible; see ops/minpath.delineate_float)",
+                prob_maps.dtype,
+            )
+            predictions = np.asarray(
+                minpath_ops.delineate_float(
+                    prob_maps / 255.0, max_grad=graph_structure.max_grad
+                )
+            ).astype(np.uint16)
     else:
-        # reference semantics for everything else — including FLOAT
-        # maps (its `astype("float64")` at `:553` is a discarded no-op,
-        # so raw float values delineate exactly, never truncated) and
-        # vertical structures (which use single-assignment
-        # delineate_boundary, `:557`, not the averaging variant)
-        log.warning(
-            "segment_maps: %s maps force the per-map host Dijkstra "
-            "(~1000x slower than the device DP); pass standard-graph "
-            "uint8 (0..255) prob_maps to take the batched TPU fast path",
-            "vertical-graph"
-            if graph_structure.vertical
-            else f"non-uint8 (dtype={prob_maps.dtype})",
+        # Vertical structures have no device path at all (upward moves
+        # make the graph non-DAG); the host Dijkstra IS the only
+        # reference-semantics implementation, so this is informational,
+        # not actionable (reference uses single-assignment
+        # delineate_boundary for these, `:557`, not the averaging
+        # variant).
+        log.info(
+            "segment_maps: vertical graph structure — per-map host "
+            "Dijkstra (no device fast path exists for non-DAG graphs)"
         )
         predictions = np.stack(
             [

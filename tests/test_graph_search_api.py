@@ -96,22 +96,81 @@ def test_calc_errors_api():
     assert np.isnan(err[0]) and err[1] == 2.0
 
 
-def test_segment_maps_warns_on_host_fallback(caplog):
+def _path_cost(prob_map_01, rows):
+    """Reference path cost (`graph_search.py:69-81` weights, summed over
+    the full corner-to-corner path): maximizing sum_j p[j, r_j] under the
+    banded constraint is equivalent; compare via the exact column sum."""
+    return float(np.sum(prob_map_01[np.arange(prob_map_01.shape[0]), rows]))
+
+
+def test_segment_maps_integer_valued_floats_take_device_dp(caplog):
+    """Float maps ON the uint8/255 grid delineate via the bit-exact
+    integer DP, with no warning (VERDICT r3 #7)."""
     import logging
 
     w, h = 10, 8
     rng = np.random.default_rng(4)
     rows = np.clip(4 + np.cumsum(rng.integers(-1, 2, w)), 1, h - 2)
-    m = _ridge(w, h, rows).astype(np.float64)  # non-uint8 → host Dijkstra
+    m = _ridge(w, h, rows).astype(np.float64)  # integer-valued float
     gs = graph_search.create_graph_structure((w, h))
-    with caplog.at_level(logging.WARNING, logger=graph_search.log.name):
+    with caplog.at_level(logging.INFO, logger=graph_search.log.name):
         preds, _, _ = graph_search.segment_maps(m[None], None, gs)
     assert np.array_equal(preds[0].astype(int), rows)
-    msgs = [r.getMessage() for r in caplog.records]
-    assert any("host Dijkstra" in s and "non-uint8" in s for s in msgs)
+    assert not caplog.records  # silent: grid-exact floats are uint8
 
-    # uint8 standard maps take the device DP silently
+    # uint8 standard maps take the device DP silently too
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger=graph_search.log.name):
         graph_search.segment_maps(m[None].astype(np.uint8), None, gs)
     assert not any("host Dijkstra" in r.getMessage() for r in caplog.records)
+
+
+def test_segment_maps_float_maps_device_dp_cost_optimal(caplog):
+    """Non-quantized float maps take the device float DP (info, not a
+    warning) and return a cost-optimal path — equal path sum to the
+    float64 host Dijkstra (VERDICT r3 #7 budget condition)."""
+    import logging
+
+    w, h = 12, 9
+    rng = np.random.default_rng(5)
+    rows = np.clip(4 + np.cumsum(rng.integers(-1, 2, w)), 1, h - 2)
+    m01 = np.clip(
+        (_ridge(w, h, rows) / 255.0) + rng.normal(0, 0.05, (w, h)), 0, 1
+    )
+    m255 = m01 * 255.0  # segment_maps takes the 0..255 scale
+    gs = graph_search.create_graph_structure((w, h))
+    with caplog.at_level(logging.INFO, logger=graph_search.log.name):
+        preds, _, _ = graph_search.segment_maps(m255[None], None, gs)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("device float DP" in s for s in msgs)
+    assert not any(r.levelno >= logging.WARNING for r in caplog.records)
+
+    ref = graph_search.delineate_boundary(m01, gs)  # host Dijkstra path
+    # Cost-optimality: our path's sum matches the reference path's sum
+    # (ties may resolve to different equal-cost rows; noise makes exact
+    # ties measure-zero here, so rows should in fact be identical).
+    assert np.isclose(
+        _path_cost(m01, preds[0].astype(int)),
+        _path_cost(m01, ref.astype(int)),
+        atol=1e-5,
+    )
+    assert np.abs(preds[0].astype(float) - ref).max() <= 0.0
+
+
+def test_segment_maps_vertical_logs_info_not_warning(caplog):
+    """Vertical structures (no device path exists) log info, not an
+    unactionable warning (ADVICE r3)."""
+    import logging
+
+    w, h = 8, 6
+    rng = np.random.default_rng(6)
+    rows = np.clip(3 + np.cumsum(rng.integers(-1, 2, w)), 1, h - 2)
+    m = _ridge(w, h, rows)
+    gs = graph_search.create_graph_structure_vertical((w, h))
+    with caplog.at_level(logging.INFO, logger=graph_search.log.name):
+        preds, _, _ = graph_search.segment_maps(
+            m[None].astype(np.float64), None, gs
+        )
+    assert preds.shape == (1, w)
+    assert any("vertical" in r.getMessage() for r in caplog.records)
+    assert not any(r.levelno >= logging.WARNING for r in caplog.records)
