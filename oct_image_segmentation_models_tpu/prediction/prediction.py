@@ -61,10 +61,22 @@ def _batched(n, batch_size):
         yield start, min(start + batch_size, n)
 
 
+_PIPELINE_KEYS = (
+    "predicted_labels",
+    "categorical_pred",
+    "boundary_maps",
+    "gs_pred_segs",
+    "gs_masks",
+    "predict_times",
+    "convert_times",
+    "graph_times",
+)
+
+
 def run_pipeline(
     loaded_model,
     model_config: dict,
-    images: np.ndarray,
+    images,
     batch_size: int,
     graph_search: bool,
     bg_ilm: bool = True,
@@ -74,7 +86,55 @@ def run_pipeline(
     compute_dtype: str = "float32",
 ):
     """Run the staged device pipeline over all images; returns per-image
-    stacked outputs + per-image phase times."""
+    stacked outputs + per-image phase times.
+
+    ``images`` is a uniform ``(N, H, W, C)`` array (one compiled
+    pipeline, the fast path) or a list/object-array of per-image
+    ``(H, W, C)`` arrays with HETEROGENEOUS shapes — the reference
+    predicts image-by-image on a dynamic-shape Keras model
+    (`prediction/prediction.py:70-81`, `models/unet.py:107`), so mixed
+    B-scan sizes in one Dataset must work here too. Mixed shapes are
+    bucketed by (H, W, C); each bucket runs the batched pipeline
+    (re-jit per distinct shape — the framework's static-shape answer to
+    dynamic geometry), and per-image outputs are reassembled in input
+    order as LISTS (shapes differ, so no stacked arrays)."""
+    if isinstance(images, (list, tuple)) or (
+        isinstance(images, np.ndarray) and images.dtype == object
+    ):
+        per_image = [np.asarray(im) for im in images]
+        shapes = {im.shape for im in per_image}
+        if len(shapes) == 1:
+            images = np.stack(per_image)  # uniform after all
+        else:
+            buckets: dict = {}
+            for i, im in enumerate(per_image):
+                buckets.setdefault(im.shape, []).append(i)
+            n = len(per_image)
+            merged = {key: [None] * n for key in _PIPELINE_KEYS}
+            for shape, idxs in buckets.items():
+                sub = run_pipeline(
+                    loaded_model,
+                    model_config,
+                    np.stack([per_image[i] for i in idxs]),
+                    batch_size,
+                    graph_search,
+                    bg_ilm=bg_ilm,
+                    bg_csi=bg_csi,
+                    max_grad=max_grad,
+                    minpath_tie_parity=minpath_tie_parity,
+                    compute_dtype=compute_dtype,
+                )
+                for key in _PIPELINE_KEYS:
+                    vals = sub[key]
+                    if vals is None:
+                        continue
+                    for pos, i in enumerate(idxs):
+                        merged[key][i] = vals[pos]
+            if not graph_search:
+                merged["gs_pred_segs"] = None
+                merged["gs_masks"] = None
+            return merged
+
     model = loaded_model
     model_class = get_model_class(model.name)
     model_container = model_class(**model_config)
@@ -151,13 +211,21 @@ def run_pipeline(
 
 def predict(predict_params: PredictionParams) -> List[PredictionOutput]:
     dataset = predict_params.dataset
-    predict_images = np.asarray(dataset.images)
+    # Heterogeneous per-image shapes (the reference predicts per image
+    # on a dynamic-shape model, `prediction/prediction.py:70-81`) stay a
+    # list; uniform datasets stack into the single-compile fast path.
+    try:
+        predict_images = np.asarray(dataset.images)
+        if predict_images.dtype == object:
+            predict_images = [np.asarray(im) for im in dataset.images]
+    except ValueError:  # inhomogeneous shapes refuse to stack
+        predict_images = [np.asarray(im) for im in dataset.images]
     predict_image_names = dataset.image_names
     predict_image_output_dirs = dataset.image_output_dirs
 
     save_predict_config_file(predict_params)
 
-    if predict_images.shape[0] == 0:
+    if len(predict_images) == 0:
         # reference parity: a 0-image dataset predicts an empty list
         # (`prediction/prediction.py:70` loops over nothing)
         return []

@@ -299,6 +299,64 @@ def test_predict_without_graph_search(trained, tmp_path):
     assert not (out_dirs[0] / "graph_search_prediction_info.hdf5").exists()
 
 
+def test_predict_heterogeneous_image_shapes(trained, tmp_path):
+    """Mixed B-scan sizes in ONE predict() call (reference parity: the
+    upstream driver predicts image-by-image on a dynamic-shape model,
+    `prediction/prediction.py:70-81`): outputs and artifacts must be
+    bitwise-identical to per-shape single-bucket calls, reassembled in
+    input order."""
+    from synth import make_layered_sample
+
+    root, ds, model_path = trained
+    rng = np.random.default_rng(11)
+    img_a0 = make_layered_sample(rng, 32, 48, 3)[0][..., None]
+    img_b0 = make_layered_sample(rng, 48, 64, 3)[0][..., None]
+    img_a1 = make_layered_sample(rng, 32, 48, 3)[0][..., None]
+    mixed = [img_a0, img_b0, img_a1]  # interleaved shapes
+
+    def run(images, sub):
+        (tmp_path / sub).mkdir(parents=True, exist_ok=True)
+        out_dirs = [tmp_path / sub / f"img_{i}" for i in range(len(images))]
+        outputs = predict(
+            PredictionParams(
+                model_path=model_path,
+                mlflow_tracking_uri=None,
+                mlflow_run_uuid=None,
+                dataset=Dataset(
+                    images, None, [p / "x" for p in out_dirs], out_dirs
+                ),
+                config_output_dir=tmp_path / sub,
+                save_params=PredictionSaveParams(png_images=False),
+                graph_search=True,
+                batch_size=2,
+            )
+        )
+        return outputs, out_dirs
+
+    mixed_out, mixed_dirs = run(mixed, "mixed")
+    a_out, _ = run(np.stack([img_a0, img_a1]), "bucket_a")
+    b_out, _ = run(np.stack([img_b0]), "bucket_b")
+
+    assert len(mixed_out) == 3
+    # order preserved, shapes per image
+    assert mixed_out[0].predicted_labels.shape == (32, 48)
+    assert mixed_out[1].predicted_labels.shape == (48, 64)
+    assert mixed_out[2].predicted_labels.shape == (32, 48)
+    # bitwise equality with the single-shape calls
+    for got, want in (
+        (mixed_out[0], a_out[0]),
+        (mixed_out[1], b_out[0]),
+        (mixed_out[2], a_out[1]),
+    ):
+        assert np.array_equal(got.predicted_labels, want.predicted_labels)
+        assert np.array_equal(got.categorical_pred, want.categorical_pred)
+        assert np.array_equal(got.boundary_maps, want.boundary_maps)
+        assert np.array_equal(got.gs_pred_segs, want.gs_pred_segs)
+    for d in mixed_dirs:
+        assert (d / "prediction_info.hdf5").exists()
+        assert (d / "graph_search_prediction_info.hdf5").exists()
+
+
 def test_evaluate_metric_subset_no_graph_search(trained, tmp_path):
     root, ds, model_path = trained
     save_folder = tmp_path / "eval2"
