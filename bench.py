@@ -508,6 +508,299 @@ def wait_for_accelerator(max_wait_s=900, probe_timeout_s=120):
         time.sleep(min(30, max(1, deadline - time.time())))
 
 
+# --- On-device correctness gate + train phase (VERDICT r3 #1/#2/#4) ---
+#
+# Everything above times the hardware; nothing before r4 ever CHECKED the
+# hardware's outputs (tests are CPU-pinned, Pallas tests run
+# interpret=True). The gate below runs on the real chip before timing:
+#   (a) kernel probe — the Mosaic-compiled Pallas kernel (both tie
+#       modes) must be BITWISE equal to the CPU XLA DP on a fixed probe
+#       set spanning realistic ridges, plateaus, sparse- and dense-
+#       random maps, and the exact mode must bit-match the heapq host
+#       oracle on the realistic maps;
+#   (b) pipeline probe — the full fused s2d device pipeline, on a
+#       deterministic briefly-trained checkpoint, must produce boundary
+#       rows within the 0.05 px BASELINE north-star budget of the
+#       CPU-float32 parity pipeline (this is the first measurement of
+#       that budget on the hardware the benchmark runs on: the MXU
+#       multiplies f32 convs in bf16, so device probability maps differ
+#       from everything the CPU suite verifies).
+# Results go into the JSON's detail.device_parity; failure exits 1.
+
+# Forward FLOPs of the s2d conv stack at (8, 512, 1024): per-conv
+# profile sum (tools/profile_convs.py, PLAN.md r2 — pinned by
+# tests/test_bench_baseline.py).
+MODEL_FWD_TFLOPS_BATCH8 = 2.282
+BF16_PEAK_TFLOPS = 197.0  # TPU v5e (v5litepod) bf16 MXU peak
+
+# Deterministic "briefly-trained" checkpoint for the pipeline parity
+# probe. 120 steps + precise-BN finalization: a 48-step checkpoint's
+# rolling statistics are still 62% init (0.99^48), leaving near-uniform
+# probabilities whose argmax flips under the ~3e-4 s2d-vs-parity
+# numeric wobble — the probe would then measure checkpoint degeneracy,
+# not device parity (measured: MAE 0.54 px at 48 steps with rolling
+# stats vs sharp boundaries after precise-BN finalization).
+N_BRIEF_TRAIN_STEPS = int(os.environ.get("BENCH_BRIEF_STEPS", "120"))
+N_TRAIN_TIMED = 10
+
+
+def _tests_on_path():
+    import sys
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def make_probe_maps(w=W, h=H):
+    """Deterministic (8, W, H) uint8 probe maps in the transposed
+    (column, row) kernel orientation: 3 realistic blurred ridges,
+    2 plateau ridges (2- and 3-row-wide), 1 sparse-random, 2
+    dense-random — the families the CPU suite pins kernel-vs-XLA
+    bitwise equality on (tests/test_minpath_pallas.py)."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(1234)
+    maps = []
+
+    def ridge_rows():
+        steps = rng.integers(-2, 3, size=w)
+        return np.clip(h // 2 + np.cumsum(steps), 4, h - 4)
+
+    for _ in range(3):  # realistic
+        m = np.zeros((w, h), np.float32)
+        m[np.arange(w), ridge_rows()] = 1.0
+        m = ndimage.gaussian_filter(m, sigma=(0.8, 1.4))
+        m = np.clip(m / m.max() + rng.normal(0, 0.01, m.shape), 0, 1)
+        maps.append((m * 255).astype(np.uint8))
+    for wide in (1, 2):  # plateau
+        m = np.zeros((w, h), np.uint8)
+        m[np.arange(w), ridge_rows()] = 255
+        for k in range(1, wide + 1):
+            m |= np.roll(m, 1, axis=1)
+        maps.append(m)
+    maps.append(((rng.random((w, h)) < 0.12) * 255).astype(np.uint8))
+    for p in (0.30, 0.40):  # dense-random (adversarial)
+        maps.append(((rng.random((w, h)) < p) * 255).astype(np.uint8))
+    return np.stack(maps)
+
+
+def device_parity_kernel_probe(accel, n_oracle=2):
+    """Pallas-on-TPU vs XLA-on-CPU bitwise equality (both tie modes) +
+    exact mode vs the heapq oracle on realistic maps. Returns a dict of
+    booleans (True = parity holds)."""
+    from oct_image_segmentation_models_tpu.ops import minpath as mops
+    from oct_image_segmentation_models_tpu.ops.minpath_pallas import (
+        delineate_pallas,
+    )
+
+    maps = make_probe_maps()
+    cpu = jax.devices("cpu")[0]
+    out = {}
+    for mode in ("fast", "exact"):
+        dev = np.asarray(
+            delineate_pallas(jax.device_put(maps, accel), tie_parity=mode)
+        )
+        with jax.default_device(cpu):
+            ref = np.asarray(
+                mops.delineate(maps, tie_parity=mode, backend="xla")
+            )
+        mismatches = int((dev != ref).sum())
+        out[f"kernel_bitwise_{mode}"] = mismatches == 0
+        if mode == "exact":
+            _tests_on_path()
+            from oracle_minpath import dijkstra_delineate
+
+            ok = True
+            for i in range(n_oracle):  # realistic maps only (indices 0-2)
+                ok &= bool(
+                    np.array_equal(dev[i], dijkstra_delineate(maps[i]))
+                )
+            out["exact_oracle_bitwise"] = ok
+    return out
+
+
+def _synth_flagship_batch(rng, n):
+    """(n, H, W, 1) uint8 layered images + (n, H, W, 1) float32 labels."""
+    _tests_on_path()
+    from synth import make_layered_sample
+
+    images, labels = [], []
+    for _ in range(n):
+        img, lab, _ = make_layered_sample(rng, H, W, NUM_CLASSES)
+        images.append(img)
+        labels.append(lab)
+    return (
+        np.stack(images)[..., None],
+        np.stack(labels)[..., None].astype(np.float32),
+    )
+
+
+def train_brief_and_measure(accel, n_timed=N_TRAIN_TIMED,
+                            n_total=N_BRIEF_TRAIN_STEPS):
+    """Train the flagship config briefly on deterministic synthetic
+    layered data ON THE CHIP; returns (train B-scans/s, variables).
+
+    The timed window reproduces tools/bench_train.py's methodology
+    (BASELINE config #3: batch 8, 512x1024, focal_dice, bf16 s2d
+    forward; 2 warmup/compile steps, then ``n_timed`` real dispatches);
+    the remaining steps continue to ``n_total`` so the returned
+    checkpoint is deterministic and ridge-shaped enough for the
+    pipeline parity probe (random weights give near-uniform probs whose
+    argmax is noise — see .claude/skills/verify/SKILL.md)."""
+    import jax.random as jrandom
+
+    from oct_image_segmentation_models_tpu.models import get_model_class
+    from oct_image_segmentation_models_tpu.ops import losses, metrics
+    from oct_image_segmentation_models_tpu.ops.s2d_train import (
+        maybe_build_s2d_train,
+    )
+    from oct_image_segmentation_models_tpu.parallel.mesh import create_mesh
+    from oct_image_segmentation_models_tpu.parallel.train_step import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    container = get_model_class("unet")(
+        input_channels=1,
+        num_classes=NUM_CLASSES,
+        image_height=H,
+        image_width=W,
+        start_neurons=32,
+        dtype="bfloat16",
+    )
+    module = container.build_model()
+    preprocess = container.get_preprocess_input_fn()
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, H, W, 1), np.float32),
+        training=False,
+    )
+    compute_module = (
+        maybe_build_s2d_train(module, container.get_config(), H, W) or module
+    )
+    loss_fn = losses.custom_loss_objects["focal_dice_loss"]["function"](
+        num_classes=NUM_CLASSES, is_y_true_sparse=True
+    )
+    metric_fn = metrics.dice_coef_macro(True, NUM_CLASSES)
+    mesh = create_mesh([accel])
+    tx = build_optimizer("adam", {"learning_rate": 1e-3})
+    state = create_train_state(dict(variables), tx, mesh)
+    train_step = make_train_step(compute_module, tx, loss_fn, metric_fn, mesh)
+
+    rng = np.random.default_rng(7)
+    n_batches = 4
+    batches = []
+    for _ in range(n_batches):
+        img, lab = _synth_flagship_batch(rng, BATCH)
+        batches.append(
+            (
+                jax.device_put(
+                    np.asarray(preprocess(img.astype(np.float32))), accel
+                ),
+                jax.device_put(lab, accel),
+            )
+        )
+
+    import sys
+
+    # TWO warmups: first compile + the donated-buffer-layout recompile
+    # (PLAN.md "double-compile lesson" — timing after one warmup
+    # averages a ~30 s recompile into the steady state).
+    print("bench: compiling train step...", file=sys.stderr, flush=True)
+    state, loss, _ = train_step(state, *batches[0], jrandom.PRNGKey(0))
+    float(loss)
+    state, loss, _ = train_step(state, *batches[1 % n_batches],
+                                jrandom.PRNGKey(1))
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        b = batches[(2 + i) % n_batches]
+        state, loss, _ = train_step(state, *b, jrandom.PRNGKey(2 + i))
+    float(loss)  # drain the async chain
+    tp = BATCH * n_timed / (time.perf_counter() - t0)
+    for i in range(2 + n_timed, n_total):
+        b = batches[i % n_batches]
+        state, loss, _ = train_step(state, *b, jrandom.PRNGKey(i))
+    final_loss = float(loss)
+    print(
+        f"bench: train {tp:.2f} B-scans/s; brief checkpoint at step "
+        f"{n_total} (loss {final_loss:.4f}); finalizing BN statistics...",
+        file=sys.stderr,
+        flush=True,
+    )
+    # Precise-BN finalization (ops/bn_refresh.py, same as the training
+    # driver's default): the rolling stats of a brief run are mostly
+    # init values, which degrades the eval-mode forward the parity
+    # probe runs. Also exercises bn_refresh on the real chip.
+    from oct_image_segmentation_models_tpu.ops.bn_refresh import (
+        compute_precise_batch_stats,
+    )
+
+    precise_stats = compute_precise_batch_stats(
+        compute_module,
+        state.params,
+        state.batch_stats,
+        [b[0] for b in batches],
+        jrandom.PRNGKey(99),
+    )
+    variables = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "batch_stats": jax.tree.map(np.asarray, precise_stats),
+    }
+    return tp, variables
+
+
+def pipeline_parity_probe(accel, variables, n_cpu=2):
+    """Device boundary rows (fused s2d pipeline, the workflow default)
+    vs the CPU-float32 parity pipeline (exact ties) on a deterministic
+    synthetic eval batch. Returns (mae_px, divergent_col_fraction).
+
+    Compares the first ``n_cpu`` images only on the CPU side (the
+    parity pipeline takes minutes per image on this 1-core host);
+    BN runs in eval mode so per-image outputs are batch-independent."""
+    rng = np.random.default_rng(11)
+    images, _ = _synth_flagship_batch(rng, BATCH)
+
+    module, loop_factory = build_pipeline(
+        "float32", "auto", 1, mode="s2d", tie_parity="fast"
+    )
+    with jax.default_device(accel):
+        loop = loop_factory(dict(variables))
+        dev_out = np.asarray(loop(jax.device_put(images, accel))[1])[0]
+
+    cpu = jax.devices("cpu")[0]
+    _, cpu_factory = build_pipeline(
+        "float32", "xla", 1, mode="parity", tie_parity="exact"
+    )
+    with jax.default_device(cpu):
+        cpu_loop = cpu_factory(dict(variables))
+        cpu_out = np.asarray(cpu_loop(images[:n_cpu])[1])[0]
+
+    dev = dev_out[:n_cpu].astype(np.float64)
+    ref = cpu_out.astype(np.float64)
+    mae = float(np.abs(dev - ref).mean())
+    div = float((dev != ref).mean())
+    return mae, div
+
+
+def measure_reference_train_keras_cpu_cached():
+    """The upstream ``model.fit`` Keras-CPU baseline, via the canonical
+    implementation in tools/bench_train.py (one source of truth for the
+    methodology AND its cache key — the key digests that function's own
+    source, so duplicating it here would silently fork the cache)."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_train.py"
+    )
+    spec = importlib.util.spec_from_file_location("bench_train", path)
+    bt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bt)
+    return bt.measure_reference_train_keras_cpu()
+
+
 def main():
     rng = np.random.default_rng(0)
     images_np = rng.integers(0, 255, size=(BATCH, H, W, 1), dtype=np.uint8)
@@ -538,6 +831,27 @@ def main():
     import sys as _sys
 
     t_start = time.time()
+
+    # --- On-device correctness gate, part (a): kernel bitwise probe.
+    # Runs BEFORE timing so a Mosaic miscompile can never ship behind a
+    # good-looking bench number. BENCH_DEVICE_PARITY=0 skips the gate
+    # (diagnostic runs only — the driver artifact should carry it).
+    device_parity = None
+    parity_failed = False
+    if os.environ.get("BENCH_DEVICE_PARITY", "1") != "0":
+        print(
+            "bench: on-device kernel parity probe (Pallas-TPU vs XLA-CPU, "
+            "both tie modes + heapq oracle)...",
+            file=_sys.stderr,
+            flush=True,
+        )
+        device_parity = device_parity_kernel_probe(accel)
+        print(
+            f"bench: kernel probe {device_parity}",
+            file=_sys.stderr,
+            flush=True,
+        )
+
     print(
         f"bench: compiling + timing the {tie_parity}-tie pipeline...",
         file=_sys.stderr,
@@ -576,6 +890,55 @@ def main():
         )
         tp_alt = time_loop(module, alt_factory, accel, images_np, K_ITERS)
 
+    # --- Train phase (BASELINE config #3 in the driver artifact) +
+    # correctness gate part (b): the briefly-trained checkpoint feeds
+    # the full-pipeline device-vs-CPU boundary-MAE probe. Budget-guarded
+    # like the alt mode; BENCH_TRAIN=0 skips both.
+    train_detail = None
+    train_budget = float(os.environ.get("BENCH_TRAIN_BUDGET_S", "1500"))
+    if os.environ.get("BENCH_TRAIN", "1") == "0":
+        pass
+    elif time.time() - t_start > train_budget:
+        print(
+            f"bench: {time.time() - t_start:.0f}s elapsed (degraded "
+            "compile window?); skipping the train phase + pipeline "
+            "parity probe",
+            file=_sys.stderr,
+            flush=True,
+        )
+    else:
+        tp_train, trained_vars = train_brief_and_measure(accel)
+        train_detail = {"bscans_per_s": round(tp_train, 3)}
+        if device_parity is not None:
+            print(
+                "bench: pipeline parity probe (device fast s2d vs "
+                "CPU-f32 parity pipeline)...",
+                file=_sys.stderr,
+                flush=True,
+            )
+            mae_px, div_frac = pipeline_parity_probe(accel, trained_vars)
+            device_parity["pipeline_mae_px"] = round(mae_px, 5)
+            device_parity["pipeline_divergent_col_frac"] = round(div_frac, 5)
+            print(
+                f"bench: pipeline probe MAE {mae_px:.5f} px "
+                f"({div_frac:.4%} cols)",
+                file=_sys.stderr,
+                flush=True,
+            )
+
+    if device_parity is not None:
+        device_parity["budget_px"] = 0.05
+        device_parity["ok"] = (
+            device_parity.get("kernel_bitwise_fast", False)
+            and device_parity.get("kernel_bitwise_exact", False)
+            and device_parity.get("exact_oracle_bitwise", False)
+            and (
+                device_parity.get("pipeline_mae_px") is None
+                or device_parity["pipeline_mae_px"] <= 0.05
+            )
+        )
+        parity_failed = not device_parity["ok"]
+
     tp_ref = measure_reference_keras_cpu(images_np)
     tp_cpu = measure_cpu_proxy(images_np, required=not np.isfinite(tp_ref))
     tp_base = tp_ref if np.isfinite(tp_ref) else tp_cpu
@@ -587,6 +950,41 @@ def main():
     )
     baseline = 10.0 * tp_base
     vs_baseline = tp_accel / baseline if np.isfinite(baseline) else None
+
+    if train_detail is not None:
+        tp_train_ref = measure_reference_train_keras_cpu_cached()
+        train_detail["reference_keras_cpu_train_bscans_per_s"] = (
+            round(tp_train_ref, 5) if np.isfinite(tp_train_ref) else None
+        )
+        train_detail["vs_baseline"] = (
+            round(train_detail["bscans_per_s"] / (10.0 * tp_train_ref), 3)
+            if np.isfinite(tp_train_ref)
+            else None
+        )
+        train_detail["config"] = (
+            "BASELINE #3: batch-8 512x1024 U-Net fwd+bwd+update, "
+            "focal_dice, bf16 s2d forward; 10 real dispatches after 2 "
+            "compile/warmup steps"
+        )
+
+    # MFU disclosure: conv-stack forward FLOPs over FULL-pipeline wall
+    # time (min-path + conversions included in the denominator, so this
+    # UNDERSTATES pure conv MFU; per-conv rates are in PLAN.md).
+    achieved_tf_s = MODEL_FWD_TFLOPS_BATCH8 * tp_accel / BATCH
+    mfu = {
+        "model_tflops_fwd_batch8": MODEL_FWD_TFLOPS_BATCH8,
+        "achieved_tf_s": round(achieved_tf_s, 2),
+        "mfu_pct_of_bf16_peak": round(
+            100.0 * achieved_tf_s / BF16_PEAK_TFLOPS, 2
+        ),
+        "definition": "s2d conv-stack forward FLOPs / full-pipeline time "
+        f"/ {BF16_PEAK_TFLOPS:.0f} TF/s v5e bf16 peak",
+    }
+
+    tie_modes = {
+        tie_parity: round(tp_accel, 3),
+        alt_parity: round(tp_alt, 3) if tp_alt is not None else None,
+    }
 
     print(
         json.dumps(
@@ -608,9 +1006,12 @@ def main():
                         if tie_parity == "fast"
                         else ""
                     ),
-                    f"value_{alt_parity}_tie_parity": (
-                        round(tp_alt, 3) if tp_alt is not None else None
-                    ),
+                    # Stable schema: both modes always present (one may
+                    # be null), keyed by mode name.
+                    "tie_modes_bscans_per_s": tie_modes,
+                    "device_parity": device_parity,
+                    "train": train_detail,
+                    "mfu": mfu,
                     "reference_keras_cpu_bscans_per_s": (
                         round(tp_ref, 4) if np.isfinite(tp_ref) else None
                     ),
@@ -624,6 +1025,15 @@ def main():
             }
         )
     )
+    if parity_failed:
+        print(
+            "bench: DEVICE PARITY FAILED — see detail.device_parity",
+            file=_sys.stderr,
+            flush=True,
+        )
+        import sys
+
+        sys.exit(1)
 
 
 if __name__ == "__main__":

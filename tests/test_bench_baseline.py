@@ -232,6 +232,11 @@ def test_small_scale_reference_measurement(monkeypatch, tmp_path):
     _clear_ref_cache(monkeypatch, tmp_path)
     monkeypatch.setattr(bench, "H", 32)
     monkeypatch.setattr(bench, "W", 64)
+    # The contention guard refuses to CACHE under load; this test checks
+    # the measurement + cache flow, not the guard (covered by
+    # test_contended_measurement_not_cached), so pin an idle load —
+    # otherwise any concurrent job on this 1-core box flakes the test.
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.0, 0.0, 0.0))
     images = np.random.default_rng(0).integers(
         0, 255, size=(2, 32, 64, 1), dtype=np.uint8
     )
@@ -240,3 +245,30 @@ def test_small_scale_reference_measurement(monkeypatch, tmp_path):
     cache = bench._read_cache()
     assert cache["reference_baseline_key"] == bench._ref_baseline_key(1)
     assert cache["reference_keras_cpu_bscans_per_s"] == tp
+
+
+def test_mfu_flop_constant_pinned():
+    """The MFU disclosure's FLOP constant is the r2 per-conv profile sum
+    (tools/profile_convs.py: 2282 GF per batch-8 s2d forward, PLAN.md);
+    the bf16 peak is the v5e MXU spec. Guard against accidental edits —
+    the bench JSON's mfu field derives from these."""
+    assert bench.MODEL_FWD_TFLOPS_BATCH8 == 2.282
+    assert bench.BF16_PEAK_TFLOPS == 197.0
+
+
+def test_probe_maps_deterministic_families():
+    """Device-parity probe maps: fixed shape/dtype, deterministic, and
+    spanning the families the kernel-vs-XLA bitwise claim covers."""
+    a = bench.make_probe_maps(w=64, h=32)
+    b = bench.make_probe_maps(w=64, h=32)
+    assert a.shape == (8, 64, 32) and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+    # realistic maps (0-2) are blurred: many intermediate values
+    assert len(np.unique(a[0])) > 10
+    # plateau maps (3-4) are 0/255 with ridge widths 2 and 3
+    assert set(np.unique(a[3])) == {0, 255}
+    assert (a[3] == 255).sum(axis=1).max() == 2
+    assert (a[4] == 255).sum(axis=1).max() == 3
+    # random maps (5-7) are 0/255 with increasing density
+    d = [(a[i] == 255).mean() for i in (5, 6, 7)]
+    assert d[0] < d[1] < d[2]

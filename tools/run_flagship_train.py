@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""BASELINE config #3 for real: one flagship-scale training run on the TPU.
+
+Runs the ACTUAL training driver (`train_model`) end-to-end on the chip —
+U-Net (32 base filters) at 512x1024, batch 8, focal_dice loss, flip+noise
+augmentations, bfloat16 s2d differentiable forward (the `auto` default) —
+on a synthetic layered-OCT dataset, producing the complete artifact tree,
+then evaluates the final checkpoint on-device through the full evaluation
+driver (graph search + all five metrics).
+
+Everything TPU-side before this tool was steady-state step timing
+(tools/bench_train.py, tools/profile_train.py); this is the first run of
+the real driver loop on the hardware. Reference behavior anchor:
+`/root/reference/oct_image_segmentation_models/training/training.py:135-408`.
+
+Prints ONE JSON summary line (epochs, wall clock/epoch, final + best val
+dice, eval dice + gs boundary MAE) and leaves the artifact tree under
+--out (default /tmp/flagship_run). Results are transcribed into PLAN.md.
+
+Usage (repo root, background — the run takes ~10-40 min incl. compiles):
+  PYTHONPATH=/root/repo:/root/.axon_site python -u tools/run_flagship_train.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)
+
+import bench  # noqa: E402  (repo-root bench.py: tunnel probe helper)
+
+H, W, NUM_CLASSES, BATCH = 512, 1024, 4, 8
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/flagship_run")
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--n-train", type=int, default=80)
+    ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument("--n-test", type=int, default=8)
+    args = ap.parse_args()
+
+    wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "2400"))
+    if wait_s > 0 and bench.wait_for_accelerator(max_wait_s=wait_s) == "hang":
+        print("flagship: accelerator unreachable; aborting", file=sys.stderr)
+        sys.exit(1)
+
+    from pathlib import Path
+
+    from synth import make_dataset
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    ds_path = out / "flagship_ds.hdf5"
+    if not ds_path.exists():
+        print("flagship: generating synthetic dataset...", flush=True)
+        make_dataset(
+            ds_path,
+            n_train=args.n_train,
+            n_val=args.n_val,
+            n_test=args.n_test,
+            h=H,
+            w=W,
+            num_classes=NUM_CLASSES,
+            seed=42,
+        )
+
+    import jax
+
+    print(f"flagship: device {jax.devices()[0]}", flush=True)
+
+    from oct_image_segmentation_models_tpu.evaluation import (
+        EvaluationParameters,
+        EvaluationSaveParams,
+        evaluate_model,
+    )
+    from oct_image_segmentation_models_tpu.training import (
+        TrainingParams,
+        train_model,
+    )
+
+    params = TrainingParams(
+        model_architecture="unet",
+        training_dataset_path=ds_path,
+        initial_model=None,
+        results_location=out / "results",
+        opt_con="adam",
+        opt_params={"learning_rate": 1e-3},
+        loss="focal_dice_loss",
+        metric="dice_coef_macro",
+        epochs=args.epochs,
+        batch_size=BATCH,
+        model_hyperparameters={"start_neurons": 32, "dtype": "bfloat16"},
+        augmentations=[
+            {"name": "flip", "arguments": {"flip_type": "left-right"}},
+            {
+                "name": "add_noise",
+                "arguments": {"mode": "gaussian", "mean": 0.0,
+                              "variance": 0.01},
+            },
+        ],
+        aug_mode="one",
+        aug_probs=(0.5, 0.5),
+        aug_fly=True,
+        seed=0,
+    )
+
+    t0 = time.perf_counter()
+    folder = train_model(params, None)
+    train_wall = time.perf_counter() - t0
+    print(f"flagship: training done in {train_wall:.1f}s -> {folder}", flush=True)
+
+    import h5py
+
+    with h5py.File(sorted(folder.glob("stats_epoch*.hdf5"))[0], "r") as f:
+        epoch_times = np.asarray(f["epoch_time"])
+        val_metric = np.asarray(f["val_acc"])  # val_<metric> series
+        train_loss = np.asarray(f["train_loss"])
+
+    model_path = folder / "model_final.hdf5"
+    eval_folder = out / "eval"
+    t1 = time.perf_counter()
+    evaluate_model(
+        EvaluationParameters(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            test_dataset_path=ds_path,
+            save_foldername=eval_folder,
+            save_params=EvaluationSaveParams(categorical_pred=False),
+            graph_search=True,
+            metrics=[
+                "dice_coef_classes",
+                "dice_coef_macro",
+                "dice_coef_micro",
+                "average_surface_distance",
+                "hausdorff_distance",
+            ],
+            batch_size=BATCH,
+        )
+    )
+    eval_wall = time.perf_counter() - t1
+
+    overall = {}
+    with h5py.File(eval_folder / "overall_evaluation_results.hdf5", "r") as f:
+        for key in f:
+            overall[key] = np.asarray(f[key])
+
+    # gs boundary MAE: mean |predicted - true| boundary row over all test
+    # images/boundaries/columns (the aggregated "errors" dataset).
+    gs_mae = float(np.nanmean(np.abs(overall["errors"])))
+
+    summary = {
+        "metric": "flagship end-to-end train run (BASELINE config #3)",
+        "epochs": args.epochs,
+        "train_wall_s": round(train_wall, 1),
+        "epoch_time_mean_s": round(float(epoch_times.mean()), 3),
+        "epoch_time_steady_s": round(
+            float(np.median(epoch_times[2:] if len(epoch_times) > 2
+                            else epoch_times)), 3
+        ),
+        "final_train_loss": round(float(train_loss[-1]), 5),
+        "final_val_dice": round(float(val_metric[-1]), 5),
+        "best_val_dice": round(float(val_metric.max()), 5),
+        "eval_wall_s": round(eval_wall, 1),
+        "eval_dice_macro_mean": round(
+            float(np.mean(overall.get("mean_dice_coef_macro", np.nan))), 5
+        ),
+        "eval_gs_boundary_mae_px": round(gs_mae, 4),
+        "overall_keys": sorted(overall),
+        "artifacts": str(folder),
+    }
+    print(json.dumps(summary))
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
