@@ -212,10 +212,10 @@ def build_parser():
     )
     p_pred.add_argument(
         "--num-workers",
-        type=int,
-        default=0,
+        type=lambda v: v if v == "auto" else int(v),
+        default="auto",
         help="worker processes for per-image artifact writing "
-        "(HDF5/CSV/PNG); 0 = serial",
+        "(HDF5/CSV/PNG); 0 = serial, auto = min(4, cpus-1)",
     )
     p_pred.add_argument("--mlflow-tracking-uri", default=None)
     p_pred.add_argument("--mlflow-run-uuid", default=None)
@@ -248,10 +248,10 @@ def build_parser():
     )
     p_eval.add_argument(
         "--num-workers",
-        type=int,
-        default=0,
+        type=lambda v: v if v == "auto" else int(v),
+        default="auto",
         help="worker processes for the per-image metrics/artifact phase; "
-        "0 = serial",
+        "0 = serial, auto = min(4, cpus-1)",
     )
     p_eval.add_argument("--mlflow-tracking-uri", default=None)
     p_eval.add_argument("--mlflow-run-uuid", default=None)

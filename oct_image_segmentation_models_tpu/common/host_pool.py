@@ -29,6 +29,27 @@ def pin_worker_to_cpu() -> None:
         pass
 
 
+def resolve_num_workers(num_workers) -> int:
+    """Validated worker count for the host-side artifact pool.
+
+    ``"auto"`` (the workflow default since r4) scales to the box:
+    ``min(4, cpu_count - 1)`` — 0 (the serial reference-shaped loop) on
+    1-2 core hosts where spawn startup (~1-2 s/worker) would eat the
+    win, parallel on real multi-core hosts. The per-image phase is
+    ~0.5-16 s/image at flagship scale (nearly all matplotlib PNGs +
+    scipy EDT), embarrassingly parallel, and bitwise-identical to the
+    serial path (tests/test_predict_evaluate.py), so the cap is about
+    not oversubscribing hosts that also feed the device pipeline."""
+    if num_workers == "auto":
+        return max(0, min(4, (os.cpu_count() or 1) - 1))
+    if not isinstance(num_workers, int) or isinstance(num_workers, bool) \
+            or num_workers < 0:
+        raise ValueError(
+            f"num_workers must be an int >= 0 or 'auto', got {num_workers!r}"
+        )
+    return num_workers
+
+
 def map_host_tasks(fn: Callable, tasks: Sequence, num_workers: int) -> List:
     """``[fn(t) for t in tasks]``, fanned over a spawn process pool when
     ``num_workers > 1``. ``fn`` must be a module-level (picklable)

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import List, Optional
 
-from ..common import EVALUATION_METRICS, utils
+from ..common import EVALUATION_METRICS, host_pool, utils
 
 
 class EvaluationSaveParams:
@@ -41,7 +41,7 @@ class EvaluationParameters:
         bg_ilm: bool = True,
         bg_csi: bool = False,
         batch_size: int = 8,
-        num_workers: int = 0,
+        num_workers="auto",
         minpath_tie_parity: str = "fast",
         compute_dtype: str = "float32",
     ):
@@ -63,16 +63,16 @@ class EvaluationParameters:
         self.bg_ilm = bg_ilm
         self.bg_csi = bg_csi
         self.batch_size = batch_size
-        if num_workers < 0:
-            raise ValueError(f"num_workers must be >= 0, got {num_workers}")
         # Host-side per-image metric + artifact work (dice, surface
         # distances, HDF5/CSV/PNG writing) in a spawn process pool;
         # 0/1 = the serial reference-shaped loop. Device inference is
         # batched upfront either way. Scales with host cores (the
-        # per-image phase is ~0.5-1.5 s/image at 512x1024, nearly all
+        # per-image phase is ~0.5-16 s/image at 512x1024, nearly all
         # matplotlib + scipy EDT); artifacts are bitwise-identical to
-        # the serial path (tests/test_predict_evaluate.py).
-        self.num_workers = num_workers
+        # the serial path (tests/test_predict_evaluate.py). "auto"
+        # (default) = min(4, cpu_count - 1): serial on small hosts,
+        # parallel where it pays (common/host_pool.resolve_num_workers).
+        self.num_workers = host_pool.resolve_num_workers(num_workers)
         # Default "fast": production min-path mode, inside the 0.05 px
         # parity budget (worst-case 0.0424 px, realistic 0.00033 px —
         # see prediction_parameters.py for the full rationale). Pass

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pathlib import Path, PurePosixPath
 from typing import Union
 
-from ..common import utils
+from ..common import host_pool, utils
 from ..common.dataset import Dataset
 
 
@@ -42,7 +42,7 @@ class PredictionParams:
         batch_size: int = 8,
         minpath_tie_parity: str = "fast",
         compute_dtype: str = "float32",
-        num_workers: int = 0,
+        num_workers="auto",
     ) -> None:
         self.model_path = model_path
         self.mlflow_tracking_uri = mlflow_tracking_uri
@@ -89,11 +89,9 @@ class PredictionParams:
             )
         self.compute_dtype = compute_dtype
         # Worker processes for the jax-free per-image artifact phase
-        # (HDF5/CSV/PNG writes); 0/1 = serial in-process (see
-        # `common/host_pool.py`).
-        if num_workers < 0:
-            raise ValueError(f"num_workers must be >= 0, got {num_workers}")
-        self.num_workers = num_workers
+        # (HDF5/CSV/PNG writes); 0/1 = serial in-process, "auto"
+        # (default) = min(4, cpu_count - 1) (see `common/host_pool.py`).
+        self.num_workers = host_pool.resolve_num_workers(num_workers)
 
         self.col_error_range = col_error_range
         if col_error_range is None:

@@ -553,3 +553,39 @@ def test_workflow_surfaces_default_to_fast_tie_parity():
 
     # The low-level APIs keep reference bit-parity as their contract.
     assert default_of(minpath.delineate, "tie_parity") == "exact"
+
+
+def test_num_workers_auto_resolution(trained, tmp_path, monkeypatch):
+    """num_workers='auto' (the r4 default on every workflow surface)
+    resolves to min(4, cpu_count-1): serial on small hosts, bounded
+    parallel elsewhere; invalid values raise."""
+    import os as _os
+
+    from oct_image_segmentation_models_tpu.common.host_pool import (
+        resolve_num_workers,
+    )
+
+    monkeypatch.setattr(_os, "cpu_count", lambda: 1)
+    assert resolve_num_workers("auto") == 0
+    monkeypatch.setattr(_os, "cpu_count", lambda: 8)
+    assert resolve_num_workers("auto") == 4
+    monkeypatch.setattr(_os, "cpu_count", lambda: 3)
+    assert resolve_num_workers("auto") == 2
+    assert resolve_num_workers(7) == 7
+    for bad in (-1, "many", True, 2.5):
+        with pytest.raises(ValueError):
+            resolve_num_workers(bad)
+
+    # the parameter objects resolve at construction (int thereafter)
+    root, ds, model_path = trained
+    params = EvaluationParameters(
+        model_path=model_path,
+        mlflow_tracking_uri=None,
+        mlflow_run_uuid=None,
+        test_dataset_path=ds,
+        save_foldername=tmp_path,
+        save_params=EvaluationSaveParams(),
+        graph_search=False,
+        metrics=["dice_coef_macro"],
+    )
+    assert isinstance(params.num_workers, int) and params.num_workers >= 0
