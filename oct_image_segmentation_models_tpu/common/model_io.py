@@ -824,7 +824,11 @@ def save_model_orbax(path: Path, model_name: str, model_config: dict, variables:
 
     path = Path(path).absolute()
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path / "variables", variables)
+    # Overwrite-capable like the HDF5 writer (h5py "w"): the trainer
+    # re-saves the best-on-monitor checkpoint at finalization with
+    # precise BN statistics (training.py), and Orbax refuses to save
+    # over an existing directory without force.
+    ckptr.save(path / "variables", variables, force=True)
     with open(path / _ORBAX_META, "w") as fh:
         json.dump({"model_name": model_name, "model_config": model_config}, fh)
 
