@@ -164,6 +164,10 @@ def converged_runs(tmp_path_factory):
         ck = _last_best_checkpoint(_single_run_dir(root))
         our_scores.append(_eval_checkpoint(ck, ds, work / f"our_eval_{seed}"))
 
+    # Visible under -s / in failure output; r4 measured:
+    # ref [(0.53, 3.9), (0.90, 1.0)]  ours [(>0.9, <0.5)] per seed.
+    print(f"\nlearning-parity (dice, gs-MAE px): ref={ref_scores} "
+          f"ours={our_scores}")
     return ref_scores, our_scores
 
 

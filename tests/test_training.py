@@ -424,6 +424,11 @@ def test_early_stop_restores_es_best_weights(dataset, tmp_path):
             early_stopping=True,
             patience=3,
             restore_best_weights=True,
+            # this test proves WHICH snapshot finalization restored via
+            # planted sentinels in every leaf; precise-BN finalization
+            # (the default) would recompute the batch_stats leaves from
+            # data and destroy the stats sentinels
+            bn_precise_stats=False,
         ),
         None,
     )
