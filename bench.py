@@ -845,7 +845,20 @@ def main():
             file=_sys.stderr,
             flush=True,
         )
-        device_parity = device_parity_kernel_probe(accel)
+        # Fail-open on INFRASTRUCTURE errors (a probe crash — e.g. CPU
+        # OOM compiling the reference DP — must not cost the run its
+        # benchmark record), fail-closed on actual mismatches: a probe
+        # that RUNS and disagrees still exits 1 below.
+        try:
+            device_parity = device_parity_kernel_probe(accel)
+        except Exception as exc:  # noqa: BLE001 — disclosed, not hidden
+            device_parity = {"probe_error": repr(exc)}
+            print(
+                f"bench: kernel parity probe CRASHED ({exc!r}); "
+                "recording the error and continuing",
+                file=_sys.stderr,
+                flush=True,
+            )
         print(
             f"bench: kernel probe {device_parity}",
             file=_sys.stderr,
@@ -907,37 +920,64 @@ def main():
             flush=True,
         )
     else:
-        tp_train, trained_vars = train_brief_and_measure(accel)
-        train_detail = {"bscans_per_s": round(tp_train, 3)}
-        if device_parity is not None:
+        try:
+            tp_train, trained_vars = train_brief_and_measure(accel)
+            train_detail = {"bscans_per_s": round(tp_train, 3)}
+        except Exception as exc:  # noqa: BLE001 — fail-open, disclosed
+            trained_vars = None
+            train_detail = {"error": repr(exc)}
+            print(
+                f"bench: train phase CRASHED ({exc!r}); recording the "
+                "error and continuing",
+                file=_sys.stderr,
+                flush=True,
+            )
+        if device_parity is not None and trained_vars is not None:
             print(
                 "bench: pipeline parity probe (device fast s2d vs "
                 "CPU-f32 parity pipeline)...",
                 file=_sys.stderr,
                 flush=True,
             )
-            mae_px, div_frac = pipeline_parity_probe(accel, trained_vars)
-            device_parity["pipeline_mae_px"] = round(mae_px, 5)
-            device_parity["pipeline_divergent_col_frac"] = round(div_frac, 5)
-            print(
-                f"bench: pipeline probe MAE {mae_px:.5f} px "
-                f"({div_frac:.4%} cols)",
-                file=_sys.stderr,
-                flush=True,
-            )
+            try:
+                mae_px, div_frac = pipeline_parity_probe(accel, trained_vars)
+            except Exception as exc:  # noqa: BLE001
+                device_parity["pipeline_probe_error"] = repr(exc)
+                print(
+                    f"bench: pipeline parity probe CRASHED ({exc!r}); "
+                    "recording the error and continuing",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+            else:
+                device_parity["pipeline_mae_px"] = round(mae_px, 5)
+                device_parity["pipeline_divergent_col_frac"] = round(
+                    div_frac, 5
+                )
+                print(
+                    f"bench: pipeline probe MAE {mae_px:.5f} px "
+                    f"({div_frac:.4%} cols)",
+                    file=_sys.stderr,
+                    flush=True,
+                )
 
     if device_parity is not None:
-        device_parity["budget_px"] = 0.05
-        device_parity["ok"] = (
-            device_parity.get("kernel_bitwise_fast", False)
-            and device_parity.get("kernel_bitwise_exact", False)
-            and device_parity.get("exact_oracle_bitwise", False)
-            and (
-                device_parity.get("pipeline_mae_px") is None
-                or device_parity["pipeline_mae_px"] <= 0.05
+        if "probe_error" in device_parity:
+            # infrastructure failure: parity UNKNOWN (ok=null), run not
+            # failed — the error field is the disclosure
+            device_parity["ok"] = None
+        else:
+            device_parity["budget_px"] = 0.05
+            device_parity["ok"] = (
+                device_parity.get("kernel_bitwise_fast", False)
+                and device_parity.get("kernel_bitwise_exact", False)
+                and device_parity.get("exact_oracle_bitwise", False)
+                and (
+                    device_parity.get("pipeline_mae_px") is None
+                    or device_parity["pipeline_mae_px"] <= 0.05
+                )
             )
-        )
-        parity_failed = not device_parity["ok"]
+            parity_failed = not device_parity["ok"]
 
     tp_ref = measure_reference_keras_cpu(images_np)
     tp_cpu = measure_cpu_proxy(images_np, required=not np.isfinite(tp_ref))
@@ -951,7 +991,7 @@ def main():
     baseline = 10.0 * tp_base
     vs_baseline = tp_accel / baseline if np.isfinite(baseline) else None
 
-    if train_detail is not None:
+    if train_detail is not None and "bscans_per_s" in train_detail:
         tp_train_ref = measure_reference_train_keras_cpu_cached()
         train_detail["reference_keras_cpu_train_bscans_per_s"] = (
             round(tp_train_ref, 5) if np.isfinite(tp_train_ref) else None

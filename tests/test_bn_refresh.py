@@ -207,3 +207,49 @@ def test_bn_precise_stats_off_keeps_rolling_stats(trained_small):
         ]
     )
     assert not np.array_equal(s_on, s_off)
+
+
+def test_precise_stats_via_s2d_train_forward_match_parity():
+    """compute_precise_batch_stats runs through whichever compute module
+    the trainer used; the S2DTrainForward path (the flagship bf16/s2d
+    config, used by bench.py's train phase and by train_model's auto
+    default) must recover the same population statistics as the parity
+    UNetModule (same dropout rng scope, f32 tolerance)."""
+    from oct_image_segmentation_models_tpu.models import get_model_class
+    from oct_image_segmentation_models_tpu.ops.s2d_train import (
+        S2DTrainForward,
+    )
+
+    container = get_model_class("unet")(
+        input_channels=1,
+        num_classes=3,
+        image_height=16,
+        image_width=16,
+        start_neurons=4,
+        pool_layers=2,
+        conv_layers=2,
+    )
+    module = container.build_model()
+    rng = jax.random.PRNGKey(0)
+    variables = module.init(
+        rng, np.zeros((1, 16, 16, 1), np.float32), training=False
+    )
+    fwd = S2DTrainForward(container.get_config())
+
+    nprng = np.random.default_rng(3)
+    batches = [nprng.uniform(0, 1, (2, 16, 16, 1)).astype(np.float32)
+               for _ in range(3)]
+    key = jax.random.PRNGKey(5)
+    got_parity = compute_precise_batch_stats(
+        module, variables["params"], variables["batch_stats"], batches, key
+    )
+    got_s2d = compute_precise_batch_stats(
+        fwd, variables["params"], variables["batch_stats"], batches, key
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got_parity),
+        jax.tree_util.tree_leaves(got_s2d),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
