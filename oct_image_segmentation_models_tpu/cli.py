@@ -73,6 +73,7 @@ def cmd_train(args):
         train_state_checkpoint=config.get("train_state_checkpoint", False),
         resume_train_state=config.get("resume_train_state"),
         resume_config_check=config.get("resume_config_check", "strict"),
+        bn_precise_stats=config.get("bn_precise_stats", True),
     )
     folder = train_model(params, mlflow_params)
     print(f"Training complete. Artifacts: {folder}")
