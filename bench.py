@@ -785,6 +785,38 @@ def pipeline_parity_probe(accel, variables, n_cpu=2):
     return mae, div
 
 
+PARITY_BUDGET_PX = 0.05
+
+
+def parity_verdict(device_parity: dict) -> bool:
+    """Finalize the gate verdict in place; returns True when the run
+    must FAIL (exit nonzero).
+
+    Semantics (unit-tested in tests/test_bench_baseline.py):
+    - ``probe_error`` present → the probe CRASHED before producing
+      evidence: parity is UNKNOWN (``ok=None``), run NOT failed — the
+      error field is the disclosure (fail-open on infrastructure).
+    - otherwise every kernel check must be True and, when the pipeline
+      probe produced a number, it must be within the 0.05 px budget;
+      a probe that RAN and disagrees fails the run (fail-closed).
+      A ``pipeline_probe_error`` is disclosed but, like a skipped
+      probe, leaves the kernel verdict in charge."""
+    if "probe_error" in device_parity:
+        device_parity["ok"] = None
+        return False
+    device_parity["budget_px"] = PARITY_BUDGET_PX
+    device_parity["ok"] = (
+        device_parity.get("kernel_bitwise_fast", False)
+        and device_parity.get("kernel_bitwise_exact", False)
+        and device_parity.get("exact_oracle_bitwise", False)
+        and (
+            device_parity.get("pipeline_mae_px") is None
+            or device_parity["pipeline_mae_px"] <= PARITY_BUDGET_PX
+        )
+    )
+    return not device_parity["ok"]
+
+
 def measure_reference_train_keras_cpu_cached():
     """The upstream ``model.fit`` Keras-CPU baseline, via the canonical
     implementation in tools/bench_train.py (one source of truth for the
@@ -962,22 +994,7 @@ def main():
                 )
 
     if device_parity is not None:
-        if "probe_error" in device_parity:
-            # infrastructure failure: parity UNKNOWN (ok=null), run not
-            # failed — the error field is the disclosure
-            device_parity["ok"] = None
-        else:
-            device_parity["budget_px"] = 0.05
-            device_parity["ok"] = (
-                device_parity.get("kernel_bitwise_fast", False)
-                and device_parity.get("kernel_bitwise_exact", False)
-                and device_parity.get("exact_oracle_bitwise", False)
-                and (
-                    device_parity.get("pipeline_mae_px") is None
-                    or device_parity["pipeline_mae_px"] <= 0.05
-                )
-            )
-            parity_failed = not device_parity["ok"]
+        parity_failed = parity_verdict(device_parity)
 
     tp_ref = measure_reference_keras_cpu(images_np)
     tp_cpu = measure_cpu_proxy(images_np, required=not np.isfinite(tp_ref))

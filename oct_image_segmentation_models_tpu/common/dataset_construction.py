@@ -133,55 +133,65 @@ def construct_dataset(
     return filename
 
 
+def _valid_rows(seg_row):
+    """Columns whose boundary row is usable (not NaN, not 0) + the int
+    rows — reference's per-element validity test, vectorized."""
+    vals = np.asarray(seg_row, dtype=np.float64)
+    ok = ~np.isnan(vals) & (vals != 0)
+    rows = np.zeros(vals.shape, dtype=np.int64)
+    rows[ok] = vals[ok].astype(np.int64)
+    return ok, rows
+
+
 def create_patch_labels(image, segs, bg_mode="single", bg_margin=0, bg_splits=None):
     """Per-pixel class labels from boundary rows for patch sampling —
-    reference `dataset_construction.py:233-308` (modes single/extra)."""
+    reference `dataset_construction.py:233-308` (modes single/extra),
+    vectorized per boundary (the reference writes column-by-column; the
+    write ORDER across boundary indices is preserved, which is what
+    determines overwrite semantics)."""
     image_width, image_height = image.shape[0], image.shape[1]
     num_boundaries = len(segs)
     patch_labels = np.zeros((image_width, image_height))
-
-    def valid(v):
-        return not np.isnan(v) and v != 0
+    cols = np.arange(image_width)
 
     if bg_mode == "single":
-        for boundary_ind in range(num_boundaries):
-            for col in range(image_width):
-                v = segs[boundary_ind, col]
-                if valid(v):
-                    patch_labels[col, int(v)] = boundary_ind + 1
+        for b in range(num_boundaries):
+            ok, rows = _valid_rows(segs[b])
+            patch_labels[cols[ok], rows[ok]] = b + 1
     elif bg_mode == "extra":
-        class_label = 0
-        for boundary_ind in range(num_boundaries):
-            for col in range(image_width):
-                v = segs[boundary_ind, col]
-                if valid(v):
-                    patch_labels[col, int(v)] = class_label
-            class_label += 1
-        for boundary_ind in range(num_boundaries):
-            for col in range(image_width):
-                v = segs[boundary_ind, col]
-                if valid(v):
-                    for k in range(1, bg_margin + 1):
-                        patch_labels[col, int(v) - k] = class_label
-                        patch_labels[col, int(v) + k] = class_label
-            class_label += 1
+        # boundary pixels: classes 0..nb-1
+        for b in range(num_boundaries):
+            ok, rows = _valid_rows(segs[b])
+            patch_labels[cols[ok], rows[ok]] = b
+        # margin bands around each boundary: classes nb..2nb-1
+        # (negative row indices wrap, like the reference's int(v)-k)
+        for b in range(num_boundaries):
+            ok, rows = _valid_rows(segs[b])
+            for k in range(1, bg_margin + 1):
+                patch_labels[cols[ok], rows[ok] - k] = num_boundaries + b
+                patch_labels[cols[ok], rows[ok] + k] = num_boundaries + b
+        # inter-boundary regions: classes 2nb..3nb (slice semantics per
+        # column — a negative stop must keep the reference's Python-slice
+        # wrapping, so these stay explicit slices)
+        class_label = 2 * num_boundaries
         for layer_ind in range(num_boundaries + 1):
-            for col in range(image_width):
-                if layer_ind == 0 and valid(segs[0, col]):
-                    patch_labels[col, : int(segs[0, col]) - bg_margin] = class_label
-                elif layer_ind == num_boundaries and valid(segs[-1, col]):
-                    patch_labels[col, int(segs[-1, col]) + bg_margin :] = class_label
-                elif (
-                    0 < layer_ind < num_boundaries
-                    and valid(segs[layer_ind - 1, col])
-                    and valid(segs[layer_ind, col])
-                ):
-                    patch_labels[
-                        col,
-                        int(segs[layer_ind - 1, col])
-                        + bg_margin : int(segs[layer_ind, col])
-                        - bg_margin,
-                    ] = class_label
+            if layer_ind == 0:
+                ok, rows = _valid_rows(segs[0])
+                spans = [(c, slice(None, rows[c] - bg_margin))
+                         for c in cols[ok]]
+            elif layer_ind == num_boundaries:
+                ok, rows = _valid_rows(segs[-1])
+                spans = [(c, slice(rows[c] + bg_margin, None))
+                         for c in cols[ok]]
+            else:
+                ok_a, rows_a = _valid_rows(segs[layer_ind - 1])
+                ok_b, rows_b = _valid_rows(segs[layer_ind])
+                spans = [
+                    (c, slice(rows_a[c] + bg_margin, rows_b[c] - bg_margin))
+                    for c in cols[ok_a & ok_b]
+                ]
+            for c, span in spans:
+                patch_labels[c, span] = class_label
             class_label += 1
     return patch_labels
 
@@ -403,33 +413,38 @@ def mask_optic_nerve(mask, seg, onh):
     return mask
 
 
+def _roll_columns(image, offsets):
+    """Per-column circular row shift in ONE gather (the vectorized form
+    of the reference's per-column ``np.roll``):
+    ``out[i, r, ...] = image[i, (r - offsets[i]) % H, ...]``."""
+    h = image.shape[1]
+    rows = (
+        np.arange(h)[None, :] - np.asarray(offsets, dtype=np.int64)[:, None]
+    ) % h
+    idx = rows.reshape(rows.shape + (1,) * (image.ndim - 2))
+    return np.take_along_axis(image, idx, axis=1)
+
+
 def flatten_image_boundary(image, boundary, poly=False):
-    """Column-roll flattening along a boundary — reference `:724-759`."""
-    image = np.array(image)
+    """Column-roll flattening along a boundary — reference `:724-759`
+    (one vectorized gather instead of W rolls; ``poly`` truncates each
+    offset toward zero like the reference's ``int()``, exact because
+    ``max(b) - b[i] >= 0``)."""
     num_cols = boundary.shape[0]
-    offsets = []
     if poly:
         coef = np.polyfit(np.arange(num_cols), boundary, deg=2)
-        new_boundary = np.polyval(coef, np.arange(num_cols))
-        b_max = np.max(new_boundary)
-        for i in range(num_cols):
-            offset = int(b_max - new_boundary[i])
-            offsets.append(offset)
-            image[i, :, :] = np.roll(image[i, :, :], shift=offset, axis=0)
-        flatten_boundary = new_boundary
+        flatten_boundary = np.polyval(coef, np.arange(num_cols))
+        offsets = (np.max(flatten_boundary) - flatten_boundary).astype(int)
     else:
-        b_max = np.max(boundary)
-        for i in range(num_cols):
-            offset = b_max - boundary[i]
-            offsets.append(offset)
-            image[i, :, :] = np.roll(image[i, :, :], shift=offset, axis=0)
         flatten_boundary = boundary
-    return [image, np.asarray(offsets), np.asarray(flatten_boundary)]
+        offsets = np.max(boundary) - boundary
+    return [
+        _roll_columns(np.array(image), offsets),
+        np.asarray(offsets),
+        np.asarray(flatten_boundary),
+    ]
 
 
 def roll_image_offset(image, offset):
-    """Reference `:762-769`."""
-    image = np.array(image)
-    for i in range(offset.shape[0]):
-        image[i, :] = np.roll(image[i, :], shift=offset[i], axis=0)
-    return image
+    """Reference `:762-769` (vectorized; negative offsets roll up)."""
+    return _roll_columns(np.array(image), np.asarray(offset))

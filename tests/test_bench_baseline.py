@@ -272,3 +272,39 @@ def test_probe_maps_deterministic_families():
     # random maps (5-7) are 0/255 with increasing density
     d = [(a[i] == 255).mean() for i in (5, 6, 7)]
     assert d[0] < d[1] < d[2]
+
+
+def test_parity_verdict_semantics():
+    """The device-parity gate verdict: fail-closed on executed-probe
+    mismatches, fail-open (ok=None, run not failed) on probe crashes."""
+    ok = dict(kernel_bitwise_fast=True, kernel_bitwise_exact=True,
+              exact_oracle_bitwise=True, pipeline_mae_px=0.004)
+    assert bench.parity_verdict(ok) is False and ok["ok"] is True
+
+    # kernel mismatch: fail
+    bad = dict(kernel_bitwise_fast=True, kernel_bitwise_exact=False,
+               exact_oracle_bitwise=True)
+    assert bench.parity_verdict(bad) is True and bad["ok"] is False
+
+    # pipeline over budget: fail
+    over = dict(kernel_bitwise_fast=True, kernel_bitwise_exact=True,
+                exact_oracle_bitwise=True, pipeline_mae_px=0.54)
+    assert bench.parity_verdict(over) is True and over["ok"] is False
+
+    # pipeline probe skipped (no MAE field): kernel verdict rules
+    kern_only = dict(kernel_bitwise_fast=True, kernel_bitwise_exact=True,
+                     exact_oracle_bitwise=True)
+    assert bench.parity_verdict(kern_only) is False
+    assert kern_only["ok"] is True
+
+    # probe crashed before producing evidence: unknown, not failed
+    crashed = {"probe_error": "RuntimeError('tunnel')"}
+    assert bench.parity_verdict(crashed) is False
+    assert crashed["ok"] is None
+
+    # pipeline probe crash is disclosed but kernel verdict rules
+    pipe_crash = dict(kernel_bitwise_fast=True, kernel_bitwise_exact=True,
+                      exact_oracle_bitwise=True,
+                      pipeline_probe_error="x")
+    assert bench.parity_verdict(pipe_crash) is False
+    assert pipe_crash["ok"] is True
