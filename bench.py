@@ -585,7 +585,7 @@ def make_probe_maps(w=W, h=H):
     return np.stack(maps)
 
 
-def device_parity_kernel_probe(accel, n_oracle=2):
+def device_parity_kernel_probe(accel, n_oracle=3):
     """Pallas-on-TPU vs XLA-on-CPU bitwise equality (both tie modes) +
     exact mode vs the heapq oracle on realistic maps. Returns a dict of
     booleans (True = parity holds)."""

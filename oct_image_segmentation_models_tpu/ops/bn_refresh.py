@@ -77,9 +77,19 @@ def compute_precise_batch_stats(
         the algebra exactly).
       batches: iterable of equal-size input batches (already
         preprocessed, i.e. what the module's forward consumes).
-      rng: dropout key (stats are collected under the training-mode
-        forward, like the rolling statistics they replace; dropout
-        noise averages out across batches).
+      rng: dropout key. Stats are collected under the training-mode
+        forward — the only mode in which Flax BN computes batch
+        statistics — so layers downstream of a Dropout see the
+        inverted-dropout distribution: their MEANS are unbiased, but
+        their variances are biased high relative to the eval-mode
+        (dropout-off) distribution. That is the SAME bias the rolling
+        statistics carried (Keras's `fit` collects stats with dropout
+        active too), so this replaces staleness without changing the
+        dropout bias; a deterministic-forward refresh (needs a
+        dropout-off/BN-batch-stats module mode) is possible future
+        work. Measured net effect on the UNet (one bottleneck
+        Dropout): eval dice restored to train-mode level
+        (tests/test_bn_refresh.py).
 
     Returns a new batch_stats tree. Raises ValueError on an empty
     ``batches``.

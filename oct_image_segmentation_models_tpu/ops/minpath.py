@@ -549,16 +549,27 @@ def delineate_float(maps: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
       max_grad: maximum row step per column.
 
     Same column DP as :func:`_delineate_xla` with the reference's float
-    edge weights ``2 - p_u - p_v`` accumulated in float32 (float64 under
-    ``jax_enable_x64``), replacing the ~1000x-slower per-map host
-    Dijkstra for non-quantized maps. Tie semantics are "fast" only:
-    equal-cost candidates resolve by the heap's first-order edge
-    preference (same row, then from below, then from above), without
-    settle-order simulation — float64 heap order is unreproducible
-    from float32 sums anyway (PLAN.md §4: the reference's own heap
-    order depends on float64 addition rounding noise). Exact ties are
-    measure-zero on real probability outputs; divergences are bounded
-    by the budget test ``tests/test_minpath.py``.
+    edge weights, replacing the ~1000x-slower per-map host Dijkstra for
+    non-quantized maps. The column-uniform ``+2`` of the reference's
+    ``2 - p_u - p_v`` edge weight is dropped from the carried distance
+    (every competing path at a column has crossed the same number of
+    edges, so it cancels from every comparison): the accumulator holds
+    only ``-(sum p)``, keeping float32 rounding at the scale of the
+    path REWARD (typically O(10-100) on probability maps) instead of
+    O(2W) ~ 2048, i.e. ulp ~1e-5 rather than ~2.4e-4 (float64 under
+    ``jax_enable_x64``).
+
+    Tie/precision semantics are "fast" only: candidates within float32
+    resolution of each other resolve by the heap's first-order edge
+    preference (same row, then from below, then from above) — a path
+    whose true float64 cost is better by less than the accumulator's
+    resolution can lose, and NO settle-order simulation is attempted
+    (float64 heap order is unreproducible anyway: the reference's own
+    tie resolution depends on float64 addition rounding noise, PLAN.md
+    §4). Exact ties are measure-zero on real probability outputs; the
+    flagship-scale budget test (``tests/test_minpath.py::
+    test_flagship_scale_float_maps_budget``) bounds the divergence on
+    realistic maps.
 
     Returns int32 rows ``(..., W)``.
     """
@@ -585,7 +596,10 @@ def delineate_float(maps: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
             out.append(_shift_down(x, k))
         return jnp.stack(out, axis=0)  # (2g+1, N, H)
 
-    d0 = 1.0 - p[:, 0, :]  # entry edge from the all-ones virtual column
+    # Carried distance = -(sum of p along the path): the reference's
+    # per-edge +2 is column-uniform and cancels from every comparison
+    # (see docstring), so it is dropped for float precision.
+    d0 = -p[:, 0, :]  # entry edge from the all-ones virtual column
     xs = jnp.moveaxis(p[:, 1:, :], 1, 0)  # (W-1, N, H)
 
     def step(carry, p_cur):
@@ -596,11 +610,11 @@ def delineate_float(maps: jnp.ndarray, max_grad: int = 1) -> jnp.ndarray:
         # preference order (same row < below < above), mirroring the
         # heap-priority order the fast integer mode uses.
         choice = jnp.argmin(stacked, axis=0).astype(jnp.uint8)
-        return (best + 2.0 - p_cur, p_cur), choice
+        return (best - p_cur, p_cur), choice
 
     (d_final, p_last), choices = jax.lax.scan(step, (d0, p[:, 0, :]), xs)
 
-    exit_dist = d_final + 1.0 - p_last  # edge back into the virtual column
+    exit_dist = d_final - p_last  # edge back into the virtual column
     r_last = jnp.argmin(exit_dist, axis=-1).astype(jnp.int32)  # first min
 
     batch_idx = jnp.arange(n, dtype=jnp.int32)

@@ -1237,12 +1237,24 @@ def train_model(
     # over the training set; measurably restores eval-mode accuracy to
     # train-mode level (see bn_refresh module docstring). Multi-host
     # runs compute over the local shard (only process 0 saves).
-    if training_params.bn_precise_stats and final_variables.get(
-        "batch_stats"
+    # Skipped after a SIGTERM/SIGINT interrupt: the grace period is for
+    # writing final artifacts, not for extra full-dataset passes — the
+    # interrupted checkpoint keeps rolling stats and the RESUMED run's
+    # finalization performs the refresh.
+    if (
+        training_params.bn_precise_stats
+        and final_variables.get("batch_stats")
+        and not interrupt_flag
     ):
         from ..ops.bn_refresh import compute_precise_batch_stats
 
-        n_full = (len(train_images) // local_batch_size) * local_batch_size
+        # Equal-size batches (the law-of-total-variance aggregation
+        # assumes them). When the training set is smaller than the
+        # batch size (possible with precomputed augmentation modes,
+        # whose generator guard counts augmented samples) fall back to
+        # one all-images batch instead of zero batches.
+        stat_bs = min(local_batch_size, len(train_images))
+        n_full = (len(train_images) // stat_bs) * stat_bs
         log.info(
             "Finalizing BatchNorm statistics: exact population stats over "
             f"{n_full} training images (bn_precise_stats=True; set False "
@@ -1250,10 +1262,10 @@ def train_model(
         )
 
         def _stat_batches():
-            for start in range(0, n_full, local_batch_size):
+            for start in range(0, n_full, stat_bs):
                 yield jnp.asarray(
                     preprocess_fn(
-                        train_images[start : start + local_batch_size].astype(
+                        train_images[start : start + stat_bs].astype(
                             np.float32
                         )
                     )
@@ -1280,13 +1292,25 @@ def train_model(
         final_variables = _with_precise_stats(final_variables)
         # The best-on-monitor checkpoint is what reference-workflow users
         # deploy (`model_epochNN`); re-save it with precise statistics
-        # under ITS OWN weights so it gets the same eval-mode fix.
+        # under ITS OWN weights so it gets the same eval-mode fix. When
+        # it holds the same weights as the finalized state (completed
+        # run whose last epoch improved; early-stop restore), reuse the
+        # stats just computed instead of paying a second full pass.
         if best_ckpt_path is not None and is_main_process:
+            same_weights = all(
+                np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(best_ckpt_variables["params"]),
+                    jax.tree_util.tree_leaves(final_variables["params"]),
+                )
+            )
             ckpt_save(
                 best_ckpt_path,
                 model_name,
                 model_container.get_config(),
-                _with_precise_stats(best_ckpt_variables),
+                final_variables
+                if same_weights
+                else _with_precise_stats(best_ckpt_variables),
             )
 
     if is_main_process:

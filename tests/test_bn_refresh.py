@@ -253,3 +253,42 @@ def test_precise_stats_via_s2d_train_forward_match_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+def test_finalization_survives_train_set_smaller_than_batch(tmp_path):
+    """Precomputed augmentation modes let batch_size exceed the RAW
+    training-image count (the generator guard counts augmented
+    samples); precise-BN finalization must fall back to one all-images
+    batch instead of zero batches (r4 code-review finding: n_full=0
+    crashed at finalization, after training had already succeeded)."""
+    from oct_image_segmentation_models_tpu.training import (
+        TrainingParams,
+        train_model,
+    )
+
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=2, n_val=2, n_test=2,
+                      h=16, w=16, num_classes=3, seed=5)
+    folder = train_model(
+        TrainingParams(
+            model_architecture="unet",
+            training_dataset_path=ds,
+            initial_model=None,
+            results_location=tmp_path,
+            opt_con="adam",
+            loss="dice_loss_macro",
+            metric="dice_coef_macro",
+            epochs=1,
+            batch_size=4,  # > 2 raw images; aug_mode="all" with 2 augs
+            # gives 2 x 2 = 4 generator samples, so the guard passes
+            model_hyperparameters={"start_neurons": 2, "pool_layers": 2},
+            augmentations=[
+                {"name": "flip", "arguments": {"flip_type": "left-right"}},
+                {"name": "flip", "arguments": {"flip_type": "up-down"}},
+            ],
+            aug_mode="all",
+            aug_fly=False,
+            seed=0,
+        ),
+        None,
+    )
+    assert (folder / "model_final.hdf5").exists()
