@@ -74,6 +74,7 @@ def cmd_train(args):
         resume_train_state=config.get("resume_train_state"),
         resume_config_check=config.get("resume_config_check", "strict"),
         bn_precise_stats=config.get("bn_precise_stats", True),
+        bn_precise_val=config.get("bn_precise_val", True),
     )
     folder = train_model(params, mlflow_params)
     print(f"Training complete. Artifacts: {folder}")

@@ -109,7 +109,11 @@ class DeeplabV3PlusModule(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, stats_mode: bool = False):
+        # stats_mode mirrors UNetModule's deterministic precise-BN
+        # collection flag (ops/bn_refresh.py); with no Dropout anywhere
+        # in this architecture it is equivalent to training=True.
+        training = training or stats_mode
         full_h, full_w = x.shape[1], x.shape[2]
         block = functools.partial(
             _ConvBlock, dtype=self.dtype, use_bn=self.use_bn

@@ -79,7 +79,12 @@ class UNetModule(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, stats_mode: bool = False):
+        # stats_mode=True: BatchNorm computes batch statistics (and emits
+        # momentum-updated running stats) while Dropout stays OFF — the
+        # deterministic-forward precise-BN collection mode
+        # (ops/bn_refresh.py). `training` alone drives both, as in Keras.
+        bn_training = training or stats_mode
         x = x.astype(self.dtype)
         block = functools.partial(
             ConvBlock, dtype=self.dtype, use_bn=self.use_bn
@@ -88,23 +93,23 @@ class UNetModule(nn.Module):
         for level in range(self.pool_layers):
             feats = self.start_neurons * (2**level)
             for _ in range(self.conv_layers):
-                x = block(feats, self.enc_kernel)(x, training)
+                x = block(feats, self.enc_kernel)(x, bn_training)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         feats = self.start_neurons * (2**self.pool_layers)
         for _ in range(self.conv_layers):
-            x = block(feats, self.enc_kernel)(x, training)
+            x = block(feats, self.enc_kernel)(x, bn_training)
         x = nn.Dropout(0.5, deterministic=not training)(x)
 
         for level in reversed(range(self.pool_layers)):
             feats = self.start_neurons * (2**level)
             # Nearest-neighbour 2x upsample (Keras UpSampling2D default).
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            x = block(feats, self.dec_kernel)(x, training)
+            x = block(feats, self.dec_kernel)(x, bn_training)
             x = jnp.concatenate([x, skips[level]], axis=-1)
             for _ in range(self.conv_layers):
-                x = block(feats, self.enc_kernel)(x, training)
+                x = block(feats, self.enc_kernel)(x, bn_training)
 
         x = nn.Conv(
             self.num_classes,

@@ -19,15 +19,23 @@ model) — this module is a quality fix beyond reference parity, on by
 default (``TrainingParams.bn_precise_stats=False`` restores
 reference-exact finalization).
 
-What it does: after training picks its final weights, recompute every
-BatchNorm's running statistics as EXACT population statistics of the
-training data under those final weights (the "precise BN" technique).
-One pass over the data: each batch's raw statistics are recovered
-algebraically from the module's momentum-updated mutable output
-(``s_b = (new_ra - m * ra) / (1 - m)``, exact for any known momentum),
-then aggregated across equal-size batches with the law of total
-variance (``mean = E_b[mean_b]``,
-``var = E_b[var_b + mean_b^2] - mean^2``).
+What it does: recompute every BatchNorm's running statistics as EXACT
+population statistics of the training data under a given set of weights
+(the "precise BN" technique). One pass over the data: each batch's raw
+statistics are recovered from the module's momentum-updated mutable
+output anchored at ZERO (``new_ra = (1 - m) * s_b`` exactly, so
+``s_b = new_ra / (1 - m)`` — one multiply and one divide of rounding,
+no catastrophic-cancellation amplification; r4 anchored at the current
+running stats, which amplified f32 rounding ~100x), then aggregated
+across equal-size batches with the law of total variance
+(``mean = E_b[mean_b]``, ``var = E_b[var_b + mean_b^2] - mean^2``).
+
+Used in two places by the training driver (`training/training.py`):
+finalizing saved checkpoints (``bn_precise_stats``) and refreshing the
+statistics behind each epoch's validation metrics so best-checkpoint
+selection and early stopping see real checkpoint quality
+(``bn_precise_val`` — r4 measured the rolling-stats val_dice reading
+0.724 for a model whose true eval dice was 0.9999).
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ from typing import Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # models/unet.py ConvBlock pins momentum=0.99 (the Keras
 # BatchNormalization default the reference trains with).
@@ -57,6 +66,152 @@ def _tree_bn_map(fn, *trees):
     raise TypeError(f"unexpected batch_stats node: {type(head)}")
 
 
+class BNRefresher:
+    """Reusable precise-BN statistics computer.
+
+    Holds ONE jitted per-batch extraction function, so calling it every
+    epoch (the ``bn_precise_val`` path) compiles once instead of
+    re-tracing per call — a fresh ``@jax.jit`` closure per epoch would
+    cost a full remote recompile (~30 s on the tunnel) each time.
+
+    Args:
+      module: the training compute module (``UNetModule``,
+        ``S2DTrainForward``, ``DeepLabV3PlusModule`` — anything honoring
+        the ``apply(variables, x, training=True, rngs={"dropout"},
+        mutable=["batch_stats"])`` contract with the shared stats tree).
+      momentum: the modules' BatchNorm momentum (recovery algebra input).
+      deterministic: collect statistics under a dropout-OFF forward with
+        BatchNorm still in batch-statistics mode (the modules'
+        ``stats_mode=True``). The default (False) matches what both the
+        rolling statistics and Keras's `fit` collect — a dropout-ACTIVE
+        forward, whose post-dropout variances are biased high relative
+        to the eval-mode distribution (means stay unbiased under
+        inverted dropout). Measured on the synthetic task (r5, PLAN.md):
+        the two refreshes land within ~1e-3 eval dice of each other —
+        the bias is real but does not move quality on this
+        architecture's single bottleneck Dropout, so the
+        Keras-distribution-matching default stands.
+    """
+
+    def __init__(
+        self,
+        module,
+        momentum: float = BN_MOMENTUM,
+        deterministic: bool = False,
+    ):
+        self.deterministic = bool(deterministic)
+
+        @jax.jit
+        def _raw_batch_stats(p, stats_template, x, key):
+            # Anchor the momentum recurrence at zero: the mutable output
+            # is then (1 - m) * s_b up to one rounding, and recovery is
+            # a single division. Training-mode BN *outputs* never read
+            # the running values (they normalize with the batch
+            # statistics), so zeroing the anchor cannot change the
+            # forward computation.
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, stats_template)
+            if self.deterministic:
+                _, mut = module.apply(
+                    {"params": p, "batch_stats": zeros},
+                    x,
+                    training=False,
+                    stats_mode=True,
+                    mutable=["batch_stats"],
+                )
+            else:
+                _, mut = module.apply(
+                    {"params": p, "batch_stats": zeros},
+                    x,
+                    training=True,
+                    rngs={"dropout": key},
+                    mutable=["batch_stats"],
+                )
+            return jax.tree_util.tree_map(
+                lambda n: n.astype(jnp.float32) / (1.0 - momentum),
+                mut["batch_stats"],
+            )
+
+        self._raw = _raw_batch_stats
+
+    def __call__(
+        self,
+        params,
+        batch_stats,
+        batches,
+        rng=None,
+        cross_process: bool = False,
+    ):
+        """Exact population BN statistics of ``batches`` under ``params``.
+
+        Args:
+          params / batch_stats: the weights and any same-shaped stats
+            tree (used only as a shape/dtype template — values never
+            enter the computation).
+          batches: iterable of equal-size input batches (already
+            preprocessed, i.e. what the module's forward consumes).
+          rng: dropout key (ignored with ``deterministic=True``).
+          cross_process: in multi-process runs, aggregate the per-batch
+            accumulators across ALL processes (``process_allgather`` of
+            the (sum, count) pair), so the returned statistics cover
+            every process's data shard — the law-of-total-variance
+            algebra stays exact because every shard's batches are the
+            same size. Every participating process must call with the
+            same number of LOCAL batches (the training driver trims
+            shards to equal size for exactly this reason); the returned
+            tree is identical on all processes.
+
+        Returns a new batch_stats tree. Raises ValueError on an empty
+        ``batches``.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        total = None
+        count = 0
+        for x in batches:
+            s = self._raw(
+                params, batch_stats, x, jax.random.fold_in(rng, count)
+            )
+            # accumulate (mean_b, var_b + mean_b^2) per BN
+            term = _tree_bn_map(
+                lambda d: {"mean": d["mean"], "var": d["var"] + d["mean"] ** 2},
+                s,
+            )
+            total = (
+                term
+                if total is None
+                else jax.tree_util.tree_map(jnp.add, total, term)
+            )
+            count += 1
+        if total is None:
+            raise ValueError("BNRefresher needs >= 1 batch")
+
+        if cross_process and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # Host-level collective on the (host-fetched) accumulators:
+            # stacked with a leading process axis, then summed. Count
+            # rides along so unequal per-process batch counts fail loud
+            # in the averaged result rather than silently reweighting.
+            gathered = multihost_utils.process_allgather(
+                (jax.device_get(total), np.int64(count))
+            )
+            total = jax.tree_util.tree_map(
+                lambda stacked: np.sum(np.asarray(stacked), axis=0),
+                gathered[0],
+            )
+            count = int(np.sum(gathered[1]))
+
+        avg = jax.tree_util.tree_map(lambda v: v / count, total)
+        return _tree_bn_map(
+            lambda d: {
+                "mean": d["mean"],
+                # law of total variance; clamp tiny negative f32 residue
+                "var": jnp.maximum(d["var"] - d["mean"] ** 2, 0.0),
+            },
+            avg,
+        )
+
+
 def compute_precise_batch_stats(
     module,
     params,
@@ -64,81 +219,18 @@ def compute_precise_batch_stats(
     batches,
     rng,
     momentum: float = BN_MOMENTUM,
+    deterministic: bool = False,
+    cross_process: bool = False,
 ):
-    """Exact population BN statistics of ``batches`` under ``params``.
+    """One-shot convenience wrapper over :class:`BNRefresher`.
 
-    Args:
-      module: the training compute module (``UNetModule`` or
-        ``S2DTrainForward`` — anything honoring the
-        ``apply(variables, x, training=True, rngs={"dropout"},
-        mutable=["batch_stats"])`` contract with the shared stats tree).
-      params / batch_stats: the final weights and any same-shaped stats
-        tree (used only as the recurrence anchor; values cancel out of
-        the algebra exactly).
-      batches: iterable of equal-size input batches (already
-        preprocessed, i.e. what the module's forward consumes).
-      rng: dropout key. Stats are collected under the training-mode
-        forward — the only mode in which Flax BN computes batch
-        statistics — so layers downstream of a Dropout see the
-        inverted-dropout distribution: their MEANS are unbiased, but
-        their variances are biased high relative to the eval-mode
-        (dropout-off) distribution. That is the SAME bias the rolling
-        statistics carried (Keras's `fit` collects stats with dropout
-        active too), so this replaces staleness without changing the
-        dropout bias; a deterministic-forward refresh (needs a
-        dropout-off/BN-batch-stats module mode) is possible future
-        work. Measured net effect on the UNet (one bottleneck
-        Dropout): eval dice restored to train-mode level
-        (tests/test_bn_refresh.py).
-
-    Returns a new batch_stats tree. Raises ValueError on an empty
-    ``batches``.
+    For repeated refreshes (per-epoch validation), build one
+    :class:`BNRefresher` and reuse it — this wrapper creates a fresh
+    jitted extraction function every call.
     """
-
-    @jax.jit
-    def raw_batch_stats(p, stats_in, x, key):
-        _, mut = module.apply(
-            {"params": p, "batch_stats": stats_in},
-            x,
-            training=True,
-            rngs={"dropout": key},
-            mutable=["batch_stats"],
-        )
-        # s_b = (new - m*old)/(1-m): recovers THIS batch's raw mean/var
-        # from the momentum update, exactly, for any anchor values.
-        return jax.tree_util.tree_map(
-            lambda n, o: (n.astype(jnp.float32) - momentum * o)
-            / (1.0 - momentum),
-            mut["batch_stats"],
-            stats_in,
-        )
-
-    total = None
-    count = 0
-    for x in batches:
-        s = raw_batch_stats(
-            params, batch_stats, x, jax.random.fold_in(rng, count)
-        )
-        # accumulate (mean_b, var_b + mean_b^2) per BN
-        term = _tree_bn_map(
-            lambda d: {"mean": d["mean"], "var": d["var"] + d["mean"] ** 2},
-            s,
-        )
-        total = (
-            term
-            if total is None
-            else jax.tree_util.tree_map(jnp.add, total, term)
-        )
-        count += 1
-    if total is None:
-        raise ValueError("compute_precise_batch_stats needs >= 1 batch")
-
-    avg = jax.tree_util.tree_map(lambda v: v / count, total)
-    return _tree_bn_map(
-        lambda d: {
-            "mean": d["mean"],
-            # law of total variance; clamp tiny negative f32 residue
-            "var": jnp.maximum(d["var"] - d["mean"] ** 2, 0.0),
-        },
-        avg,
+    refresher = BNRefresher(
+        module, momentum=momentum, deterministic=deterministic
+    )
+    return refresher(
+        params, batch_stats, batches, rng=rng, cross_process=cross_process
     )

@@ -238,7 +238,11 @@ class S2DTrainForward:
     # -- full forward -----------------------------------------------------
 
     def apply(self, variables, x, training: bool = False, rngs=None,
-              mutable=None):
+              mutable=None, stats_mode: bool = False):
+        # stats_mode=True mirrors UNetModule: BatchNorm in
+        # batch-statistics mode, Dropout off (deterministic precise-BN
+        # collection, ops/bn_refresh.py).
+        bn_training = training or stats_mode
         params = variables["params"]
         stats = variables["batch_stats"]
         new_stats = {}
@@ -248,7 +252,7 @@ class S2DTrainForward:
         def run(x, i, kind, in_perm=None, presum=False):
             name = f"ConvBlock_{i}"
             y, ns = self._block(
-                x, params[name], stats[name], training, kind,
+                x, params[name], stats[name], bn_training, kind,
                 in_perm=in_perm, presum=presum,
             )
             new_stats[name] = ns

@@ -171,6 +171,10 @@ def _resume_run_config(
         # them against a different monitored quantity (or direction)
         # silently corrupts best-checkpoint selection.
         "model_save_monitor": list(training_params.model_save_monitor),
+        # val metrics (hence the restored best_monitor / best_es values)
+        # were computed under one statistics semantics; resuming under
+        # the other silently mixes the two selection signals.
+        "bn_precise_val": training_params.bn_precise_val,
         "training_dataset_md5": dataset_md5,
     }
 
@@ -398,6 +402,14 @@ def save_training_params_file(
             opt_name = getattr(
                 opt_con, "__name__", type(opt_con).__qualname__
             )
+        # Framework-only provenance attrs (absent from the reference's
+        # writer): record whether the saved checkpoints' batch_stats are
+        # precise-BN population statistics rather than Keras rolling
+        # statistics, and whether epoch val metrics used the precise-BN
+        # refresh — downstream parity comparisons must know which
+        # semantics a run used (ADVICE r4).
+        f.attrs["bn_precise_stats"] = bool(train_params.bn_precise_stats)
+        f.attrs["bn_precise_val"] = bool(train_params.bn_precise_val)
         f.attrs["optimizer"] = np.bytes_(opt_name)
         for key, val in opt_config.items():
             if val is None:
@@ -951,6 +963,63 @@ def train_model(
             )
         log.info(f"{name} generator total number of samples: {total}")
 
+    # --- precise-BN machinery (ops/bn_refresh.py), shared by the
+    # per-epoch validation refresh (bn_precise_val) and checkpoint
+    # finalization (bn_precise_stats). One BNRefresher instance so the
+    # extraction forward compiles once for the whole run.
+    bn_refresher = None
+    if (
+        training_params.bn_precise_stats or training_params.bn_precise_val
+    ) and state.batch_stats:
+        from ..ops.bn_refresh import BNRefresher
+
+        bn_refresher = BNRefresher(compute_module)
+
+    # Equal-size batches (the law-of-total-variance aggregation assumes
+    # them). When the training set is smaller than the batch size
+    # (possible with precomputed augmentation modes, whose generator
+    # guard counts augmented samples) fall back to one all-images batch
+    # instead of zero batches.
+    stat_bs = min(local_batch_size, len(train_images))
+    n_stat_full = (len(train_images) // stat_bs) * stat_bs
+
+    def _stat_batches():
+        for start in range(0, n_stat_full, stat_bs):
+            yield jnp.asarray(
+                preprocess_fn(
+                    train_images[start : start + stat_bs].astype(np.float32)
+                )
+            )
+
+    def _refresh_stats(params, stats, key):
+        """Precise population BN stats of the (un-augmented) local
+        training shard under ``params``; multi-host runs aggregate the
+        accumulators across every process's shard (all processes must
+        call this together)."""
+        if proc_count > 1:
+            # plain-jit inputs must be process-addressable
+            params = jax.device_get(params)
+            stats = jax.device_get(stats)
+        return bn_refresher(
+            params,
+            stats,
+            _stat_batches(),
+            rng=key,
+            cross_process=proc_count > 1,
+        )
+
+    bn_refresh_base_key = jax.random.PRNGKey(
+        0 if training_params.seed is None else training_params.seed
+    )
+    use_precise_val = training_params.bn_precise_val and bn_refresher is not None
+    if use_precise_val:
+        log.info(
+            "Epoch val metrics use precise-BN statistics refreshed under "
+            "each epoch's weights (bn_precise_val=True; one extra forward "
+            "pass over the training set per epoch — set False for "
+            "Keras-exact rolling-statistics val metrics)"
+        )
+
     best_monitor = None
     best_es = None
     best_ckpt_path = None
@@ -1097,12 +1166,29 @@ def train_model(
                 break
             train_gen.on_epoch_end()
 
+            # Validation state: with bn_precise_val the metrics that drive
+            # best-checkpoint selection and early stopping are computed
+            # with population statistics refreshed under THIS epoch's
+            # weights — the rolling statistics in the train state are NOT
+            # overwritten (the training trajectory and, with
+            # bn_precise_stats=False, the saved rolling stats stay
+            # bitwise reference-exact).
+            if use_precise_val:
+                val_state = state._replace(
+                    batch_stats=_refresh_stats(
+                        state.params,
+                        state.batch_stats,
+                        jax.random.fold_in(bn_refresh_base_key, epoch),
+                    )
+                )
+            else:
+                val_state = state
             val_losses, val_metrics = [], []
             val_batches = (
                 (np.asarray(bi, np.float32), np.asarray(bl)) for bi, bl in val_gen
             )
             for images, labels in prefetch_to_mesh(val_batches, mesh):
-                loss_val, metric_val = eval_step(state, images, labels)
+                loss_val, metric_val = eval_step(val_state, images, labels)
                 val_losses.append(loss_val)
                 val_metrics.append(metric_val)
             val_gen.on_epoch_end()
@@ -1136,21 +1222,25 @@ def train_model(
             if improved:
                 best_monitor = monitored
                 best_variables = state_host
-            if (improved or not training_params.model_save_best) and is_main_process:
+            if improved or not training_params.model_save_best:
                 # remember the file AND the weights it holds (with
                 # model_save_best=False the last file is last-epoch
                 # weights, not best-monitor weights) for the precise-BN
-                # re-save at finalization
+                # re-save at finalization. Tracked on EVERY process —
+                # the metrics driving `improved` are global collectives,
+                # so all processes agree, and the multi-host finalization
+                # refresh needs every process to participate.
                 best_ckpt_path = (
                     save_foldername / f"model_epoch{epoch + 1:02d}{ckpt_suffix}"
                 )
                 best_ckpt_variables = state_host
-                ckpt_save(
-                    best_ckpt_path,
-                    model_name,
-                    model_container.get_config(),
-                    state_host,
-                )
+                if is_main_process:
+                    ckpt_save(
+                        best_ckpt_path,
+                        model_name,
+                        model_container.get_config(),
+                        state_host,
+                    )
 
             # Early stopping on val_<metric>, mode max, like the reference
             # (`training/training.py:335-342`).
@@ -1236,7 +1326,9 @@ def train_model(
     # (un-augmented) training data under those weights. One extra pass
     # over the training set; measurably restores eval-mode accuracy to
     # train-mode level (see bn_refresh module docstring). Multi-host
-    # runs compute over the local shard (only process 0 saves).
+    # runs aggregate the statistics across every process's data shard
+    # (law-of-total-variance psum — every process participates; only
+    # process 0 saves the result).
     # Skipped after a SIGTERM/SIGINT interrupt: the grace period is for
     # writing final artifacts, not for extra full-dataset passes — the
     # interrupted checkpoint keeps rolling stats and the RESUMED run's
@@ -1246,45 +1338,23 @@ def train_model(
         and final_variables.get("batch_stats")
         and not interrupt_flag
     ):
-        from ..ops.bn_refresh import compute_precise_batch_stats
-
-        # Equal-size batches (the law-of-total-variance aggregation
-        # assumes them). When the training set is smaller than the
-        # batch size (possible with precomputed augmentation modes,
-        # whose generator guard counts augmented samples) fall back to
-        # one all-images batch instead of zero batches.
-        stat_bs = min(local_batch_size, len(train_images))
-        n_full = (len(train_images) // stat_bs) * stat_bs
         log.info(
             "Finalizing BatchNorm statistics: exact population stats over "
-            f"{n_full} training images (bn_precise_stats=True; set False "
-            "for reference-exact rolling statistics)"
+            f"{n_stat_full * proc_count} training images "
+            "(bn_precise_stats=True; set False for reference-exact rolling "
+            "statistics). Only model_final and the recorded best/last "
+            "model_epochNN file carry the precise statistics; earlier "
+            "per-epoch checkpoint files keep their rolling statistics."
         )
-
-        def _stat_batches():
-            for start in range(0, n_full, stat_bs):
-                yield jnp.asarray(
-                    preprocess_fn(
-                        train_images[start : start + stat_bs].astype(
-                            np.float32
-                        )
-                    )
-                )
 
         def _with_precise_stats(variables):
             return {
                 "params": variables["params"],
                 "batch_stats": jax.device_get(
-                    compute_precise_batch_stats(
-                        compute_module,
+                    _refresh_stats(
                         variables["params"],
                         variables["batch_stats"],
-                        _stat_batches(),
-                        jax.random.PRNGKey(
-                            0
-                            if training_params.seed is None
-                            else training_params.seed
-                        ),
+                        bn_refresh_base_key,
                     )
                 ),
             }
@@ -1296,7 +1366,9 @@ def train_model(
         # it holds the same weights as the finalized state (completed
         # run whose last epoch improved; early-stop restore), reuse the
         # stats just computed instead of paying a second full pass.
-        if best_ckpt_path is not None and is_main_process:
+        # Every process runs the refresh (the multi-host aggregation is
+        # collective); only the main process writes the file.
+        if best_ckpt_path is not None:
             same_weights = all(
                 np.array_equal(np.asarray(a), np.asarray(b))
                 for a, b in zip(
@@ -1304,14 +1376,18 @@ def train_model(
                     jax.tree_util.tree_leaves(final_variables["params"]),
                 )
             )
-            ckpt_save(
-                best_ckpt_path,
-                model_name,
-                model_container.get_config(),
+            best_final = (
                 final_variables
                 if same_weights
-                else _with_precise_stats(best_ckpt_variables),
+                else _with_precise_stats(best_ckpt_variables)
             )
+            if is_main_process:
+                ckpt_save(
+                    best_ckpt_path,
+                    model_name,
+                    model_container.get_config(),
+                    best_final,
+                )
 
     if is_main_process:
         final_path = save_foldername / f"model_final{ckpt_suffix}"

@@ -56,6 +56,7 @@ class TrainingParams:
         resume_train_state: Union[Path, str, None] = None,
         resume_config_check: str = "strict",
         bn_precise_stats: bool = True,
+        bn_precise_val: bool = True,
     ):
         n_sources = sum(
             x is not None
@@ -169,6 +170,18 @@ class TrainingParams:
         # 0.51 -> 0.985 on the synthetic task). False restores
         # reference-exact finalization.
         self.bn_precise_stats = bool(bn_precise_stats)
+        # Compute each epoch's val_loss / val_<metric> — the signal that
+        # drives best-checkpoint selection (model_save_monitor) AND early
+        # stopping — with precise-BN statistics refreshed under the
+        # epoch's weights (one extra forward pass over the training set
+        # per epoch) instead of the rolling statistics. The rolling-stats
+        # signal is nearly uninformative exactly where statistics matter:
+        # the r4 flagship run's in-loop val_dice read 0.724 in both runs
+        # while true checkpoint quality was 0.68 vs 0.99995 (PLAN.md).
+        # False restores Keras-exact epoch-metric semantics (and the
+        # extra pass's cost). Saved checkpoints are governed separately
+        # by bn_precise_stats.
+        self.bn_precise_val = bool(bn_precise_val)
 
         # "val_acc" default is rewritten to the configured metric
         # (reference `training_parameters.py:131-136`).

@@ -87,6 +87,88 @@ def test_precise_stats_anchor_independent():
         )
 
 
+def test_anchor_values_never_enter_the_computation():
+    """r5 (ADVICE r4): the recurrence is anchored at a ZEROED stats tree
+    inside the extraction jit, so two calls with wildly different anchor
+    trees are BITWISE equal — no 1/(1-m) cancellation amplification of
+    the anchor's rounding remains."""
+    rng = np.random.default_rng(4)
+    batches = [rng.normal(0, 1, (2, 4, 4, 2)).astype(np.float32)
+               for _ in range(3)]
+    module = _ConvBN()
+    variables = module.init(jax.random.PRNGKey(0), batches[0])
+    a = compute_precise_batch_stats(
+        module, variables["params"], variables["batch_stats"], batches,
+        jax.random.PRNGKey(2),
+    )
+    skewed = jax.tree_util.tree_map(
+        lambda x: x + 1e6, variables["batch_stats"]
+    )
+    b = compute_precise_batch_stats(
+        module, variables["params"], skewed, batches, jax.random.PRNGKey(2),
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_deterministic_mode_drops_dropout_keeps_batch_stats():
+    """deterministic=True collects statistics under a dropout-OFF
+    forward (the modules' stats_mode): rng-independent, and — on a
+    module WITH dropout — different from the dropout-active collection
+    downstream of the Dropout layer, while layers upstream match."""
+    from oct_image_segmentation_models_tpu.models import get_model_class
+    from oct_image_segmentation_models_tpu.ops.bn_refresh import BNRefresher
+
+    container = get_model_class("unet")(
+        input_channels=1, num_classes=3, image_height=16, image_width=16,
+        start_neurons=2, pool_layers=2, conv_layers=1,
+    )
+    module = container.build_model()
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 16, 16, 1), np.float32),
+        training=False,
+    )
+    nprng = np.random.default_rng(6)
+    batches = [nprng.uniform(0, 1, (2, 16, 16, 1)).astype(np.float32)
+               for _ in range(3)]
+
+    det = BNRefresher(module, deterministic=True)
+    d1 = det(variables["params"], variables["batch_stats"], batches,
+             rng=jax.random.PRNGKey(1))
+    d2 = det(variables["params"], variables["batch_stats"], batches,
+             rng=jax.random.PRNGKey(999))
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(d1), jax.tree_util.tree_leaves(d2)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    sto = BNRefresher(module, deterministic=False)
+    s = sto(variables["params"], variables["batch_stats"], batches,
+            rng=jax.random.PRNGKey(1))
+    # With pool_layers=2 / conv_layers=1, ConvBlock_0/1 sit before the
+    # bottleneck Dropout (identical collection), the decoder blocks
+    # after it (dropout noise enters the statistics).
+    np.testing.assert_array_equal(
+        np.asarray(d1["ConvBlock_0"]["BatchNorm_0"]["mean"]),
+        np.asarray(s["ConvBlock_0"]["BatchNorm_0"]["mean"]),
+    )
+    post = [
+        k for k in d1
+        if int(k.split("_")[1]) > 2  # blocks after the bottleneck
+    ]
+    assert post
+    assert any(
+        not np.allclose(
+            np.asarray(d1[k]["BatchNorm_0"]["var"]),
+            np.asarray(s[k]["BatchNorm_0"]["var"]),
+            rtol=1e-6,
+        )
+        for k in post
+    ), "dropout had no effect downstream — stats_mode wiring suspect"
+
+
 def test_empty_batches_raise():
     module = _ConvBN()
     variables = module.init(

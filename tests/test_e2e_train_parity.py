@@ -66,6 +66,11 @@ KERAS_ONLY_OPT_KNOBS = {
 OPTAX_ONLY_OPT_KNOBS = {
     "opt_param: eps_root",
     "opt_param: nesterov",
+    # provenance attrs recording whether the run used precise-BN
+    # checkpoint statistics / val metrics (ADVICE r4 — downstream parity
+    # comparisons must be able to see the semantics departure)
+    "bn_precise_stats",
+    "bn_precise_val",
 }
 # Value compared for presence only (wall clock / framework-rendered).
 PRESENCE_ONLY_ATTRS = {"timestamp", "model_summary"}

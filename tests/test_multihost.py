@@ -116,6 +116,149 @@ np.save(f"{outdir}/weights{pid}.npy", flat)
 """
 
 
+_PRECISE_BN_WORKER = """
+import json, sys
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+coordinator, pid, dataset, outdir = sys.argv[1:5]
+pid = int(pid)
+jax.distributed.initialize(coordinator, num_processes=2, process_id=pid)
+
+from oct_image_segmentation_models_tpu.training import (
+    TrainingParams,
+    train_model,
+)
+
+params = TrainingParams(
+    model_architecture="unet",
+    training_dataset_path=dataset,
+    initial_model=None,
+    results_location=f"{outdir}/proc{pid}",
+    opt_con="adam",
+    opt_params={"learning_rate": 1e-3},
+    loss="dice_loss_macro",
+    metric="dice_coef_macro",
+    epochs=2,
+    batch_size=4,
+    model_hyperparameters={"start_neurons": 2, "pool_layers": 2},
+    seed=0,
+    train_step_impl="shard_map",
+    # parity forward: the expected-stats recomputation in the parent
+    # test uses the plain module (s2d-vs-parity differ by ~5e-4)
+    train_forward_impl="parity",
+)
+folder = train_model(params, None)
+with open(f"{outdir}/result{pid}.json", "w") as fh:
+    json.dump({"folder": str(folder), "pid": pid}, fh)
+"""
+
+
+def test_two_process_precise_bn_covers_all_shards(tmp_path):
+    """Multi-host precise-BN finalization (VERDICT r4 #4): the shipped
+    checkpoint's population statistics must cover EVERY process's data
+    shard (cross-process law-of-total-variance aggregation), not just
+    process 0's half. Recomputes the expected statistics per shard
+    single-process and combines them algebraically."""
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=8, n_val=4, n_test=2,
+                      h=16, w=16)
+    worker = tmp_path / "precise_worker.py"
+    worker.write_text(_PRECISE_BN_WORKER)
+    coordinator = f"localhost:{_free_port()}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parent.parent)
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(pid), str(ds),
+             str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    import h5py
+    import jax
+
+    from oct_image_segmentation_models_tpu.common import model_io
+    from oct_image_segmentation_models_tpu.models import get_model_class
+    from oct_image_segmentation_models_tpu.ops.bn_refresh import (
+        compute_precise_batch_stats,
+    )
+
+    folder0 = Path(
+        json.loads((tmp_path / "result0.json").read_text())["folder"]
+    )
+    loaded, config = model_io.load_model_and_config(
+        folder0 / "model_final.hdf5"
+    )
+    container = get_model_class("unet")(**config)
+    module = container.build_model()
+    params = loaded.variables["params"]
+    template = loaded.variables["batch_stats"]
+
+    with h5py.File(ds, "r") as f:
+        train_images = f["train_images"][:]
+
+    # Mirror the driver's sharding (training.py: strided slice trimmed
+    # to equal size), per-shard batch layout (local_batch_size = 2), and
+    # per-process dropout key stream (fold_in(seed_key, local_count)) —
+    # then combine the two shard results with the same equal-count
+    # law-of-total-variance algebra the cross-process path uses.
+    key = jax.random.PRNGKey(0)  # seed=0
+    shard_stats = []
+    for pid in range(2):
+        shard = train_images[pid::2][: len(train_images) // 2]
+        batches = [
+            np.asarray(shard[s : s + 2], np.float32) / 255.0
+            for s in range(0, len(shard), 2)
+        ]
+        shard_stats.append(
+            compute_precise_batch_stats(module, params, template, batches, key)
+        )
+
+    def combine(a, b):
+        mean = (a["mean"] + b["mean"]) / 2
+        ex2 = (
+            a["var"] + np.asarray(a["mean"]) ** 2
+            + b["var"] + np.asarray(b["mean"]) ** 2
+        ) / 2
+        return {"mean": mean, "var": np.maximum(ex2 - mean**2, 0.0)}
+
+    for name, got in loaded.variables["batch_stats"].items():
+        want = combine(
+            {k: np.asarray(v) for k, v in shard_stats[0][name]["BatchNorm_0"].items()},
+            {k: np.asarray(v) for k, v in shard_stats[1][name]["BatchNorm_0"].items()},
+        )
+        for stat in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(got["BatchNorm_0"][stat]),
+                want[stat],
+                rtol=2e-5,
+                atol=1e-6,
+                err_msg=f"{name}/{stat}: finalized stats do not cover "
+                "both process shards",
+            )
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("localhost", 0))
