@@ -226,19 +226,38 @@ def calc_errors(prediction, truth):
     return np.where(invalid, np.nan, prediction - truth)
 
 
-def segment_maps(prob_maps, truths, graph_structure: GraphStructure):
+def segment_maps(
+    prob_maps,
+    truths,
+    graph_structure: GraphStructure,
+    float_map_backend: str = "device",
+):
     """Delineate a stack of maps and compute per-column errors —
     reference `graph_search.py:519-572`.
 
     Args:
       prob_maps: uint8 ``(num_maps, W, H)`` (0..255).
       truths: ``(num_maps, W)`` true rows or None.
+      float_map_backend: routing for NON-quantized float maps (uint8 and
+        integer-valued-float maps always take the bit-exact integer
+        device DP). ``"device"`` (default): the batched device float DP
+        (cost-optimal "fast" tie semantics — the divergence budget in
+        tests/test_minpath.py covers realistic maps, not adversarial
+        dense lattices). ``"host"``: the per-map host Dijkstra, the
+        reference's exact float64 heap semantics (~1000x slower) — the
+        exactness escape hatch for callers that need reference heap
+        tie order on arbitrary float maps.
 
     Returns ``(predictions uint16, errors float64, prob_maps/255)``.
     (The reference's ``errors[map_ind:,]`` slice bug, `:568-570`, is
     accidentally benign — the final array equals the per-map errors — so
     the clean semantics here are output-identical.)
     """
+    if float_map_backend not in ("device", "host"):
+        raise ValueError(
+            f"unknown float_map_backend: {float_map_backend!r} "
+            "(expected 'device' or 'host')"
+        )
     prob_maps = np.asarray(prob_maps)
     num_maps, width = prob_maps.shape[0], prob_maps.shape[1]
 
@@ -266,13 +285,32 @@ def segment_maps(prob_maps, truths, graph_structure: GraphStructure):
                     maps_u8, max_grad=graph_structure.max_grad
                 )
             ).astype(np.uint16)
+        elif float_map_backend == "host":
+            # exactness escape hatch (ADVICE r4): reference float64 heap
+            # semantics via the per-map host Dijkstra
+            log.info(
+                "segment_maps: non-quantized float maps (dtype=%s) with "
+                "float_map_backend='host' — per-map host Dijkstra "
+                "(reference-exact heap tie order, ~1000x the device DP)",
+                prob_maps.dtype,
+            )
+            predictions = np.stack(
+                [
+                    delineate_boundary(
+                        prob_maps[m] / 255.0, graph_structure
+                    )
+                    for m in range(num_maps)
+                ]
+            ).astype(np.uint16)
         else:
             log.info(
                 "segment_maps: non-quantized float maps "
                 "(dtype=%s) take the device float DP — cost-optimal "
                 "'fast' tie semantics (the reference's float64 heap "
                 "tie order is rounding-noise-dependent and not "
-                "reproducible; see ops/minpath.delineate_float)",
+                "reproducible; see ops/minpath.delineate_float). "
+                "float_map_backend='host' restores the reference's "
+                "exact heap semantics",
                 prob_maps.dtype,
             )
             predictions = np.asarray(

@@ -157,6 +157,45 @@ def test_segment_maps_float_maps_device_dp_cost_optimal(caplog):
     assert np.abs(preds[0].astype(float) - ref).max() <= 0.0
 
 
+def test_segment_maps_float_map_backend_host_matches_dijkstra(caplog):
+    """float_map_backend='host' (ADVICE r4 escape hatch): non-quantized
+    float maps route to the per-map host Dijkstra — bitwise equal to
+    calling delineate_boundary directly (reference-exact float64 heap
+    semantics)."""
+    import logging
+
+    w, h = 12, 9
+    rng = np.random.default_rng(7)
+    rows = np.clip(4 + np.cumsum(rng.integers(-1, 2, w)), 1, h - 2)
+    m01 = np.clip(
+        (_ridge(w, h, rows) / 255.0) + rng.normal(0, 0.05, (w, h)), 0, 1
+    )
+    m255 = m01 * 255.0
+    gs = graph_search.create_graph_structure((w, h))
+    with caplog.at_level(logging.INFO, logger=graph_search.log.name):
+        preds, _, _ = graph_search.segment_maps(
+            m255[None], None, gs, float_map_backend="host"
+        )
+    assert any(
+        "host Dijkstra" in r.getMessage() for r in caplog.records
+    )
+    ref = graph_search.delineate_boundary(m255 / 255.0, gs)
+    np.testing.assert_array_equal(preds[0], ref.astype(np.uint16))
+    # integer-valued float maps still take the bit-exact integer DP
+    # (the backend knob only governs NON-quantized maps)
+    mi = _ridge(w, h, rows).astype(np.float64)
+    p_host, _, _ = graph_search.segment_maps(
+        mi[None], None, gs, float_map_backend="host"
+    )
+    p_dev, _, _ = graph_search.segment_maps(mi[None], None, gs)
+    np.testing.assert_array_equal(p_host, p_dev)
+
+    with __import__("pytest").raises(ValueError, match="float_map_backend"):
+        graph_search.segment_maps(
+            m255[None], None, gs, float_map_backend="banana"
+        )
+
+
 def test_segment_maps_vertical_logs_info_not_warning(caplog):
     """Vertical structures (no device path exists) log info, not an
     unactionable warning (ADVICE r3)."""
