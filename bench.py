@@ -785,6 +785,27 @@ def pipeline_parity_probe(accel, variables, n_cpu=2):
     return mae, div
 
 
+def run_kernel_probe_with_retry(probe_fn, log=None):
+    """Run the kernel parity probe, retrying ONCE on a crash (VERDICT r4
+    #6) before fail-opening to a disclosed ``probe_error`` dict (which
+    :func:`parity_verdict` turns into ``ok=None`` — parity UNKNOWN, run
+    not failed). A mismatch is not an exception and never retries —
+    fail-closed semantics are untouched."""
+    log = log or (lambda msg: None)
+    try:
+        return probe_fn()
+    except Exception as first_exc:  # noqa: BLE001 — disclosed below
+        log(f"kernel parity probe CRASHED ({first_exc!r}); retrying once")
+        try:
+            return probe_fn()
+        except Exception as exc:  # noqa: BLE001 — disclosed, not hidden
+            log(f"kernel parity probe retry CRASHED ({exc!r})")
+            return {
+                "probe_error": repr(exc),
+                "probe_error_first_attempt": repr(first_exc),
+            }
+
+
 PARITY_BUDGET_PX = 0.05
 
 
@@ -880,17 +901,16 @@ def main():
         # Fail-open on INFRASTRUCTURE errors (a probe crash — e.g. CPU
         # OOM compiling the reference DP — must not cost the run its
         # benchmark record), fail-closed on actual mismatches: a probe
-        # that RUNS and disagrees still exits 1 below.
-        try:
-            device_parity = device_parity_kernel_probe(accel)
-        except Exception as exc:  # noqa: BLE001 — disclosed, not hidden
-            device_parity = {"probe_error": repr(exc)}
-            print(
-                f"bench: kernel parity probe CRASHED ({exc!r}); "
-                "recording the error and continuing",
-                file=_sys.stderr,
-                flush=True,
-            )
+        # that RUNS and disagrees still exits 1 below. One retry before
+        # surrendering to ok=null (VERDICT r4 #6): a transient tunnel
+        # hiccup should not leave the canonical artifact with parity
+        # UNKNOWN.
+        device_parity = run_kernel_probe_with_retry(
+            lambda: device_parity_kernel_probe(accel),
+            log=lambda msg: print(
+                f"bench: {msg}", file=_sys.stderr, flush=True
+            ),
+        )
         print(
             f"bench: kernel probe {device_parity}",
             file=_sys.stderr,
@@ -902,22 +922,29 @@ def main():
         file=_sys.stderr,
         flush=True,
     )
+    t_headline0 = time.time()
     module, loop_factory = build_pipeline(
         "float32", "auto", K_ITERS, mode="s2d", tie_parity=tie_parity
     )
     tp_accel = time_loop(module, loop_factory, accel, images_np, K_ITERS)
+    t_headline = time.time() - t_headline0
     alt_parity = "exact" if tie_parity == "fast" else "fast"
     tp_alt = None
     # The remote compiler has a degraded mode where big compiles take
-    # 15-20 min (PLAN.md r3 gotcha). If the headline measurement already
-    # burned that long, skip the disclosure-only alt-mode measurement
-    # rather than risk the caller's timeout killing the whole run.
+    # 15-20 min (PLAN.md r3 gotcha). Budgets are PER PHASE (VERDICT r4
+    # #2: r4's total-elapsed guard let slow PROBE compiles skip the
+    # disclosed exact-tie measurement): the alt mode is skipped only
+    # when the HEADLINE phase itself — whose compile cost predicts the
+    # alt phase's (same conv stack, one extra kernel body) — blew the
+    # budget; the much more expensive train phase keeps its own
+    # total-elapsed guard below, so a degraded window can only cost the
+    # train phase, never a disclosed inference mode.
     alt_budget = float(os.environ.get("BENCH_ALT_BUDGET_S", "900"))
     if os.environ.get("BENCH_SKIP_ALT", "0") == "1":
         pass
-    elif time.time() - t_start > alt_budget:
+    elif t_headline > alt_budget:
         print(
-            f"bench: headline measurement took {time.time() - t_start:.0f}s "
+            f"bench: headline phase alone took {t_headline:.0f}s "
             "(degraded compile window?); skipping the alt-tie-mode "
             "measurement",
             file=_sys.stderr,

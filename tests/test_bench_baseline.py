@@ -308,3 +308,48 @@ def test_parity_verdict_semantics():
                       pipeline_probe_error="x")
     assert bench.parity_verdict(pipe_crash) is False
     assert pipe_crash["ok"] is True
+
+
+def test_kernel_probe_retry_semantics():
+    """VERDICT r4 #6: a crashed kernel probe retries ONCE before
+    fail-opening to the disclosed probe_error dict; a transient
+    first-attempt failure recovers; mismatches (non-exceptions) never
+    retry."""
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("tunnel hiccup")
+        return {"kernel_bitwise_fast": True, "kernel_bitwise_exact": True,
+                "exact_oracle_bitwise": True}
+
+    out = bench.run_kernel_probe_with_retry(flaky)
+    assert len(calls) == 2
+    assert out["kernel_bitwise_fast"] is True
+    assert "probe_error" not in out
+    # the recovered result passes the verdict like any executed probe
+    assert bench.parity_verdict(dict(out)) is False
+
+    def always_crashes():
+        calls.append(1)
+        raise RuntimeError("persistent outage")
+
+    calls.clear()
+    out = bench.run_kernel_probe_with_retry(always_crashes)
+    assert len(calls) == 2  # exactly one retry, not a loop
+    assert "probe_error" in out and "probe_error_first_attempt" in out
+    assert bench.parity_verdict(out) is False and out["ok"] is None
+
+    # a probe that RUNS and reports a mismatch is returned verbatim
+    # (one call — retries are for crashes, not disagreements)
+    calls.clear()
+
+    def mismatching():
+        calls.append(1)
+        return {"kernel_bitwise_fast": False, "kernel_bitwise_exact": True,
+                "exact_oracle_bitwise": True}
+
+    out = bench.run_kernel_probe_with_retry(mismatching)
+    assert len(calls) == 1
+    assert bench.parity_verdict(dict(out)) is True  # fail-closed intact

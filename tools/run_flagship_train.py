@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--n-train", type=int, default=80)
     ap.add_argument("--n-val", type=int, default=16)
     ap.add_argument("--n-test", type=int, default=8)
+    # A/B arm for the model-selection-signal fix (VERDICT r4 #1): 0
+    # restores the rolling-stats val metrics the r4 runs recorded.
+    ap.add_argument("--bn-precise-val", type=int, default=1)
     args = ap.parse_args()
 
     wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "2400"))
@@ -116,6 +119,7 @@ def main():
         aug_probs=(0.5, 0.5),
         aug_fly=True,
         seed=0,
+        bn_precise_val=bool(args.bn_precise_val),
     )
 
     t0 = time.perf_counter()
@@ -175,6 +179,11 @@ def main():
         "final_train_loss": round(float(train_loss[-1]), 5),
         "final_val_dice": round(float(val_metric[-1]), 5),
         "best_val_dice": round(float(val_metric.max()), 5),
+        # which epoch the val_<metric>/max monitor would select — the
+        # quantity the bn_precise_val signal fix is about
+        "best_val_epoch": int(np.nanargmax(val_metric)) + 1,
+        "bn_precise_val": bool(args.bn_precise_val),
+        "val_dice_series": [round(float(v), 4) for v in val_metric],
         "eval_wall_s": round(eval_wall, 1),
         "eval_dice_macro_mean": round(
             float(np.mean(overall.get("mean_dice_coef_macro", np.nan))), 5
