@@ -100,17 +100,34 @@ class BNRefresher:
         deterministic: bool = False,
     ):
         self.deterministic = bool(deterministic)
+        self._module = module
+        self._momentum = momentum
+        self._raw = None  # built on first call (needs the tree's shapes)
+
+    def _build(self, batch_stats):
+        # The anchor tree is all zeros and its SHAPES are fixed per
+        # module, so it is a captured constant (a few KB of BN channel
+        # vectors), not a traced argument — passing the caller's stats
+        # tree as a runtime operand would force a pointless
+        # host-fetch + re-upload of it on every refresh (it only ever
+        # got zeros_like'd; its values never enter the computation).
+        zeros = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype),
+            jax.device_get(batch_stats),
+        )
+        module, momentum, deterministic = (
+            self._module, self._momentum, self.deterministic
+        )
 
         @jax.jit
-        def _raw_batch_stats(p, stats_template, x, key):
+        def _raw_batch_stats(p, x, key):
             # Anchor the momentum recurrence at zero: the mutable output
             # is then (1 - m) * s_b up to one rounding, and recovery is
             # a single division. Training-mode BN *outputs* never read
             # the running values (they normalize with the batch
             # statistics), so zeroing the anchor cannot change the
             # forward computation.
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, stats_template)
-            if self.deterministic:
+            if deterministic:
                 _, mut = module.apply(
                     {"params": p, "batch_stats": zeros},
                     x,
@@ -145,8 +162,11 @@ class BNRefresher:
 
         Args:
           params / batch_stats: the weights and any same-shaped stats
-            tree (used only as a shape/dtype template — values never
-            enter the computation).
+            tree. The stats are used ONCE, at the refresher's first
+            call, as the shape/dtype template for the zero anchor baked
+            into the extraction jit — values never enter the
+            computation, and later calls ignore the argument entirely
+            (one BNRefresher serves one module's tree structure).
           batches: iterable of equal-size input batches (already
             preprocessed, i.e. what the module's forward consumes).
           rng: dropout key (ignored with ``deterministic=True``).
@@ -165,12 +185,12 @@ class BNRefresher:
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        if self._raw is None:
+            self._build(batch_stats)
         total = None
         count = 0
         for x in batches:
-            s = self._raw(
-                params, batch_stats, x, jax.random.fold_in(rng, count)
-            )
+            s = self._raw(params, x, jax.random.fold_in(rng, count))
             # accumulate (mean_b, var_b + mean_b^2) per BN
             term = _tree_bn_map(
                 lambda d: {"mean": d["mean"], "var": d["var"] + d["mean"] ** 2},

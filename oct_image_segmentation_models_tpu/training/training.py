@@ -1020,9 +1020,9 @@ def train_model(
         accumulators across every process's shard (all processes must
         call this together)."""
         if proc_count > 1:
-            # plain-jit inputs must be process-addressable
+            # plain-jit inputs must be process-addressable (stats are
+            # only a first-call shape template — no fetch needed)
             params = jax.device_get(params)
-            stats = jax.device_get(stats)
         return bn_refresher(
             params,
             stats,
@@ -1355,12 +1355,26 @@ def train_model(
     # Skipped after a SIGTERM/SIGINT interrupt: the grace period is for
     # writing final artifacts, not for extra full-dataset passes — the
     # interrupted checkpoint keeps rolling stats and the RESUMED run's
-    # finalization performs the refresh.
-    if (
+    # finalization performs the refresh. The skip decision must be
+    # COLLECTIVE on multi-host runs: the refresh's cross-process
+    # aggregation is a collective, so a signal that reached only a
+    # subset of processes would leave the others blocked in it forever
+    # (same agreement pattern as the epoch loop's stop_now).
+    interrupted = bool(interrupt_flag)
+    if proc_count > 1 and training_params.train_state_checkpoint:
+        from jax.experimental import multihost_utils
+
+        interrupted = bool(
+            np.asarray(
+                multihost_utils.process_allgather(np.int32(interrupted))
+            ).any()
+        )
+    precise_stats_applied = (
         training_params.bn_precise_stats
-        and final_variables.get("batch_stats")
-        and not interrupt_flag
-    ):
+        and bool(final_variables.get("batch_stats"))
+        and not interrupted
+    )
+    if precise_stats_applied:
         log.info(
             "Finalizing BatchNorm statistics: exact population stats over "
             f"{n_stat_full * proc_count} training images "
@@ -1413,6 +1427,24 @@ def train_model(
                 )
 
     if is_main_process:
+        # The attrs written at run start record the CONFIGURED knobs;
+        # this one records whether the precise-stats finalization
+        # actually happened — a SIGTERM-interrupted run (or a BN-less
+        # model) ships rolling-stats checkpoints despite
+        # bn_precise_stats=True, and downstream parity comparisons need
+        # the applied semantics, not the intent.
+        try:
+            with h5py.File(
+                save_foldername / "training_params.hdf5", "a"
+            ) as f:
+                f.attrs["bn_precise_stats_applied"] = bool(
+                    precise_stats_applied
+                )
+        except OSError:  # artifact missing/unwritable: never fail the run
+            log.warning(
+                "could not record bn_precise_stats_applied in "
+                "training_params.hdf5"
+            )
         final_path = save_foldername / f"model_final{ckpt_suffix}"
         ckpt_save(
             final_path,

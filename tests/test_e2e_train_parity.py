@@ -68,9 +68,12 @@ OPTAX_ONLY_OPT_KNOBS = {
     "opt_param: nesterov",
     # provenance attrs recording whether the run used precise-BN
     # checkpoint statistics / val metrics (ADVICE r4 — downstream parity
-    # comparisons must be able to see the semantics departure)
+    # comparisons must be able to see the semantics departure); the
+    # _applied variant records whether finalization actually ran
+    # (False on interrupted runs despite the knob)
     "bn_precise_stats",
     "bn_precise_val",
+    "bn_precise_stats_applied",
 }
 # Value compared for presence only (wall clock / framework-rendered).
 PRESENCE_ONLY_ATTRS = {"timestamp", "model_summary"}

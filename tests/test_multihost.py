@@ -116,6 +116,111 @@ np.save(f"{outdir}/weights{pid}.npy", flat)
 """
 
 
+_INTERRUPT_WORKER = """
+import json, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+coordinator, pid, dataset, outdir = sys.argv[1:5]
+pid = int(pid)
+jax.distributed.initialize(coordinator, num_processes=2, process_id=pid)
+
+from oct_image_segmentation_models_tpu.training import (
+    TrainingParams,
+    train_model,
+)
+
+params = TrainingParams(
+    model_architecture="unet",
+    training_dataset_path=dataset,
+    initial_model=None,
+    results_location=f"{outdir}/proc{pid}",
+    opt_con="adam",
+    loss="dice_loss_macro",
+    metric="dice_coef_macro",
+    epochs=500,
+    batch_size=4,
+    model_hyperparameters={"start_neurons": 2, "pool_layers": 2},
+    seed=0,
+    train_step_impl="shard_map",
+    train_state_checkpoint=True,
+)
+folder = train_model(params, None)
+with open(f"{outdir}/result{pid}.json", "w") as fh:
+    json.dump({"folder": str(folder)}, fh)
+"""
+
+
+def test_two_process_interrupt_on_one_process_finalizes_both(tmp_path):
+    """SIGTERM delivered to only ONE process must stop BOTH cleanly:
+    the epoch-boundary stop is already collective, and (r5 review
+    finding) the precise-BN finalization skip must be collective too —
+    a per-process skip decision left the un-signaled process blocked
+    forever in the cross-process statistics aggregation. Artifacts must
+    record that the precise finalization did NOT run."""
+    import signal
+    import time
+
+    import h5py
+
+    ds = make_dataset(tmp_path / "ds.hdf5", n_train=8, n_val=4, n_test=2,
+                      h=16, w=16)
+    worker = tmp_path / "interrupt_worker.py"
+    worker.write_text(_INTERRUPT_WORKER)
+    coordinator = f"localhost:{_free_port()}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parent.parent)
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(pid), str(ds),
+             str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    # Signal ONLY process 1 once process 0 has completed >= 2 epochs.
+    deadline = time.time() + 240
+    fired = False
+    while time.time() < deadline and not fired:
+        if any(
+            int(p.name[len("stats_epoch"):-len(".hdf5")]) >= 2
+            for p in (tmp_path / "proc0").glob("*/stats_epoch*.hdf5")
+        ):
+            procs[1].send_signal(signal.SIGTERM)
+            fired = True
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.1)
+    assert fired, "epoch-2 stats never appeared; training stalled"
+
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    folder = Path(
+        json.loads((tmp_path / "result0.json").read_text())["folder"]
+    )
+    assert (folder / "model_final.hdf5").exists()
+    with h5py.File(folder / "training_params.hdf5", "r") as f:
+        assert bool(f.attrs["bn_precise_stats"]) is True
+        assert bool(f.attrs["bn_precise_stats_applied"]) is False
+
+
 _PRECISE_BN_WORKER = """
 import json, sys
 import numpy as np

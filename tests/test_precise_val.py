@@ -140,6 +140,9 @@ def test_precise_val_attr_recorded(paired_runs):
         with h5py.File(folder / "training_params.hdf5", "r") as f:
             assert bool(f.attrs["bn_precise_stats"]) is True
             assert bool(f.attrs["bn_precise_val"]) is want
+            # completed run: the finalization actually happened, and the
+            # applied-semantics attr (written at finalization) says so
+            assert bool(f.attrs["bn_precise_stats_applied"]) is True
 
 
 def test_resume_identity_includes_precise_val(tmp_path):

@@ -1023,6 +1023,13 @@ def test_sigterm_interrupt_saves_and_resumes(dataset, tmp_path):
     t.join(timeout=5)
     # Stopped early but finalized: final checkpoint + rolling train state.
     assert (folder / "model_final.hdf5").exists()
+    # The interrupted run skips precise-BN finalization (grace-period
+    # policy) — the artifact must record the APPLIED semantics, not the
+    # configured default (r5 review finding: parity comparisons read
+    # this attr).
+    with h5py.File(folder / "training_params.hdf5", "r") as f:
+        assert bool(f.attrs["bn_precise_stats"]) is True  # the knob
+        assert bool(f.attrs["bn_precise_stats_applied"]) is False
     state_file = folder / "train_state_latest.npz"
     assert state_file.exists()
     from oct_image_segmentation_models_tpu.training.training import (
