@@ -785,17 +785,31 @@ def pipeline_parity_probe(accel, variables, n_cpu=2):
     return mae, div
 
 
-def run_kernel_probe_with_retry(probe_fn, log=None):
+def run_kernel_probe_with_retry(probe_fn, log=None, retry_delay_s=20.0):
     """Run the kernel parity probe, retrying ONCE on a crash (VERDICT r4
     #6) before fail-opening to a disclosed ``probe_error`` dict (which
     :func:`parity_verdict` turns into ``ok=None`` — parity UNKNOWN, run
     not failed). A mismatch is not an exception and never retries —
-    fail-closed semantics are untouched."""
+    fail-closed semantics are untouched.
+
+    The retry waits ``retry_delay_s`` first: the crash mode worth
+    retrying is a transient tunnel hiccup, which lasts seconds — an
+    immediate back-to-back retry lands inside the same hiccup.
+    ``MemoryError`` is not retried at all (a CPU OOM compiling the
+    reference DP is deterministic; a second multi-minute compile only
+    doubles the cost of the same fail-open)."""
     log = log or (lambda msg: None)
     try:
         return probe_fn()
+    except MemoryError as exc:
+        log(f"kernel parity probe OOMed ({exc!r}); not retrying")
+        return {"probe_error": repr(exc)}
     except Exception as first_exc:  # noqa: BLE001 — disclosed below
-        log(f"kernel parity probe CRASHED ({first_exc!r}); retrying once")
+        log(
+            f"kernel parity probe CRASHED ({first_exc!r}); retrying once "
+            f"in {retry_delay_s:g}s"
+        )
+        time.sleep(retry_delay_s)
         try:
             return probe_fn()
         except Exception as exc:  # noqa: BLE001 — disclosed, not hidden

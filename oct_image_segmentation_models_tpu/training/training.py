@@ -992,12 +992,10 @@ def train_model(
     # HBM; the one-shot finalization path streams identically either
     # way.
     _stat_cache: list = []
-    _stat_cache_ok = (
-        n_stat_full
-        * int(np.prod(train_images.shape[1:]))
-        * np.dtype(np.float32).itemsize
-        <= int(os.environ.get("OCTSEG_BN_STAT_CACHE_BYTES", str(1 << 29)))
-    )
+    # Decided from the FIRST produced batch's actual nbytes (not
+    # estimated from the raw images): preprocess_fn may change shape or
+    # dtype, and an estimate that undercounts defeats the HBM guard.
+    _stat_cache_ok: list = []
 
     def _stat_batches():
         if len(_stat_cache) == n_stat_full // stat_bs:
@@ -1010,7 +1008,16 @@ def train_model(
                     train_images[start : start + stat_bs].astype(np.float32)
                 )
             )
-            if _stat_cache_ok:
+            if not _stat_cache_ok:
+                _stat_cache_ok.append(
+                    batch.nbytes * (n_stat_full // stat_bs)
+                    <= int(
+                        os.environ.get(
+                            "OCTSEG_BN_STAT_CACHE_BYTES", str(1 << 29)
+                        )
+                    )
+                )
+            if _stat_cache_ok[0]:
                 _stat_cache.append(batch)
             yield batch
 
@@ -1047,6 +1054,7 @@ def train_model(
     best_es = None
     best_ckpt_path = None
     best_ckpt_variables = None
+    best_ckpt_epoch = None
     best_variables = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -1072,6 +1080,33 @@ def train_model(
         epochs_since_improvement = int(
             resume_meta["epochs_since_improvement"]
         )
+        resume_best_epoch = resume_meta.get("best_ckpt_epoch")
+        if training_params.model_save_best and resume_best_epoch is not None:
+            # Re-materialize the carried best-on-monitor checkpoint into
+            # THIS run's results folder. The interrupted run skips the
+            # precise-BN finalization (its grace period is for writing
+            # artifacts, not extra data passes), so its model_epochNN
+            # file holds rolling statistics even though the precise val
+            # metric selected it; and if no post-resume epoch improves,
+            # nothing in this folder would hold the selected-best
+            # weights at all. Writing it here (and tracking it for the
+            # finalization re-save) makes the resumed folder
+            # self-contained and guarantees the selected-best checkpoint
+            # eventually gets precise statistics. Old train states
+            # (no best_ckpt_epoch) keep the previous behavior.
+            best_ckpt_epoch = int(resume_best_epoch)
+            best_ckpt_path = (
+                save_foldername
+                / f"model_epoch{best_ckpt_epoch:02d}{ckpt_suffix}"
+            )
+            best_ckpt_variables = resume_best
+            if is_main_process:
+                ckpt_save(
+                    best_ckpt_path,
+                    model_name,
+                    model_container.get_config(),
+                    resume_best,
+                )
         if (
             training_params.early_stopping
             and epochs_since_improvement >= training_params.patience
@@ -1098,6 +1133,26 @@ def train_model(
     # checkpoint) — the rolling train-state file from the last completed
     # epoch is the resume point.
     interrupt_flag = []
+
+    def _collective_any(flag) -> bool:
+        """Cross-process agreement on a local boolean: True anywhere ->
+        True everywhere. Every decision derived from the (per-process)
+        interrupt flag MUST go through this one helper — the epoch
+        loop's stop and the finalization's refresh-skip both gate
+        cross-process collectives, and a process-local decision at
+        either site would leave the other processes blocked in the next
+        allgather/refresh forever."""
+        flag = bool(flag)
+        if proc_count > 1 and training_params.train_state_checkpoint:
+            from jax.experimental import multihost_utils
+
+            return bool(
+                np.asarray(
+                    multihost_utils.process_allgather(np.int32(flag))
+                ).any()
+            )
+        return flag
+
     prev_handlers = {}
     if training_params.train_state_checkpoint:
         import signal as _signal
@@ -1156,26 +1211,27 @@ def train_model(
                     )
                     train_losses.append(loss_val)
                     train_metrics.append(metric_val)
-            stop_now = bool(interrupt_flag)
-            if proc_count > 1 and training_params.train_state_checkpoint:
-                # Epoch-boundary agreement: every process reaches this
-                # collective after the same number of steps, so the run stops
-                # on all hosts together (or on none).
-                from jax.experimental import multihost_utils
-
-                stop_now = bool(
-                    np.asarray(
-                        multihost_utils.process_allgather(
-                            np.int32(stop_now)
-                        )
-                    ).any()
-                )
+            # Epoch-boundary agreement: every process reaches this
+            # collective after the same number of steps, so the run stops
+            # on all hosts together (or on none).
+            stop_now = _collective_any(interrupt_flag)
             if stop_now:
                 state_file = save_foldername / TRAIN_STATE_FILENAME
                 if state_file.exists():
                     log.warning(
                         "Training interrupted during epoch %d; finalizing. "
-                        "Resume with resume_train_state=%s",
+                        "Resume with resume_train_state=%s"
+                        + (
+                            ". NB the precise-BN finalization is SKIPPED on "
+                            "interrupt — this folder's checkpoints keep "
+                            "rolling BatchNorm statistics (their eval-mode "
+                            "quality can read far below the logged val "
+                            "metrics); the resumed run re-saves the selected "
+                            "best checkpoint with precise statistics at its "
+                            "own finalization"
+                            if training_params.bn_precise_stats
+                            else ""
+                        ),
                         epoch + 1,
                         state_file,
                     )
@@ -1257,6 +1313,7 @@ def train_model(
                     save_foldername / f"model_epoch{epoch + 1:02d}{ckpt_suffix}"
                 )
                 best_ckpt_variables = state_host
+                best_ckpt_epoch = epoch + 1
                 if is_main_process:
                     ckpt_save(
                         best_ckpt_path,
@@ -1289,6 +1346,7 @@ def train_model(
                         "rng": np.asarray(rng).tolist(),
                         "best_monitor": best_monitor,
                         "best_es": best_es,
+                        "best_ckpt_epoch": best_ckpt_epoch,
                         "epochs_since_improvement": epochs_since_improvement,
                         "model_name": model_name,
                         "model_config": model_container.get_config(),
@@ -1354,21 +1412,16 @@ def train_model(
     # process 0 saves the result).
     # Skipped after a SIGTERM/SIGINT interrupt: the grace period is for
     # writing final artifacts, not for extra full-dataset passes — the
-    # interrupted checkpoint keeps rolling stats and the RESUMED run's
-    # finalization performs the refresh. The skip decision must be
+    # interrupted checkpoint keeps rolling stats (the interrupt warning
+    # discloses this), and the RESUMED run's finalization performs the
+    # refresh, including for the carried best-on-monitor checkpoint
+    # (re-materialized into the resumed folder at resume — see the
+    # best_ckpt_epoch restore above). The skip decision must be
     # COLLECTIVE on multi-host runs: the refresh's cross-process
     # aggregation is a collective, so a signal that reached only a
     # subset of processes would leave the others blocked in it forever
     # (same agreement pattern as the epoch loop's stop_now).
-    interrupted = bool(interrupt_flag)
-    if proc_count > 1 and training_params.train_state_checkpoint:
-        from jax.experimental import multihost_utils
-
-        interrupted = bool(
-            np.asarray(
-                multihost_utils.process_allgather(np.int32(interrupted))
-            ).any()
-        )
+    interrupted = _collective_any(interrupt_flag)
     precise_stats_applied = (
         training_params.bn_precise_stats
         and bool(final_variables.get("batch_stats"))

@@ -324,7 +324,7 @@ def test_kernel_probe_retry_semantics():
         return {"kernel_bitwise_fast": True, "kernel_bitwise_exact": True,
                 "exact_oracle_bitwise": True}
 
-    out = bench.run_kernel_probe_with_retry(flaky)
+    out = bench.run_kernel_probe_with_retry(flaky, retry_delay_s=0.0)
     assert len(calls) == 2
     assert out["kernel_bitwise_fast"] is True
     assert "probe_error" not in out
@@ -336,9 +336,24 @@ def test_kernel_probe_retry_semantics():
         raise RuntimeError("persistent outage")
 
     calls.clear()
-    out = bench.run_kernel_probe_with_retry(always_crashes)
+    out = bench.run_kernel_probe_with_retry(
+        always_crashes, retry_delay_s=0.0
+    )
     assert len(calls) == 2  # exactly one retry, not a loop
     assert "probe_error" in out and "probe_error_first_attempt" in out
+    assert bench.parity_verdict(out) is False and out["ok"] is None
+
+    # a deterministic CPU OOM is never retried (a second multi-minute
+    # compile only doubles the cost of the same fail-open)
+    calls.clear()
+
+    def ooms():
+        calls.append(1)
+        raise MemoryError("reference DP compile OOM")
+
+    out = bench.run_kernel_probe_with_retry(ooms, retry_delay_s=0.0)
+    assert len(calls) == 1
+    assert "probe_error" in out
     assert bench.parity_verdict(out) is False and out["ok"] is None
 
     # a probe that RUNS and reports a mismatch is returned verbatim
