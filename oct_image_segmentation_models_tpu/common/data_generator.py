@@ -63,6 +63,23 @@ class BatchGenerator:
                 f"aug_mode={aug_mode!r} requires a non-empty augmentations "
                 "list; use aug_mode='none' to train without augmentation"
             )
+        if aug_mode == "one" and aug_probs is not None and len(aug_probs):
+            # Fail at construction, not at the first batch's rng.choice
+            # (which would be after dataset loading and the first remote
+            # compile): the probabilities must pair 1:1 with the
+            # augmentations and sum to 1. Coerced to a tuple so a numpy
+            # array doesn't hit `self.aug_probs or None`'s ambiguous
+            # truth value below.
+            aug_probs = tuple(float(p) for p in aug_probs)
+            if len(aug_probs) != len(aug_fn_args):
+                raise ValueError(
+                    f"aug_probs has {len(aug_probs)} entries for "
+                    f"{len(aug_fn_args)} augmentations"
+                )
+            if abs(sum(aug_probs) - 1.0) > 1e-6:
+                raise ValueError(
+                    f"aug_probs must sum to 1, got {sum(aug_probs)!r}"
+                )
         self.images = np.asarray(images, np.float32) / 255.0
         self.labels = np.asarray(labels)
         self.batch_size = batch_size

@@ -83,15 +83,21 @@ def export_inference_pipeline(
         mlflow_tracking_uri=mlflow_tracking_uri,
         mlflow_run_uuid=mlflow_run_uuid,
     )
-    container = get_model_class(loaded.name)(**model_config)
     height = image_height or model_config.get("image_height")
     width = image_width or model_config.get("image_width")
     channels = model_config.get("input_channels", 1)
+    # Geometry must be resolved BEFORE the container is constructed: the
+    # model classes require image_height/image_width, so a config with
+    # no recorded geometry would otherwise die in a TypeError ahead of
+    # this guidance (and the caller's explicit dims would never apply).
     if not height or not width:
         raise ValueError(
             "image_height/image_width must be given when the model config "
             "records no geometry"
         )
+    container = get_model_class(loaded.name)(
+        **{**model_config, "image_height": height, "image_width": width}
+    )
     model_div = container.spatial_divisor
     if height % model_div or width % model_div:
         raise ValueError(
@@ -234,7 +240,9 @@ class ExportedPipeline:
                     f"(min {images_u8.min()}, max {images_u8.max()}) "
                     "cannot be represented as uint8 pixels"
                 )
-        return self._call(images_u8.astype(np.uint8))
+        # copy=False: an already-uint8 batch (the documented contract)
+        # passes through without a full host-side copy.
+        return self._call(images_u8.astype(np.uint8, copy=False))
 
 
 def load_exported_pipeline(path) -> ExportedPipeline:

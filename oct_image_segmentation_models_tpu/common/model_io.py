@@ -300,6 +300,27 @@ def _keras_layer_index(name: str, prefix: str) -> int:
     return int(rest[1:]) if rest else 0
 
 
+def _keras_indexed_layers(root, prefix: str) -> list:
+    """``prefix``, ``prefix_1``, ... layer names in creation order —
+    the one scan both the importer and exporter index against."""
+    return sorted(
+        (n for n in root if n == prefix or n.startswith(prefix + "_")),
+        key=lambda n: _keras_layer_index(n, prefix),
+    )
+
+
+# DeepLabV3+ head blocks in Keras creation order: entry i is the Flax
+# param path that conv2d_i / batch_normalization_i map to — the six
+# DSPP conv blocks (reference `models/deeplabv3plus.py:33-60`), then the
+# three decoder conv blocks (`:98-118`). Shared by the Keras importer
+# (`load_keras_deeplab_model`) and exporter (`_export_deeplab_layers`)
+# so the round trip cannot desynchronize.
+_DEEPLAB_HEAD_BLOCKS = tuple(
+    [("DSPP_0", f"_ConvBlock_{i}") for i in range(6)]
+    + [(f"_ConvBlock_{i}",) for i in range(3)]
+)
+
+
 def _keras_model_name(f: h5py.File, default: str) -> str:
     """Model name from the serialized Keras config attribute.
 
@@ -409,19 +430,8 @@ def load_keras_unet_model(
             model_name = _keras_model_name(f, "unet")
         weights_of = _keras_weights_reader(root)
 
-        convs = sorted(
-            (n for n in root if n == "conv2d" or n.startswith("conv2d_")),
-            key=lambda n: _keras_layer_index(n, "conv2d"),
-        )
-        bns = sorted(
-            (
-                n
-                for n in root
-                if n == "batch_normalization"
-                or n.startswith("batch_normalization_")
-            ),
-            key=lambda n: _keras_layer_index(n, "batch_normalization"),
-        )
+        convs = _keras_indexed_layers(root, "conv2d")
+        bns = _keras_indexed_layers(root, "batch_normalization")
         conv_w = [weights_of(n) for n in convs]
         bn_w = [weights_of(n) for n in bns]
 
@@ -520,22 +530,9 @@ def load_keras_deeplab_model(
                 bs["var"] = jnp.asarray(src["moving_variance"])
 
         # --- head, by creation-order index ---
-        convs = sorted(
-            (n for n in root if n == "conv2d" or n.startswith("conv2d_")),
-            key=lambda n: _keras_layer_index(n, "conv2d"),
-        )
-        bns = sorted(
-            (
-                n
-                for n in root
-                if n == "batch_normalization"
-                or n.startswith("batch_normalization_")
-            ),
-            key=lambda n: _keras_layer_index(n, "batch_normalization"),
-        )
-        head_blocks = [("DSPP_0", f"_ConvBlock_{i}") for i in range(6)] + [
-            (f"_ConvBlock_{i}",) for i in range(3)
-        ]
+        convs = _keras_indexed_layers(root, "conv2d")
+        bns = _keras_indexed_layers(root, "batch_normalization")
+        head_blocks = _DEEPLAB_HEAD_BLOCKS
         if len(bns) != len(head_blocks) or len(convs) != len(head_blocks) + 1:
             raise ValueError(
                 f"Keras DeepLab head layout mismatch: {len(convs)} convs / "
@@ -789,10 +786,7 @@ def _export_deeplab_layers(f, params, batch_stats) -> list:
                 f, name, _bn_weights(tree, batch_stats["resnet50"][name])
             )
 
-    head_blocks = [("DSPP_0", f"_ConvBlock_{i}") for i in range(6)] + [
-        (f"_ConvBlock_{i}",) for i in range(3)
-    ]
-    for i, block_path in enumerate(head_blocks):
+    for i, block_path in enumerate(_DEEPLAB_HEAD_BLOCKS):
         p, b = params, batch_stats
         for part in block_path:
             p = p[part]

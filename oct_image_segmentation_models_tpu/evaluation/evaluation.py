@@ -670,121 +670,121 @@ def _calc_overall_dataset_errors(
                 if EVALUATION_METRIC_DICE_MICRO in metrics:
                     concat(EVALUATION_METRIC_DICE_MICRO, f, gs_per_image)
 
-    save_file = h5py.File(
+    # Context-managed (review finding): an exception mid-aggregation must
+    # not leak an open HDF5 handle or leave the overall files half-written
+    # without closing them.
+    with h5py.File(
         output_dir / OVERALL_EVALUATION_RESULTS_FILENAME_HDF5, "w"
-    )
-    save_textfile = open(
+    ) as save_file, open(
         output_dir / OVERALL_EVALUATION_RESULTS_FILENAME_CSV, "w"
-    )
-    save_file["image_names"] = np.array(
-        [str(n) for n in eval_image_names], dtype="S1000"
-    )
-
-    def save_metric(metric_name: str, metric: np.ndarray):
-        save_file[metric_name] = metric
-        metric = metric.astype(np.float64)
-        metric[metric == np.inf] = np.nan
-        mean_metric = np.nanmean(metric, axis=0)
-        sd_metric = np.nanstd(metric, axis=0)
-        save_file[f"mean_{metric_name}"] = mean_metric
-        save_file[f"sd_{metric_name}"] = sd_metric
-        save_textfile.write(f"Mean {metric_name},")
-        save_textfile.write(",".join([f"{e:.7f}" for e in np.atleast_1d(mean_metric)]) + "\n")
-        save_textfile.write(f"SD {metric_name},")
-        save_textfile.write(",".join([f"{e:.7f}" for e in np.atleast_1d(sd_metric)]) + "\n")
-
-    def stacked(store, name):
-        return np.stack(store[name])
-
-    if EVALUATION_METRIC_DICE_CLASSES in metrics:
-        save_metric(
-            EVALUATION_METRIC_DICE_CLASSES,
-            stacked(per_image, EVALUATION_METRIC_DICE_CLASSES),
-        )
-    if EVALUATION_METRIC_DICE_MACRO in metrics:
-        save_metric(
-            EVALUATION_METRIC_DICE_MACRO,
-            stacked(per_image, EVALUATION_METRIC_DICE_MACRO),
-        )
-    if EVALUATION_METRIC_DICE_MICRO in metrics:
-        save_metric(
-            EVALUATION_METRIC_DICE_MICRO,
-            stacked(per_image, EVALUATION_METRIC_DICE_MICRO),
-        )
-    if EVALUATION_METRIC_AVERAGE_SURFACE_DISTANCE in metrics:
-        save_metric(
-            "average_surface_distances",
-            stacked(per_image, "average_surface_distances"),
-        )
-        save_metric(
-            "average_surface_distances_gt_to_pred",
-            stacked(per_image, "average_surface_distances_gt_to_pred"),
-        )
-        save_metric(
-            "average_surface_distances_pred_to_gt",
-            stacked(per_image, "average_surface_distances_pred_to_gt"),
-        )
-    if EVALUATION_METRIC_HAUSDORFF_DISTANCE in metrics:
-        save_metric(
-            "hausdorff_distances", stacked(per_image, "hausdorff_distances")
+    ) as save_textfile:
+        save_file["image_names"] = np.array(
+            [str(n) for n in eval_image_names], dtype="S1000"
         )
 
-    if graph_search_on:
+        def save_metric(metric_name: str, metric: np.ndarray):
+            save_file[metric_name] = metric
+            metric = metric.astype(np.float64)
+            metric[metric == np.inf] = np.nan
+            mean_metric = np.nanmean(metric, axis=0)
+            sd_metric = np.nanstd(metric, axis=0)
+            save_file[f"mean_{metric_name}"] = mean_metric
+            save_file[f"sd_{metric_name}"] = sd_metric
+            save_textfile.write(f"Mean {metric_name},")
+            save_textfile.write(",".join([f"{e:.7f}" for e in np.atleast_1d(mean_metric)]) + "\n")
+            save_textfile.write(f"SD {metric_name},")
+            save_textfile.write(",".join([f"{e:.7f}" for e in np.atleast_1d(sd_metric)]) + "\n")
+
+        def stacked(store, name):
+            return np.stack(store[name])
+
         if EVALUATION_METRIC_DICE_CLASSES in metrics:
             save_metric(
-                f"gs_{EVALUATION_METRIC_DICE_CLASSES}",
-                stacked(gs_per_image, EVALUATION_METRIC_DICE_CLASSES),
+                EVALUATION_METRIC_DICE_CLASSES,
+                stacked(per_image, EVALUATION_METRIC_DICE_CLASSES),
             )
         if EVALUATION_METRIC_DICE_MACRO in metrics:
             save_metric(
-                f"gs_{EVALUATION_METRIC_DICE_MACRO}",
-                stacked(gs_per_image, EVALUATION_METRIC_DICE_MACRO),
+                EVALUATION_METRIC_DICE_MACRO,
+                stacked(per_image, EVALUATION_METRIC_DICE_MACRO),
             )
         if EVALUATION_METRIC_DICE_MICRO in metrics:
             save_metric(
-                f"gs_{EVALUATION_METRIC_DICE_MICRO}",
-                stacked(gs_per_image, EVALUATION_METRIC_DICE_MICRO),
+                EVALUATION_METRIC_DICE_MICRO,
+                stacked(per_image, EVALUATION_METRIC_DICE_MICRO),
+            )
+        if EVALUATION_METRIC_AVERAGE_SURFACE_DISTANCE in metrics:
+            save_metric(
+                "average_surface_distances",
+                stacked(per_image, "average_surface_distances"),
+            )
+            save_metric(
+                "average_surface_distances_gt_to_pred",
+                stacked(per_image, "average_surface_distances_gt_to_pred"),
+            )
+            save_metric(
+                "average_surface_distances_pred_to_gt",
+                stacked(per_image, "average_surface_distances_pred_to_gt"),
+            )
+        if EVALUATION_METRIC_HAUSDORFF_DISTANCE in metrics:
+            save_metric(
+                "hausdorff_distances", stacked(per_image, "hausdorff_distances")
             )
 
-        errors = stacked(gs_per_image, "errors")  # (N, boundaries, W)
-        mean_abs_errors_cols = np.nanmean(np.abs(errors), axis=0)
-        mean_abs_errors_samples = np.nanmean(np.abs(errors), axis=2)
-        sd_abs_errors_samples = np.nanstd(np.abs(errors), axis=2)
-        mean_abs_errors = np.nanmean(mean_abs_errors_samples, axis=0)
-        sd_abs_errors = np.nanstd(mean_abs_errors_samples, axis=0)
-        median_abs_errors = np.nanmedian(mean_abs_errors_samples, axis=0)
+        if graph_search_on:
+            if EVALUATION_METRIC_DICE_CLASSES in metrics:
+                save_metric(
+                    f"gs_{EVALUATION_METRIC_DICE_CLASSES}",
+                    stacked(gs_per_image, EVALUATION_METRIC_DICE_CLASSES),
+                )
+            if EVALUATION_METRIC_DICE_MACRO in metrics:
+                save_metric(
+                    f"gs_{EVALUATION_METRIC_DICE_MACRO}",
+                    stacked(gs_per_image, EVALUATION_METRIC_DICE_MACRO),
+                )
+            if EVALUATION_METRIC_DICE_MICRO in metrics:
+                save_metric(
+                    f"gs_{EVALUATION_METRIC_DICE_MICRO}",
+                    stacked(gs_per_image, EVALUATION_METRIC_DICE_MICRO),
+                )
 
-        mean_errors_cols = np.nanmean(errors, axis=0)
-        mean_errors_samples = np.nanmean(errors, axis=2)
-        mean_errors = np.nanmean(mean_errors_samples, axis=0)
-        sd_errors = np.nanstd(mean_errors_samples, axis=0)
-        median_errors = np.nanmedian(mean_errors_samples, axis=0)
+            errors = stacked(gs_per_image, "errors")  # (N, boundaries, W)
+            mean_abs_errors_cols = np.nanmean(np.abs(errors), axis=0)
+            mean_abs_errors_samples = np.nanmean(np.abs(errors), axis=2)
+            sd_abs_errors_samples = np.nanstd(np.abs(errors), axis=2)
+            mean_abs_errors = np.nanmean(mean_abs_errors_samples, axis=0)
+            sd_abs_errors = np.nanstd(mean_abs_errors_samples, axis=0)
+            median_abs_errors = np.nanmedian(mean_abs_errors_samples, axis=0)
 
-        save_file["mean_abs_errors_cols"] = mean_abs_errors_cols
-        save_file["mean_abs_errors_samples"] = mean_abs_errors_samples
-        save_file["mean_abs_errors"] = mean_abs_errors
-        save_file["sd_abs_errors"] = sd_abs_errors
-        save_file["median_abs_errors"] = median_abs_errors
-        save_file["sd_abs_errors_samples"] = sd_abs_errors_samples
+            mean_errors_cols = np.nanmean(errors, axis=0)
+            mean_errors_samples = np.nanmean(errors, axis=2)
+            mean_errors = np.nanmean(mean_errors_samples, axis=0)
+            sd_errors = np.nanstd(mean_errors_samples, axis=0)
+            median_errors = np.nanmedian(mean_errors_samples, axis=0)
 
-        save_file["mean_errors_cols"] = mean_errors_cols
-        save_file["mean_errors_samples"] = mean_errors_samples
-        save_file["mean_errors"] = mean_errors
-        save_file["sd_errors"] = sd_errors
-        save_file["median_errors"] = median_errors
+            save_file["mean_abs_errors_cols"] = mean_abs_errors_cols
+            save_file["mean_abs_errors_samples"] = mean_abs_errors_samples
+            save_file["mean_abs_errors"] = mean_abs_errors
+            save_file["sd_abs_errors"] = sd_abs_errors
+            save_file["median_abs_errors"] = median_abs_errors
+            save_file["sd_abs_errors_samples"] = sd_abs_errors_samples
 
-        save_file["errors"] = errors
+            save_file["mean_errors_cols"] = mean_errors_cols
+            save_file["mean_errors_samples"] = mean_errors_samples
+            save_file["mean_errors"] = mean_errors
+            save_file["sd_errors"] = sd_errors
+            save_file["median_errors"] = median_errors
 
-        save_textfile.write("Mean abs errors,")
-        save_textfile.write(",".join([f"{e:.7f}" for e in mean_abs_errors]) + "\n")
-        save_textfile.write("Mean errors,")
-        save_textfile.write(",".join([f"{e:.7f}" for e in mean_errors]) + "\n")
-        save_textfile.write("Median absolute errors,")
-        save_textfile.write(",".join([f"{e:.7f}" for e in median_abs_errors]) + "\n")
-        save_textfile.write("SD abs errors,")
-        save_textfile.write(",".join([f"{e:.7f}" for e in sd_abs_errors]) + "\n")
-        save_textfile.write("SD errors,")
-        save_textfile.write(",".join([f"{e:.7f}" for e in sd_errors]) + "\n")
+            save_file["errors"] = errors
 
-    save_file.close()
-    save_textfile.close()
+            save_textfile.write("Mean abs errors,")
+            save_textfile.write(",".join([f"{e:.7f}" for e in mean_abs_errors]) + "\n")
+            save_textfile.write("Mean errors,")
+            save_textfile.write(",".join([f"{e:.7f}" for e in mean_errors]) + "\n")
+            save_textfile.write("Median absolute errors,")
+            save_textfile.write(",".join([f"{e:.7f}" for e in median_abs_errors]) + "\n")
+            save_textfile.write("SD abs errors,")
+            save_textfile.write(",".join([f"{e:.7f}" for e in sd_abs_errors]) + "\n")
+            save_textfile.write("SD errors,")
+            save_textfile.write(",".join([f"{e:.7f}" for e in sd_errors]) + "\n")
+

@@ -62,6 +62,8 @@ class EvaluationParameters:
         self.dice_errors = dice_errors
         self.bg_ilm = bg_ilm
         self.bg_csi = bg_csi
+        if int(batch_size) < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.batch_size = batch_size
         # Host-side per-image metric + artifact work (dice, surface
         # distances, HDF5/CSV/PNG writing) in a spawn process pool;

@@ -314,7 +314,11 @@ def s2d_eligible_levels(
     taps within [-1, 1] per axis (kernel dims <= 3). A level is worth
     transforming while its channel count is below the 128-lane width.
     """
-    if conv_layers % 2 != 0:
+    if conv_layers < 1 or conv_layers % 2 != 0:
+        # conv_layers=0 has no post-concat conv to bake the decoder's
+        # _split_concat_perm into — the transformed forward would feed
+        # the split-phase concat straight to d2s()/the head and scramble
+        # channels silently (r5 review finding). Parity path instead.
         return 0
     if max(tuple(enc_kernel) + tuple(dec_kernel)) > 3:
         return 0

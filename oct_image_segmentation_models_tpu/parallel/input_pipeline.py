@@ -54,7 +54,19 @@ class ShardedHDF5Reader:
         # host only ever materializes its own 1/P of the split.
         shard = slice(self.process_index, None, self.process_count)
         with h5py.File(self.path, "r") as f:
-            return _load_split(f, self.split, sample_slice=shard)
+            total = f[f"{self.split}_images"].shape[0]
+            images, labels = _load_split(f, self.split, sample_slice=shard)
+        if self.process_count > 1:
+            # Trim every shard to the smallest shard size (floor(N/P)):
+            # with N % P != 0 the low-index processes otherwise hold one
+            # extra sample, their generators run one extra step per
+            # epoch, and the other processes' train-step collectives
+            # block forever — the same trim the training driver applies
+            # to its own shards (training/training.py multi-process
+            # shard setup).
+            n = total // self.process_count
+            images, labels = images[:n], labels[:n]
+        return images, labels
 
 
 def prefetch_to_mesh(

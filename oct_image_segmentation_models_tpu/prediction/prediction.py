@@ -250,6 +250,9 @@ def predict(predict_params: PredictionParams) -> List[PredictionOutput]:
         save_params=predict_params.save_params,
         col_error_range=predict_params.col_error_range,
         graph_search=predict_params.graph_search,
+        col_error_range_explicit=getattr(
+            predict_params, "col_error_range_explicit", True
+        ),
     )
     tasks = []
     for i, (image_name, image_output_dir) in enumerate(
@@ -298,11 +301,12 @@ class _PredSaveContext:
     save functions below only touch these attributes."""
 
     def __init__(self, model_path, save_params, col_error_range,
-                 graph_search):
+                 graph_search, col_error_range_explicit=True):
         self.model_path = model_path
         self.save_params = save_params
         self.col_error_range = col_error_range
         self.graph_search = graph_search
+        self.col_error_range_explicit = col_error_range_explicit
 
 
 def _save_prediction_image(task: dict) -> None:
@@ -460,13 +464,27 @@ def save_graph_based_prediction_results(
             plotting.region_colours, N=num_classes
         ),
     )
+    # Per-image plot columns: the dataset-wide col_error_range is
+    # derived from image 0's width, which on a heterogeneous-shape
+    # dataset would crash (wider first) or silently truncate (narrower
+    # first) this image's overlay. A defaulted range means "full
+    # width"; an explicit range is clamped to this image's width.
+    width = gs_pred_segs.shape[1]
+    if not getattr(predict_params, "col_error_range_explicit", True):
+        column_range = range(width)
+    else:
+        cr = predict_params.col_error_range
+        start, stop = cr[0], cr[-1] + 1
+        column_range = (
+            range(width) if start >= width else range(start, min(stop, width))
+        )
     plotting.save_segmentation_plot(
         predict_image,
         cm.gray,
         output_dir / Path("gs_predicted_boundaries_ovelay_plot.png"),
         gs_pred_segs,
         predictions=None,
-        column_range=predict_params.col_error_range,
+        column_range=column_range,
     )
 
     hdf5_file.attrs["model_filename"] = np.array(

@@ -62,6 +62,8 @@ class PredictionParams:
         self.trim_window = trim_window
         # Device batch size for the fused pipeline (the reference is
         # hardwired to per-image batches, `prediction/prediction.py:75-81`).
+        if int(batch_size) < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.batch_size = batch_size
         # Min-path tie-break mode. Default "fast" (the production mode,
         # ~2.9x cheaper kernel): cost-optimal paths whose only divergence
@@ -94,6 +96,12 @@ class PredictionParams:
         self.num_workers = host_pool.resolve_num_workers(num_workers)
 
         self.col_error_range = col_error_range
+        # Heterogeneous-shape datasets (run_pipeline buckets by shape):
+        # a DEFAULTED range is "full width" per image, while an explicit
+        # range is clamped to each image's width in the per-image plots
+        # — the dataset-wide range is derived from image 0 only
+        # (reference `prediction_parameters.py:62-63`).
+        self.col_error_range_explicit = col_error_range is not None
         if col_error_range is None:
             if len(dataset.images) == 0:
                 raise ValueError(

@@ -52,6 +52,38 @@ def test_batchgen_aug_modes_require_augmentations():
             )
 
 
+def test_batchgen_aug_probs_validated_at_construction():
+    """aug_mode='one' probability errors fail at CONSTRUCTION (r5 review
+    finding): a length mismatch or non-normalized probs previously only
+    crashed inside the first batch's rng.choice, and a numpy-array
+    aug_probs died on `self.aug_probs or None`'s ambiguous truth."""
+    from oct_image_segmentation_models_tpu.common.augmentation import (
+        flip_aug,
+    )
+
+    images, labels = _images()
+    augs = [
+        (flip_aug, {"flip_type": "up-down"}),
+        (flip_aug, {"flip_type": "left-right"}),
+    ]
+    with pytest.raises(ValueError, match="entries for"):
+        BatchGenerator(
+            images, labels, 2, augs, "one", (0.5, 0.25, 0.25), True,
+            lambda x: x / 255.0, seed=1,
+        )
+    with pytest.raises(ValueError, match="sum to 1"):
+        BatchGenerator(
+            images, labels, 2, augs, "one", (0.5, 0.4), True,
+            lambda x: x / 255.0, seed=1,
+        )
+    # numpy-array aug_probs works (coerced to a tuple) and draws fine
+    gen = BatchGenerator(
+        images, labels, 2, augs, "one", np.array([0.75, 0.25]), True,
+        lambda x: x / 255.0, seed=1,
+    )
+    gen.get_batch_list()
+
+
 def test_batchgen_all_mode_doubles_samples():
     images, labels = _images()
     fn_args = [

@@ -357,6 +357,74 @@ def test_predict_heterogeneous_image_shapes(trained, tmp_path):
         assert (d / "graph_search_prediction_info.hdf5").exists()
 
 
+def test_predict_heterogeneous_shapes_gs_plots(trained, tmp_path):
+    """Wider-image-FIRST heterogeneous predict with PNG artifacts on
+    (r5 review finding): the dataset-wide col_error_range is derived
+    from image 0's width, so the narrower image's graph-search overlay
+    plot used to crash matplotlib (x of width 64 vs y of width 48); a
+    defaulted range must mean full per-image width."""
+    from synth import make_layered_sample
+
+    root, ds, model_path = trained
+    rng = np.random.default_rng(13)
+    img_wide = make_layered_sample(rng, 48, 64, 3)[0][..., None]
+    img_narrow = make_layered_sample(rng, 32, 48, 3)[0][..., None]
+    (tmp_path / "het_png").mkdir(parents=True, exist_ok=True)
+    out_dirs = [tmp_path / "het_png" / f"img_{i}" for i in range(2)]
+    predict(
+        PredictionParams(
+            model_path=model_path,
+            mlflow_tracking_uri=None,
+            mlflow_run_uuid=None,
+            dataset=Dataset(
+                [img_wide, img_narrow],
+                None,
+                [p / "x" for p in out_dirs],
+                out_dirs,
+            ),
+            config_output_dir=tmp_path / "het_png",
+            save_params=PredictionSaveParams(png_images=True),
+            graph_search=True,
+            batch_size=2,
+        )
+    )
+    for d in out_dirs:
+        assert (d / "gs_predicted_boundaries_ovelay_plot.png").exists()
+
+
+def test_batch_size_validated(trained, tmp_path):
+    """batch_size<=0 fails loudly at parameter construction, not deep
+    inside run_pipeline (r5 review finding)."""
+    root, ds, model_path = trained
+    img = np.zeros((32, 48, 1), np.uint8)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="batch_size"):
+            PredictionParams(
+                model_path=model_path,
+                mlflow_tracking_uri=None,
+                mlflow_run_uuid=None,
+                dataset=Dataset(
+                    [img], None, [tmp_path / "x"], [tmp_path / "o"]
+                ),
+                config_output_dir=tmp_path,
+                save_params=PredictionSaveParams(),
+                graph_search=False,
+                batch_size=bad,
+            )
+        with pytest.raises(ValueError, match="batch_size"):
+            EvaluationParameters(
+                model_path=model_path,
+                mlflow_tracking_uri=None,
+                mlflow_run_uuid=None,
+                test_dataset_path=ds,
+                save_foldername=tmp_path / "ev",
+                save_params=EvaluationSaveParams(),
+                graph_search=False,
+                metrics=["dice_coef_macro"],
+                batch_size=bad,
+            )
+
+
 def test_evaluate_metric_subset_no_graph_search(trained, tmp_path):
     root, ds, model_path = trained
     save_folder = tmp_path / "eval2"

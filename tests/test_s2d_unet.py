@@ -65,6 +65,10 @@ def test_s2d_auto_levels():
     assert s2d_eligible_levels(8, 4, 2, (3, 3), (2, 2)) == 4
     assert s2d_eligible_levels(32, 4, 3, (3, 3), (2, 2)) == 0
     assert s2d_eligible_levels(32, 4, 2, (5, 5), (2, 2)) == 0
+    # conv_layers=0 has no post-concat conv to bake the decoder's
+    # split-concat permutation into — must take the parity path, not
+    # silently scramble channels (r5 review finding).
+    assert s2d_eligible_levels(32, 4, 0, (3, 3), (2, 2)) == 0
 
 
 def test_s2d_rejects_odd_spatial():

@@ -1051,6 +1051,14 @@ def test_sigterm_interrupt_saves_and_resumes(dataset, tmp_path):
         None,
     )
     assert (resumed / "model_final.hdf5").exists()
+    # The resumed run re-materializes the carried best-on-monitor
+    # checkpoint (the interrupted folder's copy kept rolling BN stats;
+    # the resumed finalization gives this one precise stats) and its
+    # completed finalization records the applied semantics.
+    n_best = int(meta["best_ckpt_epoch"])
+    assert (resumed / f"model_epoch{n_best:02d}.hdf5").exists()
+    with h5py.File(resumed / "training_params.hdf5", "r") as f:
+        assert bool(f.attrs["bn_precise_stats_applied"]) is True
 
     # The run-config guard rejects resume under different hyperparameters
     # (here: a different seed) instead of silently diverging.
