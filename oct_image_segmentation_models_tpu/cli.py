@@ -23,14 +23,74 @@ def _load_config(path):
         return json.load(fh)
 
 
+# Keys cmd_train consumes from config.json — anything else is a typo
+# ("epoch" for "epochs", "optimiser" for "optimizer") that would
+# otherwise silently train a multi-hour run with defaults.
+_TRAIN_CONFIG_KEYS = frozenset(
+    {
+        "mlflow",
+        "model_architecture",
+        "training_dataset_path",
+        "initial_model",
+        "results_location",
+        "optimizer",
+        "opt_params",
+        "loss",
+        "metric",
+        "epochs",
+        "batch_size",
+        "model_hyperparameters",
+        "loss_fn_kwargs",
+        "augmentations",
+        "aug_mode",
+        "aug_probs",
+        "aug_fly",
+        "aug_val",
+        "shuffle",
+        "model_save_best",
+        "class_weight",
+        "early_stopping",
+        "restore_best_weights",
+        "patience",
+        "seed",
+        "model_save_monitor",
+        "channels_last",
+        "profile_dir",
+        "train_step_impl",
+        "train_forward_impl",
+        "aug_device",
+        "checkpoint_format",
+        "tensorboard",
+        "train_state_checkpoint",
+        "resume_train_state",
+        "resume_config_check",
+        "bn_precise_stats",
+        "bn_precise_val",
+    }
+)
+
+
 def cmd_train(args):
     from .common.mlflow_parameters import MLflowParameters
     from .training import TrainingParams, train_model
 
     config = _load_config(args.config)
+    unknown = sorted(set(config) - _TRAIN_CONFIG_KEYS)
+    if unknown:
+        raise SystemExit(
+            f"octseg train: unknown config key(s) {unknown} — "
+            "misspelled keys would otherwise silently fall back to "
+            f"defaults (known keys: {sorted(_TRAIN_CONFIG_KEYS)})"
+        )
     mlflow_cfg = config.pop("mlflow", None)
     mlflow_params = MLflowParameters(**mlflow_cfg) if mlflow_cfg else None
-    config.setdefault("results_location", args.output_dir or ".")
+    # An explicit --output-dir always wins over the config file's
+    # results_location (it used to be silently ignored when both were
+    # given).
+    if args.output_dir is not None:
+        config["results_location"] = args.output_dir
+    else:
+        config.setdefault("results_location", ".")
     params = TrainingParams(
         model_architecture=config.get("model_architecture"),
         training_dataset_path=Path(config["training_dataset_path"]),
@@ -85,19 +145,13 @@ def cmd_predict(args):
     import numpy as np
 
     from .common.dataset import Dataset
+    from .common.dataset_loader import load_prediction_images
     from .prediction import PredictionParams, PredictionSaveParams, predict
 
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     with h5py.File(args.dataset, "r") as f:
-        key = "test_images" if "test_images" in f else "images"
-        images = f[key][:]
-        if images.ndim == 3:
-            images = images[..., None]
-        if "test_images_source" in f:
-            names = [Path(str(x, "ascii")) for x in f["test_images_source"]]
-        else:
-            names = [Path(f"image_{i}") for i in range(len(images))]
+        images, names = load_prediction_images(f)
     out_dirs = [output_dir / f"image_{i}" for i in range(len(images))]
     params = PredictionParams(
         model_path=Path(args.model),

@@ -57,13 +57,34 @@ def load_validation_data(hdf5_data_file) -> Tuple[np.ndarray, np.ndarray]:
     return _load_split(hdf5_data_file, "val")
 
 
+def _image_source_names(hdf5_data_file, n: int) -> List[Path]:
+    """``test_images_source`` ascii paths when present, ``image_{i}``
+    fallbacks otherwise (reference `common/dataset_loader.py:23-33`)."""
+    source = hdf5_data_file.get("test_images_source")
+    if source is not None:
+        return [Path(str(x, "ascii")) for x in source]
+    return [Path(f"image_{i}") for i in range(n)]
+
+
 def load_testing_data(
     hdf5_data_file,
 ) -> Tuple[np.ndarray, np.ndarray, List[Path]]:
     test_images, test_labels = _load_split(hdf5_data_file, "test")
-    source = hdf5_data_file.get("test_images_source")
-    if source is not None:
-        test_image_paths = [Path(str(x, "ascii")) for x in source]
-    else:
-        test_image_paths = [Path(f"image_{i}") for i in range(len(test_images))]
-    return test_images, test_labels, test_image_paths
+    return (
+        test_images,
+        test_labels,
+        _image_source_names(hdf5_data_file, len(test_images)),
+    )
+
+
+def load_prediction_images(hdf5_data_file) -> Tuple[np.ndarray, List[Path]]:
+    """Images + source names for LABEL-LESS prediction inputs: accepts
+    the test-split schema (``test_images``) or a bare ``images``
+    dataset; labels, if any, are ignored (``predict`` never reads
+    them). Channel-expansion and name parsing match
+    :func:`load_testing_data`."""
+    key = "test_images" if "test_images" in hdf5_data_file else "images"
+    images = hdf5_data_file[key][:]
+    if images.ndim == 3:
+        images = images[..., None]
+    return images, _image_source_names(hdf5_data_file, len(images))

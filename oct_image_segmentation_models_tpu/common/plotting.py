@@ -66,9 +66,17 @@ def save_cur_trainval_plot(
     # a diverged run can be all-NaN (nanargmax raises on all-NaN slices —
     # the plot must render, not crash the training callback).
     def _best(values, reducer, arg_reducer):
+        # epoch None = no finite value ever logged (diverged run): the
+        # title must not claim a concrete "best at epoch 1" for a
+        # metric that never existed.
         if np.all(np.isnan(values)):
-            return float("nan"), 0
+            return float("nan"), None
         return reducer(values), arg_reducer(values)
+
+    def _fmt(value, ep, scale=1.0, digits=2):
+        if ep is None:
+            return "n/a (no finite values)"
+        return f"{value * scale:.{digits}f} at epoch {ep + 1:d}"
 
     best_tr_acc, best_tr_acc_ep = _best(train_accs, np.nanmax, np.nanargmax)
     best_va_acc, best_va_acc_ep = _best(val_accs, np.nanmax, np.nanargmax)
@@ -76,14 +84,14 @@ def save_cur_trainval_plot(
     best_va_loss, best_va_loss_ep = _best(val_losses, np.nanmin, np.nanargmin)
     f.suptitle(
         f"Network: {network_name}\n\n"
-        f"Best training {acc_name}: {best_tr_acc * 100:.2f} at "
-        f"epoch {best_tr_acc_ep + 1:d} | "
-        f"Best validation {acc_name}: {best_va_acc * 100:.2f} at "
-        f"epoch {best_va_acc_ep + 1:d}\n\n"
-        f"Best training {loss_name}: {best_tr_loss:.4f} at epoch "
-        f"{best_tr_loss_ep + 1:d} | "
-        f"Best validation {loss_name}: {best_va_loss:.4f} at epoch "
-        f"{best_va_loss_ep + 1:d}",
+        f"Best training {acc_name}: "
+        f"{_fmt(best_tr_acc, best_tr_acc_ep, scale=100.0)} | "
+        f"Best validation {acc_name}: "
+        f"{_fmt(best_va_acc, best_va_acc_ep, scale=100.0)}\n\n"
+        f"Best training {loss_name}: "
+        f"{_fmt(best_tr_loss, best_tr_loss_ep, digits=4)} | "
+        f"Best validation {loss_name}: "
+        f"{_fmt(best_va_loss, best_va_loss_ep, digits=4)}",
         fontsize=14,
         fontweight="bold",
     )

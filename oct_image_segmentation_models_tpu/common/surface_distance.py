@@ -18,9 +18,11 @@ this environment, so this module reimplements its 2-D algorithm exactly:
 - the average surface distance is the contour-length-weighted mean and
   the robust Hausdorff a contour-length-weighted percentile (cumulative
   weights, ``searchsorted``);
-- empty masks yield ``inf`` distances (as DeepMind's implementation
-  does), which the evaluation aggregation maps to NaN
-  (`evaluation/evaluation.py:847`).
+- empty masks follow DeepMind's exact (asymmetric) conventions: the
+  average surface distance is ``nan`` (their unguarded weighted mean is
+  0/0 there) while the robust Hausdorff is ``inf`` (their explicit
+  empty-case return); the evaluation aggregation treats both as missing
+  (`evaluation/evaluation.py` maps inf to NaN before nanmean).
 """
 
 from __future__ import annotations
@@ -125,11 +127,15 @@ def compute_average_surface_distance(surface_distances: dict):
     d_pred = surface_distances["distances_pred_to_gt"]
     w_gt = surface_distances["surfel_areas_gt"]
     w_pred = surface_distances["surfel_areas_pred"]
+    # Empty surface -> nan, exactly like DeepMind's implementation
+    # (whose unguarded sum(d*w)/sum(w) is 0/0 there); its robust
+    # Hausdorff, by contrast, explicitly returns inf for the empty case
+    # — the asymmetry is theirs and is reproduced here.
     avg_gt_to_pred = (
-        np.sum(d_gt * w_gt) / np.sum(w_gt) if d_gt.size else np.inf
+        np.sum(d_gt * w_gt) / np.sum(w_gt) if d_gt.size else np.nan
     )
     avg_pred_to_gt = (
-        np.sum(d_pred * w_pred) / np.sum(w_pred) if d_pred.size else np.inf
+        np.sum(d_pred * w_pred) / np.sum(w_pred) if d_pred.size else np.nan
     )
     return avg_gt_to_pred, avg_pred_to_gt
 

@@ -108,6 +108,14 @@ def _sparse_focal_map(y_true, y_pred, gamma, class_weight):
     # Re-clip: an out-of-range label gives an all-zero one-hot row, and
     # log(0) would poison the whole loss with -inf (labels can exceed
     # the channel count when e.g. a class appears only in validation).
+    # NB the two configurations treat such pixels differently — without
+    # class_weight each contributes the constant -log(_EPS_KERAS)
+    # (~16.1, zero-gradient since p_y sits at the clip floor); with
+    # class_weight the all-zero one-hot row zeroes the weight and the
+    # pixel drops out entirely. Both are degenerate-input salvage modes
+    # (the training driver derives num_classes from the labels, so
+    # in-range data never hits either); their reported losses are not
+    # comparable to each other on such data.
     p_y = jnp.clip(jnp.sum(p * oh, axis=-1), _EPS_KERAS, 1.0)
     focal = -((1.0 - p_y) ** gamma) * jnp.log(p_y)
     if class_weight is not None:

@@ -511,6 +511,20 @@ def test_cli_train(tmp_path):
     runs = list((tmp_path / "runs").glob("*/model_final.hdf5"))
     assert runs
 
+    # Misspelled config keys fail loudly instead of silently training a
+    # long run with defaults (r5 review finding).
+    bad = dict(config)
+    bad["epoch"] = 3  # typo for "epochs"
+    (tmp_path / "bad.json").write_text(json.dumps(bad))
+    with pytest.raises(SystemExit, match="unknown config key"):
+        main(["train", str(tmp_path / "bad.json")])
+
+    # An explicit --output-dir beats the config file's results_location
+    # (it used to be silently ignored when both were present).
+    main(["train", str(cfg_path), "--output-dir",
+          str(tmp_path / "override")])
+    assert list((tmp_path / "override").glob("*/model_final.hdf5"))
+
 
 def test_loaded_model_predict_chunks(tmp_path):
     container, module, variables = _tiny_model()

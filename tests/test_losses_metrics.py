@@ -143,9 +143,14 @@ def test_surface_distance_basic():
     # identical masks -> zero distances
     d0 = sd.average_surface_distance(a, a, spacing=(1.0, 1.0))
     assert d0 == (0.0, 0.0)
-    # empty mask -> inf
-    dinf, _ = sd.average_surface_distance(a, np.zeros_like(a), (1.0, 1.0))
-    assert np.isinf(dinf)
+    # empty pred mask, DeepMind's exact asymmetric conventions:
+    # gt->pred distances exist but reach nothing (mean inf), the empty
+    # side's ASD is nan (their unguarded 0/0), and the robust Hausdorff
+    # is inf (their explicit empty-case return)
+    dinf, dnan = sd.average_surface_distance(a, np.zeros_like(a), (1.0, 1.0))
+    assert np.isinf(dinf) and np.isnan(dnan)
+    hinf = sd.hausdorff_distance(a, np.zeros_like(a), (1.0, 1.0), percent=95)
+    assert np.isinf(hinf)
 
 
 def test_surface_distance_contour_length_weighting():
